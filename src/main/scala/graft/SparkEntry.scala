@@ -1,13 +1,147 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics._
+import graft.clean.CleanStage
+import graft.schema.Schemas
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is registered here as a
+  * `(SparkSession, sfDir) => DataFrame` with an equivalent DuckDB oracle in
+  * [[oracleSql]]. Column names and types are aligned on both sides because
+  * the driver's compare sorts columns by name and hashes values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Sessionization + session metrics — scan, projection, cast, window
+    * (lag + running sum), conditional, concat, groupBy-agg in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Sessionize.sessionMetrics(
+      Sessionize(Tables.clickstream(spark, "/root/testdata/sf0.001")))
+
+  // ---------------------------------------------------------------------------
+  // Spark-side query functions
+  // ---------------------------------------------------------------------------
+
+  private def cs(s: SparkSession, dir: String): DataFrame = Tables.clickstream(s, dir)
+  private def sess(s: SparkSession, dir: String): DataFrame = Sessionize(cs(s, dir))
+  private val steps = Schemas.testdataFunnelSteps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- clean stage (NiFi tier collapsed, SURVEY §3.3) --
+    "q_clean_enrich" -> ((s, d) => CleanStage.enrichTyped(cs(s, d))),
+    // -- sessionization family (SURVEY §2.4, flagship) --
+    "q_sessionize" -> ((s, d) => sess(s, d).select(
+      "visitorid", "event_time", "event", "itemid", "prev_event_time",
+      "diff_seconds", "is_new_session", "session_number", "session_id")),
+    "q_sessions" -> ((s, d) => Sessionize.sessionMetrics(sess(s, d))),
+    "q_user_paths" -> ((s, d) => UserPaths(sess(s, d))),
+    "q_funnel" -> ((s, d) => Funnel.counts(sess(s, d), steps)),
+    // -- per-minute family (A5-A8) --
+    "q_events_per_minute" -> ((s, d) => MinuteStats.eventsPerMinute(cs(s, d))),
+    "q_active_users" -> ((s, d) => MinuteStats.activeUsers(cs(s, d))),
+    "q_event_type_distribution" -> ((s, d) => MinuteStats.eventTypeDistribution(cs(s, d))),
+    "q_bounce_rate" -> ((s, d) => MinuteStats.bounceRate(cs(s, d))),
+    // -- item family (A9-A11 + ranked top-k extension) --
+    "q_top_items" -> ((s, d) => Items.topItemsPerMinute(cs(s, d))),
+    "q_top_items_ranked" -> ((s, d) => Items.topItemsRanked(cs(s, d), 5)),
+    "q_item_interactions" -> ((s, d) => Items.itemInteractions(cs(s, d))),
+    "q_most_viewed_items" -> ((s, d) => Items.mostViewedItems(cs(s, d))),
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared CTE prelude mirrors Tables.clickstream /
+  // Sessionize exactly (incl. the deterministic itemid tiebreak and
+  // floor-seconds gap arithmetic: epoch_us//1_000_000 == Spark unix_timestamp).
+  // ---------------------------------------------------------------------------
+
+  private val CS =
+    """WITH cs AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS visitorid, ts AS event_time,
+      |         event_type AS event, CAST(event_id AS VARCHAR) AS itemid
+      |  FROM events
+      |)""".stripMargin
+
+  private val SESS = CS +
+    """, lagd AS (
+      |  SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time, itemid) AS prev_event_time FROM cs
+      |), gapd AS (
+      |  SELECT *, epoch_us(event_time)//1000000 - epoch_us(prev_event_time)//1000000 AS diff_seconds FROM lagd
+      |), flagd AS (
+      |  SELECT *, CASE WHEN prev_event_time IS NULL THEN 1 WHEN diff_seconds > 1800 THEN 1 ELSE 0 END AS is_new_session FROM gapd
+      |), sess AS (
+      |  SELECT *, CAST(sum(is_new_session) OVER (PARTITION BY visitorid ORDER BY event_time, itemid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_number FROM flagd
+      |), sid AS (
+      |  SELECT *, concat(visitorid, '_', session_number) AS session_id FROM sess
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_clean_enrich" -> (CS +
+      """ SELECT visitorid, event_time, event, itemid,
+        |   CASE WHEN event = 'view' THEN 'Low Value' ELSE 'High Value' END AS event_category,
+        |   strftime(event_time, '%Y-%m-%d %H:%M:%S') AS timestamp_str,
+        |   epoch_ms(event_time) AS unix_ms
+        | FROM cs""".stripMargin),
+    "q_sessionize" -> (SESS +
+      """ SELECT visitorid, event_time, event, itemid, prev_event_time,
+        |   diff_seconds, is_new_session, session_number, session_id FROM sid""".stripMargin),
+    "q_sessions" -> (SESS +
+      """ SELECT session_id, visitorid,
+        |   min(event_time) AS session_start, max(event_time) AS session_end,
+        |   count(*) AS events_in_session,
+        |   epoch_us(max(event_time))//1000000 - epoch_us(min(event_time))//1000000 AS session_length
+        | FROM sid GROUP BY session_id, visitorid""".stripMargin),
+    "q_user_paths" -> (SESS +
+      """ SELECT visitorid, session_id,
+        |   array_agg(event ORDER BY event_time, event) AS user_path
+        | FROM sid GROUP BY visitorid, session_id""".stripMargin),
+    "q_funnel" -> (SESS +
+      """, se AS (
+        |  SELECT visitorid, session_id, array_agg(event) AS events
+        |  FROM sid GROUP BY visitorid, session_id
+        |) SELECT
+        |   CAST(sum(CASE WHEN list_contains(events, 'view') THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |   CAST(sum(CASE WHEN list_contains(events, 'click') THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |   CAST(sum(CASE WHEN list_contains(events, 'purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        | FROM se""".stripMargin),
+    "q_events_per_minute" -> (CS +
+      """ SELECT date_trunc('minute', event_time) AS minute, count(*) AS events_count
+        | FROM cs GROUP BY 1""".stripMargin),
+    "q_active_users" -> (CS +
+      """ SELECT date_trunc('minute', event_time) AS minute,
+        |   count(DISTINCT visitorid) AS active_users
+        | FROM cs GROUP BY 1""".stripMargin),
+    "q_event_type_distribution" -> (CS +
+      """ SELECT date_trunc('minute', event_time) AS minute, event,
+        |   count(*) AS event_count
+        | FROM cs GROUP BY 1, 2""".stripMargin),
+    "q_bounce_rate" -> (CS +
+      """, per_user AS (
+        |  SELECT date_trunc('minute', event_time) AS minute, visitorid, count(*) AS events
+        |  FROM cs GROUP BY 1, 2
+        |) SELECT minute,
+        |   CAST(sum(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+        |   count(*) AS total_users,
+        |   CAST(sum(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS bounce_rate
+        | FROM per_user GROUP BY minute""".stripMargin),
+    "q_top_items" -> (CS +
+      """ SELECT date_trunc('minute', event_time) AS minute, itemid,
+        |   count(*) AS interactions
+        | FROM cs GROUP BY 1, 2""".stripMargin),
+    "q_top_items_ranked" -> (CS +
+      """, agg AS (
+        |  SELECT date_trunc('minute', event_time) AS minute, itemid, count(*) AS interactions
+        |  FROM cs GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY minute ORDER BY interactions DESC, itemid ASC) AS INTEGER) AS rank
+        |  FROM agg
+        |) SELECT minute, itemid, interactions, rank FROM ranked WHERE rank <= 5""".stripMargin),
+    "q_item_interactions" -> (CS +
+      """ SELECT itemid, count(*) AS interaction_count FROM cs GROUP BY itemid""".stripMargin),
+    "q_most_viewed_items" -> (CS +
+      """ SELECT itemid, count(*) AS view_count FROM cs WHERE event = 'view' GROUP BY itemid""".stripMargin),
+  )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Readers over the driver testdata (/root/repo/TESTDATA.md) plus the
+ * column adapter that presents the synthetic `events` table in the
+ * reference's clickstream vocabulary (/root/repo/FIXTURES.md §4):
+ * ts→event_time, user_id→visitorid (string), event_type→event,
+ * event_id→itemid surrogate.
+ */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The testdata `events.ts` column is parquet TIMESTAMP(NANOS), which
+    // Spark's vectorized reader rejects; read it as a long (ns since epoch)
+    // and convert in the adapter below. Dynamic conf, safe to set repeatedly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+
+  /**
+   * Clickstream view of the testdata `events` table. Column projection is
+   * declared up front so Catalyst prunes the parquet scan to exactly the
+   * needed columns (value/props excluded unless asked for).
+   */
+  def clickstream(spark: SparkSession, dir: String, withExtras: Boolean = false): DataFrame = {
+    // ts arrives as long nanos (see table()); integer-divide to micros —
+    // the same truncation DuckDB applies reading ns parquet — and keep the
+    // result TIMESTAMP_NTZ so every derived timestamp stays naive end-to-end
+    // (Spark then writes isAdjustedToUTC=false parquet, matching the naive
+    // timestamps the DuckDB oracle produces).
+    val core = Seq(
+      col("user_id").cast("string").as("visitorid"),
+      expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)").as("event_time"),
+      col("event_type").as("event"),
+      col("event_id").cast("string").as("itemid"))
+    val cols = if (withExtras) core ++ Seq(col("value"), col("props")) else core
+    events(spark, dir).select(cols: _*)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The per-minute analysis family (A5–A8, stream_processor.py:232-312).
+ *
+ * All four share the `date_trunc("minute", event_time)` bucketing and are
+ * single hash-aggregates (partial+final map-side combine for free). Bounce
+ * rate is the reference's two-level aggregate; note its quirk: a "bounce" is
+ * a visitor with exactly one event **per minute**, not per session
+ * (SURVEY.md §2.3 A8).
+ */
+object MinuteStats {
+
+  private def withMinute(events: DataFrame): DataFrame =
+    events.withColumn("minute", date_trunc("minute", col("event_time")))
+
+  /** A5: events per minute → (minute, events_count). */
+  def eventsPerMinute(events: DataFrame): DataFrame =
+    withMinute(events)
+      .groupBy(col("minute"))
+      .agg(count(lit(1)).as("events_count"))
+
+  /**
+   * A6: active (distinct) users per minute — exact distinct, like the
+   * reference (stream_processor.py:254-259).
+   */
+  def activeUsers(events: DataFrame): DataFrame =
+    withMinute(events)
+      .groupBy(col("minute"))
+      .agg(countDistinct(col("visitorid")).as("active_users"))
+
+  /**
+   * A6 at 100 TB: exact global distinct is a shuffle bomb; HLL keeps the
+   * aggregation partial/mergeable with fixed-size state (SURVEY.md §7.4).
+   */
+  def activeUsersApprox(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    withMinute(events)
+      .groupBy(col("minute"))
+      .agg(approx_count_distinct(col("visitorid"), rsd).as("active_users"))
+
+  /** A7: event-type distribution per minute → (minute, event, event_count). */
+  def eventTypeDistribution(events: DataFrame): DataFrame =
+    withMinute(events)
+      .groupBy(col("minute"), col("event"))
+      .agg(count(lit(1)).as("event_count"))
+
+  /**
+   * A8: bounce rate — level 1 counts events per (minute, visitor); level 2
+   * counts visitors with exactly one event, per minute
+   * (stream_processor.py:289-305).
+   */
+  def bounceRate(events: DataFrame): DataFrame =
+    withMinute(events)
+      .groupBy(col("minute"), col("visitorid"))
+      .agg(count(lit(1)).as("events"))
+      .groupBy(col("minute"))
+      .agg(
+        sum(when(col("events") === 1, 1).otherwise(0)).as("bounces"),
+        count(lit(1)).as("total_users"))
+      .withColumn("bounce_rate", col("bounces") / col("total_users"))
+}
