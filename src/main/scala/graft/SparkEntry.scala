@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics._
 import graft.clean.CleanStage
+import graft.relational.Relational
 import graft.schema.Schemas
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,6 +51,17 @@ object SparkEntry {
     "q_top_items_ranked" -> ((s, d) => Items.topItemsRanked(cs(s, d), 5)),
     "q_item_interactions" -> ((s, d) => Items.itemInteractions(cs(s, d))),
     "q_most_viewed_items" -> ((s, d) => Items.mostViewedItems(cs(s, d))),
+    // -- relational extension family (joins/rollup/top-k/JSON; SURVEY §2.5) --
+    "q_pricing_summary" -> (Relational.pricingSummary _),
+    "q_revenue_by_segment" -> (Relational.revenueBySegment _),
+    "q_orders_rollup" -> (Relational.ordersRollup _),
+    "q_top_customers_per_segment" -> ((s, d) => Relational.topCustomersPerSegment(s, d, 3)),
+    "q_order_priority" -> (Relational.orderPriorityWithLineitems _),
+    "q_customers_without_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q_customers_per_region" -> (Relational.customersPerRegionNation _),
+    "q_order_gaps" -> (Relational.orderGaps _),
+    "q_props_sum" -> (Relational.propsSumByType _),
+    "q_value_stats" -> (Relational.valueStatsByType _),
   )
 
   // ---------------------------------------------------------------------------
@@ -143,5 +155,66 @@ object SparkEntry {
       """ SELECT itemid, count(*) AS interaction_count FROM cs GROUP BY itemid""".stripMargin),
     "q_most_viewed_items" -> (CS +
       """ SELECT itemid, count(*) AS view_count FROM cs WHERE event = 'view' GROUP BY itemid""".stripMargin),
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_top_customers_per_segment" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS drev
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT c_mktsegment, c_custkey, drev,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY drev DESC, c_custkey ASC) AS INTEGER) AS rank
+        |  FROM pc JOIN customer ON o_custkey = c_custkey
+        |) SELECT c_mktsegment, c_custkey, CAST(drev AS DOUBLE) AS revenue, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_customers_per_region" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+        |FROM orders""".stripMargin,
+    "q_props_sum" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_value_stats" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

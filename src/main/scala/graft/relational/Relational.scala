@@ -1,0 +1,147 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Relational extension surface over the TPC-H-ish driver testdata
+ * (SURVEY.md §2.5 notes the reference has zero joins — this is the
+ * engine-extension coverage: joins incl. broadcast/semi/anti, rollup,
+ * windowed top-k, JSON extraction).
+ *
+ * Determinism: every floating-point SUM goes through a DECIMAL cast so the
+ * result is independent of partial-aggregation order (Spark) vs sequential
+ * order (DuckDB oracle); the final column is cast back to DOUBLE.
+ *
+ * Scale notes (100 TB):
+ *  - dimension tables (customer/nation/region) are broadcast explicitly —
+ *    no shuffle of the fact side;
+ *  - fact-fact joins (lineitem⋈orders) shuffle on the join key once; at
+ *    cluster scale these tables would be bucketed by orderkey to make the
+ *    join shuffle-free;
+ *  - top-k aggregates first (shrinking to |groups|), then windows.
+ */
+object Relational {
+
+  private def dec(c: String, scale: Int = 2) = col(c).cast(s"decimal(18,$scale)")
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).as("dq"),
+        sum(dec("l_extendedprice")).as("dp"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).as("ddp"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("dq").cast("double").as("sum_qty"),
+        col("dp").cast("double").as("sum_base_price"),
+        col("ddp").cast("double").as("sum_disc_price"),
+        (col("dq").cast("double") / col("count_order")).as("avg_qty"),
+        col("count_order"))
+
+  /** Revenue by market segment: broadcast customer ⋈ orders ⋈ lineitem. */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)").as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev")).as("drev"), count(lit(1)).as("n_lineitems"))
+      .select(col("c_mktsegment"), col("drev").cast("double").as("revenue"), col("n_lineitems"))
+  }
+
+  /** ROLLUP over order status × priority: counts + total price subtotals. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("dt"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
+        col("dt").cast("double").as("total_price"))
+
+  /** Top-3 customers by order revenue within each market segment
+    * (agg → broadcast dim join → window rank, deterministic tiebreak). */
+  def topCustomersPerSegment(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec("o_totalprice")).as("drev"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("drev").desc, col("c_custkey").asc)
+    perCust.join(broadcast(c), perCust("o_custkey") === c("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        col("drev").cast("double").as("revenue"), col("rank"))
+  }
+
+  /** Orders with at least one lineitem, counted per priority (semi join). */
+  def orderPriorityWithLineitems(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Customers with no big-ticket order (> threshold), per market segment —
+    * anti join with the filter pushed into the build side's scan. */
+  def customersWithoutOrders(spark: SparkSession, dir: String,
+                             threshold: Double = 400000.0): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > threshold).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Customer counts per region/nation through the tiny dims (two broadcast
+    * joins; the only shuffle is the final aggregation). */
+  def customersPerRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sum(dec("c_acctbal")).as("db"))
+      .select(col("r_name"), col("n_name"), col("n_customers"),
+        col("db").cast("double").as("total_acctbal"))
+  }
+
+  /** Gap in days between a customer's consecutive orders (lag + datediff). */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
+  }
+
+  /** JSON property extraction from the events `props` column, aggregated
+    * per event type (get_json_object → codegen'd JSON path, no UDF). */
+  def propsSumByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+
+  /** Numeric stats of the events `value` column per type (decimal-exact). */
+  def valueStatsByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(dec("value")).as("dv"), count(lit(1)).as("n"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("event_type"), col("dv").cast("double").as("sum_value"),
+        (col("dv").cast("double") / col("n")).as("avg_value"),
+        col("n").as("n_events"), col("min_value"), col("max_value"))
+}
