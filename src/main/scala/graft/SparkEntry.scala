@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics._
 import graft.clean.CleanStage
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.relational.Relational
 import graft.schema.Schemas
 
@@ -62,6 +63,25 @@ object SparkEntry {
     "q_order_gaps" -> (Relational.orderGaps _),
     "q_props_sum" -> (Relational.propsSumByType _),
     "q_value_stats" -> (Relational.valueStatsByType _),
+    // -- LLM-pipeline: text analysis over documents --
+    "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // -- LLM-pipeline: deduplication --
+    "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
+    "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardOnCandidates(Tables.documents(s, d))),
+    "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // -- LLM-pipeline: embedding similarity --
+    "q_embed_norms" -> ((s, d) => Similarity.withNorms(Tables.embeddings(s, d))
+      .select("vec_id", "nrm")),
+    "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "q_embed_neardup" -> ((s, d) => Similarity.bruteForceNearDupPairs(Tables.embeddings(s, d))),
+    "q_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d))),
+    // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
+    "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -88,6 +108,76 @@ object SparkEntry {
       |  SELECT *, CAST(sum(is_new_session) OVER (PARTITION BY visitorid ORDER BY event_time, itemid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_number FROM flagd
       |), sid AS (
       |  SELECT *, concat(visitorid, '_', session_number) AS session_id FROM sess
+      |)""".stripMargin
+
+  /** Portable 32-bit hash in DuckDB syntax (== TextAnalysis.hash32). */
+  private def h32(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  /** documents + lower-cased whitespace tokens (== TextAnalysis.withTokens). */
+  private val TOK =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, text,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** + distinct word-3-gram shingles (== TextAnalysis.withShingles). */
+  private val SH = TOK +
+    """, sh AS (
+      |  SELECT doc_id, text, toks,
+      |    CASE WHEN len(toks) < 3 THEN []
+      |         ELSE list_distinct(list_transform(range(len(toks)-2),
+      |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS shingles
+      |  FROM tok
+      |)""".stripMargin
+
+  /** + minhash signatures and LSH band keys (== Dedup.minhash*). */
+  private val MINHASH_PAIRS = SH +
+    s""", sg AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(16), j ->
+      |      list_aggregate(list_transform(shingles, s ->
+      |        ((2*j+1) * ${h32("s")} + (104729*j+12345)) % 4294967311), 'min')) AS sig
+      |  FROM sh WHERE len(shingles) > 0
+      |), bd AS (
+      |  SELECT doc_id, b, array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS band_key
+      |  FROM sg, (SELECT unnest(range(4)) AS b) bs
+      |), pr AS (
+      |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+      |  FROM bd a JOIN bd c ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+      |)""".stripMargin
+
+  /** 32-bit simhash over the token multiset (== Dedup.simhash). */
+  private val SIMHASH = TOK +
+    s""", sim AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(32), k ->
+      |      CASE WHEN CAST(list_sum(list_transform(toks, t ->
+      |             CASE WHEN ((${h32("t")} >> CAST(k AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) >= 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM tok WHERE len(toks) > 0
+      |)""".stripMargin
+
+  /** embeddings + L2 norms (== Similarity.withNorms — sequential fold). */
+  private val EMB =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** sign-LSH band keys from LCG hyperplanes (== Similarity.withLshBands).
+    * DuckDB list_transform's (x, i) index is 1-based — hence (i-1). */
+  private val LSH_SIG =
+    """, sig AS (
+      |  SELECT vec_id, embedding, nrm,
+      |    list_transform(range(4), b ->
+      |      CAST(list_sum(list_transform(range(4), p ->
+      |        CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |               CAST(x AS DOUBLE) * CASE WHEN (1103515245::BIGINT * ((b*4+p)*64 + (i-1)) + 12345) % 2147483648 < 1073741824
+      |                                        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) >= 0
+      |             THEN (1 << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)) AS bands
+      |  FROM e
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -216,5 +306,100 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_text_stats" -> (TOK +
+      """ SELECT doc_id, length(text) AS n_chars_actual,
+        |  CAST(len(toks) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_re_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) / len(toks) AS avg_token_len
+        | FROM tok""".stripMargin),
+    "q_quality" -> (TOK +
+      """, q AS (
+        |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS INTEGER) AS n_stop,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique
+        |  FROM tok
+        |) SELECT doc_id, n_tokens,
+        |  n_stop / n_tokens AS stopword_ratio,
+        |  n_unique / n_tokens AS unique_ratio,
+        |  (n_tokens >= 10 AND n_unique / n_tokens > 0.2) AS passes_quality
+        |FROM q""".stripMargin),
+    "q_lang_id" -> (TOK +
+      """, sc AS (
+        |  SELECT doc_id, lang AS declared_lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS INTEGER) AS score_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','is'))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','los','y','que','una','es'))) AS INTEGER) AS score_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des','est'))) AS INTEGER) AS score_fr
+        |  FROM tok
+        |) SELECT doc_id, declared_lang, score_de, score_en, score_es, score_fr,
+        |  CASE
+        |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |    WHEN score_es >= score_de AND score_es >= score_en AND score_es >= score_fr THEN 'es'
+        |    ELSE 'fr' END AS predicted_lang
+        |FROM sc""".stripMargin),
+    "q_fingerprint" -> (SH +
+      s""" SELECT doc_id, md5(text) AS content_hash,
+        |  list_aggregate(list_transform(shingles, s -> ${h32("s")}), 'min') AS min_shingle_hash
+        | FROM sh""".stripMargin),
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_minhash_pairs" -> (MINHASH_PAIRS +
+      """ SELECT pr.doc1, pr.doc2,
+        |  len(list_filter(range(16), i -> s1.sig[i+1] = s2.sig[i+1])) / 16 AS est_jaccard
+        | FROM pr JOIN sg s1 ON pr.doc1 = s1.doc_id JOIN sg s2 ON pr.doc2 = s2.doc_id""".stripMargin),
+    "q_ngram_jaccard" -> (MINHASH_PAIRS +
+      """ SELECT pr.doc1, pr.doc2,
+        |  len(list_intersect(a.shingles, b.shingles)) /
+        |    len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        | FROM pr JOIN sh a ON pr.doc1 = a.doc_id JOIN sh b ON pr.doc2 = b.doc_id""".stripMargin),
+    "q_simhash" -> (SIMHASH + " SELECT doc_id, simhash FROM sim"),
+    "q_simhash_pairs" -> (SIMHASH +
+      """, sb AS (
+        |  SELECT doc_id, simhash, b, (simhash >> CAST(b*8 AS INTEGER)) % 256 AS band_key
+        |  FROM sim, (SELECT unnest(range(4)) AS b) bs
+        |), sp AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
+        |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+        |  FROM sb a JOIN sb c ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+        |) SELECT doc1, doc2, hamming FROM sp WHERE hamming <= 10""".stripMargin),
+    "q_embed_norms" -> (EMB + " SELECT vec_id, nrm FROM e"),
+    "q_ann_topk" -> (EMB +
+      """, q AS (SELECT * FROM e WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(len(q.embedding)), i ->
+        |      CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+        |  FROM q JOIN e c ON q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
+        |  FROM cand
+        |) SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin),
+    "q_embed_neardup" -> (EMB +
+      """, cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(len(a.embedding)), i ->
+        |      CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) / (a.nrm * b.nrm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |) SELECT id1, id2, cosine FROM cand WHERE cosine >= 0.35""".stripMargin),
+    "q_embed_neardup_lsh" -> (EMB + LSH_SIG +
+      """, bnd AS (
+        |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
+        |  FROM sig, (SELECT unnest(range(4)) AS b) t
+        |), pr AS (
+        |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.band_key = c.band_key AND a.vec_id < c.vec_id
+        |), cand AS (
+        |  SELECT id1, id2,
+        |    list_sum(list_transform(range(len(e1.embedding)), i ->
+        |      CAST(e1.embedding[i+1] AS DOUBLE) * CAST(e2.embedding[i+1] AS DOUBLE))) / (e1.nrm * e2.nrm) AS cosine
+        |  FROM pr JOIN e e1 ON pr.id1 = e1.vec_id JOIN e e2 ON pr.id2 = e2.vec_id
+        |) SELECT id1, id2, cosine FROM cand WHERE cosine >= 0.35""".stripMargin),
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.{hash32Sql, withShingles, withTokens}
+
+/**
+ * Deduplication operators for LLM training-data curation over `documents`:
+ *
+ *  - exact:   hash-groupBy on a portable content hash
+ *  - MinHash: shingle → minhash signature → LSH banding → bucket join —
+ *             the standard near-dup pipeline (Broder '97 resemblance
+ *             sketches; the MinHashLSH idea in Spark ML, rebuilt here as
+ *             pure Catalyst expressions so it is codegen'd end-to-end)
+ *  - SimHash: Charikar '02 bit-sketch with banded candidate generation
+ *  - n-gram Jaccard: exact verification on LSH candidates only
+ *
+ * Scale design (100 TB): every per-document computation (tokenize, shingle,
+ * hash, signature) is a narrow map — no shuffle. Shuffles happen only on
+ * (band, band_key) buckets whose size is bounded by design (band keys
+ * spread uniformly), and candidate verification joins touch candidate pairs
+ * only — never the n² cross product. A skewed bucket (e.g. boilerplate
+ * pages) is the one hazard; cap it with a bucket-size limit before the
+ * pair join if observed.
+ */
+object Dedup {
+
+  // -- exact ------------------------------------------------------------------
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * canonical (minimum) doc_id and the duplicate count. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  // -- MinHash + LSH ----------------------------------------------------------
+
+  /** Number of minhash permutations and LSH band layout (4 bands × 4 rows). */
+  val NumPerms = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumPerms / NumBands
+
+  /** Large prime > 2^32 for the universal-hash permutations. */
+  val Prime = 4294967311L
+
+  /**
+   * MinHash signatures: per doc, `sig[j] = min over shingles of
+   * ((2j+1)*h + (104729j+12345)) mod P` with the portable md5-derived
+   * 32-bit shingle hash. One narrow projection — no shuffle, no UDF.
+   */
+  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3): DataFrame =
+    withShingles(docs, shingleSize)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"),
+        expr(
+          s"""transform(sequence(0, ${NumPerms - 1}), j ->
+             |  array_min(transform(shingles, s ->
+             |    ((2*CAST(j AS BIGINT)+1) * ${hash32Sql.format("s")}
+             |      + (104729*CAST(j AS BIGINT)+12345)) % $Prime)))""".stripMargin)
+          .as("sig"))
+
+  /** LSH banding: one row per (doc, band) with the band's signature slice
+    * serialized as the join key. */
+  def minhashBands(signatures: DataFrame): DataFrame =
+    signatures.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b ->
+           |  concat_ws(',', slice(sig, b*$RowsPerBand + 1, $RowsPerBand)))""".stripMargin)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+  /**
+   * Candidate near-dup pairs: docs sharing any full band. The join is on
+   * (band, band_key) — bucket-local, never n². `est_jaccard` = fraction of
+   * matching signature components.
+   */
+  def minhashCandidatePairs(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleSize)
+    val bands = minhashBands(sigs)
+    val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
+      col("doc_id").as("doc1"))
+    val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),
+      col("doc_id").as("doc2"))
+    val pairs = b1.join(b2,
+        col("b1_band") === col("b2_band") && col("b1_key") === col("b2_key") &&
+          col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val s1 = sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2"))
+    pairs.join(s1, "doc1").join(s2, "doc2")
+      .select(col("doc1"), col("doc2"),
+        expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m)) / $NumPerms")
+          .as("est_jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity, evaluated on the LSH candidate pairs
+   * only (the scale-correct pattern: cheap sketch filter → exact verify on
+   * the survivors, never on the cross product).
+   */
+  def ngramJaccardOnCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles"))
+    val pairs = minhashCandidatePairs(docs, shingleSize).select("doc1", "doc2")
+    pairs
+      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        (size(array_intersect(col("sh1"), col("sh2"))) /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+  }
+
+  // -- SimHash ----------------------------------------------------------------
+
+  /**
+   * 32-bit SimHash over the token multiset: bit k of the sketch is the sign
+   * of `sum over tokens of (+1 if bit k of hash32(token) else -1)`.
+   * Nested higher-order expressions — still fully codegen'd.
+   */
+  def simhash(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        expr(
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) ->
+             |  acc + IF(aggregate(toks, 0, (a2, t) ->
+             |            a2 + IF((shiftright(${hash32Sql.format("t")}, k) % 2) = 1, 1, -1)
+             |          ) >= 0,
+             |          shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))""".stripMargin)
+          .as("simhash"))
+
+  /**
+   * SimHash candidate pairs: banded on 4 × 8-bit slices (pairs agreeing on
+   * any slice), then filtered by Hamming distance ≤ `maxHamming`.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val sh = simhash(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b*8) % 256)")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
+      col("doc_id").as("doc1"), col("simhash").as("sh1"))
+    val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),
+      col("doc_id").as("doc2"), col("simhash").as("sh2"))
+    b1.join(b2,
+        col("b1_band") === col("b2_band") && col("b1_key") === col("b2_key") &&
+          col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        expr("bit_count(sh1 ^ sh2)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

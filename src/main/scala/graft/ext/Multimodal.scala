@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal asset: opaque binary payload + typed metadata. */
+final case class MediaRecord(
+    doc_id: Long,
+    media_type: String,
+    payload: Array[Byte])
+
+/** Extracted features for one asset (decode stubbed — see [[Multimodal]]). */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    feature: Array[Float])
+
+/**
+ * Multimodal-column handling for a training-data pipeline: image/audio/video
+ * travel as opaque `binary` columns with typed metadata; decode/feature
+ * extraction runs per-partition so any native decoder is loaded once per
+ * task, not per row.
+ *
+ * The actual media decode is a clearly-marked STUB (this container ships no
+ * image/audio codecs): [[decodeStub]] derives a deterministic fake feature
+ * vector from the payload bytes. The Spark-side plumbing — binary schema,
+ * partition-wise batch processing, typed Dataset boundaries — is real and
+ * is what matters at 100 TB: payloads never pass through a Python
+ * serialization boundary, partition sizing bounds memory, and metadata
+ * columns stay columnar for pruning.
+ */
+object Multimodal {
+
+  /** Wrap the documents table as a media table: payload = UTF-8 bytes of
+    * `text` standing in for an encoded asset. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** Columnar metadata over binary payloads (no decode): byte size and a
+    * content digest — the dedup/integrity layer of an asset pipeline. */
+  def meta(docs: DataFrame): DataFrame =
+    mediaFromDocuments(docs).select(
+      col("doc_id"),
+      col("media_type"),
+      length(col("payload")).as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"))
+
+  /**
+   * STUB media decoder: a real implementation would decode the image/audio
+   * payload (e.g. via a JNI codec) and emit a model feature vector. The
+   * deterministic stand-in hashes each 8-byte stride of the payload into a
+   * bounded `dim`-length float vector, so tests exercise the exact
+   * partition-wise dataflow and schema a real decoder would use.
+   */
+  def decodeStub(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition setup would happen here (decoder init, model load)
+      it.map { rec =>
+        val bytes = rec.payload
+        val feature = Array.tabulate(dim) { d =>
+          var acc = 0L
+          var i = d
+          while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xffL); i += dim }
+          ((acc % 1000L).toFloat) / 1000.0f
+        }
+        MediaFeatures(rec.doc_id, rec.media_type, bytes.length, feature)
+      }
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`): brute-force
+ * cosine top-k as the exact baseline, and a sign-LSH (random-hyperplane)
+ * bucketed variant as the scale path.
+ *
+ * All arithmetic is double-precision sequential folds (`aggregate` /
+ * `zip_with` higher-order expressions) — deterministic and reproducible by
+ * the DuckDB oracle, and codegen'd (no UDF).
+ *
+ * Scale design (100 TB): brute force is O(|Q|·N) — fine for small query
+ * sets, never for all-pairs. The LSH variant buckets vectors by hyperplane
+ * sign bands; candidate generation joins bucket-local rows only. The
+ * hyperplanes come from a seeded integer LCG so every engine (and the
+ * oracle) derives the identical planes with no stored model. At cluster
+ * scale the same shape becomes IVF: replace the LCG planes with k-means
+ * centroids, keep the bucket-join.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  /** L2 norm of a float-array column. */
+  def norm(a: String): Column =
+    sqrt(expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+
+  /** vec_id + embedding + precomputed norm. */
+  def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"))
+
+  /**
+   * Exact top-k cosine neighbors for a small query set (default: vec_id <
+   * `numQueries`). Broadcast the query side; one pass over the corpus, then
+   * a per-query window for the top-k.
+   */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = withNorms(embeddings)
+    val q = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine", dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
+  }
+
+  /** Number of LSH hyperplanes and band layout (4 bands × 4 planes). */
+  val NumPlanes = 16
+  val NumBands = 4
+  val PlanesPerBand: Int = NumPlanes / NumBands
+
+  /**
+   * Seeded ±1 hyperplane component for plane `j`, dimension `i`, as a SQL
+   * fragment: an LCG over (j*dim+i) — pure integer arithmetic any engine
+   * reproduces exactly.
+   */
+  private def planeSign(j: String, i: String, dim: Int): String =
+    s"""CASE WHEN (CAST(1103515245 AS BIGINT) * ($j*$dim + $i) + 12345) % 2147483648 < 1073741824
+       | THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END""".stripMargin
+
+  /**
+   * Sign-LSH signature: bit j = sign of dot(embedding, plane_j). Returned
+   * as an array of `NumBands` band keys (integers in [0, 2^PlanesPerBand)).
+   */
+  def withLshBands(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    withNorms(embeddings).withColumn("bands",
+      expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b ->
+           |  aggregate(sequence(0, ${PlanesPerBand - 1}), 0, (acc, p) ->
+           |    acc + IF(aggregate(transform(embedding, (x, i) ->
+           |                CAST(x AS DOUBLE) * ${planeSign(s"(b*$PlanesPerBand + p)", "i", dim)}),
+           |              CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0,
+           |            shiftleft(1, p), 0)))""".stripMargin))
+
+  /**
+   * LSH-bucketed near-duplicate pairs: candidates share any band key;
+   * cosine computed on candidates only, thresholded. The scale path for
+   * all-pairs similarity — bucket-local joins instead of n².
+   */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
+                      dim: Int = 64): DataFrame = {
+    val sig = withLshBands(embeddings, dim)
+    val bands = sig.select(col("vec_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
+      col("vec_id").as("id1"))
+    val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),
+      col("vec_id").as("id2"))
+    val pairs = b1.join(b2,
+        col("b1_band") === col("b2_band") && col("b1_key") === col("b2_key") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val e1 = sig.select(col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
+    val e2 = sig.select(col("vec_id").as("id2"), col("embedding").as("emb2"), col("nrm").as("nrm2"))
+    pairs.join(e1, "id1").join(e2, "id2")
+      .withColumn("cosine", dot("emb1", "emb2") / (col("nrm1") * col("nrm2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Exact all-pairs near-dup baseline (correctness reference; O(n²) —
+    * verification scale only, the LSH variant is the production path). */
+  def bruteForceNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val base = withNorms(embeddings)
+    val e1 = base.select(col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
+    val e2 = base.select(col("vec_id").as("id2"), col("embedding").as("emb2"), col("nrm").as("nrm2"))
+    e1.join(e2, col("id1") < col("id2"))
+      .withColumn("cosine", dot("emb1", "emb2") / (col("nrm1") * col("nrm2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for an LLM training-data pipeline over the
+ * `documents` table: tokenization, token counting, quality scoring,
+ * language ID (n-gram/stopword heuristic), document fingerprinting.
+ *
+ * Everything is built from codegen'd Catalyst built-ins (split, transform,
+ * filter, aggregate, md5, conv) — no UDFs — so whole-stage codegen spans the
+ * full pipeline and the operators scale linearly with no shuffle until the
+ * terminal aggregation.
+ *
+ * Hashing note: the portable 32-bit hash is the first 8 hex digits of md5,
+ * `conv(substr(md5(s),1,8),16,10)` — chosen over Spark's murmur `hash()`
+ * because it is reproducible in any engine (the DuckDB oracle computes the
+ * identical value), which is what makes dedup fingerprints portable across
+ * the pipeline's tools.
+ */
+object TextAnalysis {
+
+  /** Portable 32-bit hash of a string column (0 .. 2^32-1 as long). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** SQL fragment of [[hash32]] usable inside higher-order lambdas. */
+  val hash32Sql: String = "CAST(conv(substr(md5(%s), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Lower-cased whitespace tokens. */
+  def withTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("toks", split(trim(lower(col(textCol))), "\\s+"))
+
+  /** Distinct word `n`-gram shingles of the token array. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+    withTokens(docs).withColumn("shingles",
+      expr(s"""CASE WHEN size(toks) < $n THEN array()
+              | ELSE array_distinct(transform(sequence(0, size(toks)-$n),
+              |        i -> concat_ws(' ', $parts))) END""".stripMargin))
+  }
+
+  /** Basic stats: token counts (whitespace + word-regex), char counts,
+    * average token length. */
+  def textStats(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .withColumn("re_toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(col("toks")).as("n_ws_tokens"),
+        size(col("re_toks")).as("n_re_tokens"),
+        expr("aggregate(toks, 0, (acc, t) -> acc + length(t)) / size(toks)").as("avg_token_len"))
+
+  /** English stopwords present in this corpus domain + common function words. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /**
+   * Quality scoring: length, stopword ratio, uniqueness ratio — the standard
+   * cheap pre-filters of web-scale corpus cleaning (heuristics in the spirit
+   * of C4/Gopher rules, computed columnar).
+   */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopList = stopwordsEn.map(s => s"'$s'").mkString(", ")
+    withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+      .withColumn("n_unique", size(array_distinct(col("toks"))))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_stop") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_unique") / col("n_tokens")).as("unique_ratio"),
+        // simple acceptance rule: long enough, not all repetition
+        (col("n_tokens") >= 10 && col("n_unique") / col("n_tokens") > 0.2)
+          .as("passes_quality"))
+  }
+
+  /** Tiny per-language function-word dictionaries for the heuristic
+    * language ID. Order = deterministic argmax priority (alphabetical). */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "los", "y", "que", "una", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"))
+
+  /**
+   * Heuristic language ID: score = stopword hits per language dictionary,
+   * predicted = argmax with fixed alphabetical tiebreak. (A real system
+   * would use char n-gram profiles; the *pipeline shape* — per-row scoring
+   * from small broadcast dictionaries, no shuffle — is identical.)
+   */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langDicts.foldLeft(withTokens(docs)) { case (df, (lang, words)) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"score_$lang", expr(s"size(filter(toks, t -> t IN ($list)))"))
+    }
+    val langs = langDicts.map(_._1)
+    // argmax with alphabetical priority: first lang whose score >= all others
+    val predicted = langs.foldRight(lit(langs.last)) { (lang, rest) =>
+      val geAll = langs.filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(lang)).otherwise(rest)
+    }
+    scored.select(
+      col("doc_id") +: col("lang").as("declared_lang") +:
+        langs.map(l => col(s"score_$l")) :+ predicted.as("predicted_lang"): _*)
+  }
+
+  /**
+   * Document fingerprint: portable content hash (md5 hex) plus a one-perm
+   * MinHash over word-3-gram shingles (the rolling-hash fingerprint used
+   * for cheap near-dup pre-clustering).
+   */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withShingles(docs, 3)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        expr(s"array_min(transform(shingles, s -> ${hash32Sql.format("s")}))")
+          .as("min_shingle_hash"))
+}
