@@ -1,0 +1,104 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input event for stateful sessionization. */
+final case class SessionEvent(visitorid: String, event_time: Timestamp)
+
+/** Open-session state kept per visitor. */
+final case class SessionState(start: Timestamp, end: Timestamp, events: Long)
+
+/** A closed (emitted) session. */
+final case class ClosedSession(
+    visitorid: String,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    events_in_session: Long,
+    session_length: Long)
+
+/**
+ * Correct-mode sessionization for streams (SURVEY.md §7.4 risk 1): unlike
+ * the reference's per-batch windows — which split sessions at micro-batch
+ * boundaries and emit colliding session ids — these operators maintain
+ * session state across batches.
+ *
+ * Two idiomatic implementations, by preference (both shuffle once on
+ * visitorid and keep per-visitor state bounded):
+ *
+ *  1. [[sessionWindow]]: Spark's built-in `session_window` aggregation —
+ *     declarative, AQE/codegen friendly, watermark-driven state eviction.
+ *  2. [[flatMapGroupsWithStateSessions]]: explicit state machine via
+ *     `flatMapGroupsWithState` — for semantics `session_window` can't
+ *     express (e.g. emitting provisional sessions, custom merge rules).
+ */
+object GlobalSessions {
+
+  /** Gap-based sessions via the built-in session_window (streaming or batch).
+    * In streaming mode, append output arrives after the watermark passes. */
+  def sessionWindow(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour", streaming: Boolean = true): DataFrame = {
+    val in = if (streaming) events.withWatermark("event_time", watermark) else events
+    in.groupBy(col("visitorid"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(
+        col("visitorid"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events_in_session"))
+  }
+
+  /**
+   * Explicit stateful sessionization: per visitor, extend the open session
+   * while events arrive within `gapSeconds`; close and emit it when a later
+   * event exceeds the gap or the event-time timeout fires after the
+   * watermark passes the gap boundary.
+   */
+  def flatMapGroupsWithStateSessions(
+      spark: SparkSession, events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import spark.implicits._
+
+    def close(visitorid: String, s: SessionState): ClosedSession =
+      ClosedSession(visitorid, s.start, s.end, s.events,
+        (s.end.getTime - s.start.getTime) / 1000L)
+
+    def fn(visitorid: String, it: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      if (it.isEmpty && state.hasTimedOut) {
+        // watermark passed the open session's gap boundary — emit and clear
+        val out = state.getOption.map(close(visitorid, _)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = it.toSeq.sortBy(_.event_time.getTime)
+      var open = state.getOption
+      val closed = Seq.newBuilder[ClosedSession]
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.event_time.getTime - s.end.getTime <= gapSeconds * 1000L =>
+            open = Some(SessionState(s.start, e.event_time, s.events + 1))
+          case Some(s) =>
+            closed += close(visitorid, s)
+            open = Some(SessionState(e.event_time, e.event_time, 1L))
+          case None =>
+            open = Some(SessionState(e.event_time, e.event_time, 1L))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000L + 1L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("event_time", watermark)
+      .groupByKey(_.visitorid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.analytics._
+import graft.clean.CleanStage
+
+/**
+ * The streaming wrapper (T1/T2, stream_processor.py:385-408): a Kafka (or
+ * any streaming) source dispatched per micro-batch into the 10 batch
+ * analyses, each written through a pluggable sink.
+ *
+ * Parity semantics reproduced deliberately (SURVEY.md §2.7): every analysis
+ * sees ONLY the micro-batch, so sessions split at batch boundaries and
+ * `session_id` collides across batches; per-minute tables get one row per
+ * (minute, batch). [[GlobalSessions]] is the documented correct-mode
+ * upgrade. One improvement over the reference is applied even in parity
+ * mode: the sessionized frame is persisted and shared by its three
+ * consumers instead of being recomputed (stream_processor.py:394-396).
+ */
+object StreamJob {
+
+  /** Output table names, mirroring the reference's 10 PostgreSQL sinks. */
+  val tables: Seq[String] = Seq(
+    "sessions", "user_paths", "funnel_analysis", "events_per_minute",
+    "active_users", "event_type_distribution", "bounce_rate",
+    "top_items", "item_interactions", "most_viewed_items")
+
+  /**
+   * Per-micro-batch orchestration (== run_all_analyses). `sink(df, table)`
+   * receives each result; production wires JDBC append, tests collect.
+   */
+  def runAllAnalyses(batch: DataFrame, batchId: Long, steps: Seq[String])(
+      sink: (DataFrame, String) => Unit): Unit = {
+    val sessionized = Sessionize(batch).persist()
+    try {
+      sink(Sessionize.sessionMetrics(sessionized), "sessions")
+      sink(UserPaths(sessionized), "user_paths")
+      sink(Funnel.countsWithProvenance(sessionized, steps, batchId), "funnel_analysis")
+      sink(MinuteStats.eventsPerMinute(batch), "events_per_minute")
+      sink(MinuteStats.activeUsers(batch), "active_users")
+      sink(MinuteStats.eventTypeDistribution(batch), "event_type_distribution")
+      sink(MinuteStats.bounceRate(batch), "bounce_rate")
+      sink(Items.topItemsPerMinute(batch), "top_items")
+      sink(Items.itemInteractions(batch), "item_interactions")
+      sink(Items.mostViewedItems(batch), "most_viewed_items")
+    } finally { sessionized.unpersist(); () }
+  }
+
+  /**
+   * Kafka streaming source + envelope parse (S5 + P1 + P2,
+   * stream_processor.py:55-70). Requires the spark-sql-kafka connector on
+   * the classpath at runtime (not shipped in this test container — the
+   * parse stage is batch-tested through [[CleanStage.parseKafkaEnvelope]]).
+   */
+  def readKafka(spark: SparkSession, bootstrapServers: String,
+                topic: String = "clean_clickstream"): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+    CleanStage.parseKafkaEnvelope(raw)
+      .withColumn("event_time",
+        timestamp_millis(col("unix_timestamp").cast("long")))
+  }
+
+  /** Start the foreachBatch pipeline over any streaming DataFrame. */
+  def start(events: DataFrame, checkpointDir: String, steps: Seq[String])(
+      sink: (DataFrame, String) => Unit): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runAllAnalyses(batch, batchId, steps)(sink)
+      }
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

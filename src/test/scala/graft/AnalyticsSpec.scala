@@ -1,0 +1,60 @@
+package graft
+
+import graft.analytics._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (String, Long, String, String)*) =
+    rows.toDF("visitorid", "epoch", "event", "itemid")
+      .selectExpr("visitorid", "CAST(epoch AS TIMESTAMP) AS event_time", "event", "itemid")
+
+  test("funnel counts membership, not order (reference quirk A4)") {
+    // session is [purchase, view] — out of funnel order, still counts for both
+    val df = events(
+      ("u1", 100L, "purchase", "i1"),
+      ("u1", 200L, "view", "i2"))
+    val out = Funnel.counts(Sessionize(df), Seq("view", "click", "purchase")).collect().head
+    assert(out.getAs[Long]("n_view") === 1L)
+    assert(out.getAs[Long]("n_click") === 0L)
+    assert(out.getAs[Long]("n_purchase") === 1L)
+  }
+
+  test("user path is ordered by event_time with event-name tiebreak (struct sort)") {
+    val df = events(
+      ("u1", 100L, "view", "i1"),
+      ("u1", 100L, "addtocart", "i2"),  // same ts: 'addtocart' < 'view'
+      ("u1", 50L, "purchase", "i3"))
+    val path = UserPaths(Sessionize(df)).collect().head.getSeq[String](2)
+    assert(path === Seq("purchase", "addtocart", "view"))
+  }
+
+  test("bounce is per-minute single-event visitors, not per-session (A8 quirk)") {
+    val df = events(
+      ("u1", 0L, "view", "i1"),      // minute 0: u1 bounces (1 event)
+      ("u2", 10L, "view", "i2"),     // minute 0: u2 has 2 events -> no bounce
+      ("u2", 20L, "click", "i3"),
+      ("u1", 65L, "view", "i4"))     // minute 1: u1 bounces again
+    val out = MinuteStats.bounceRate(df).orderBy("minute").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("bounces") === 1L)
+    assert(out(0).getAs[Long]("total_users") === 2L)
+    assert(out(0).getAs[Double]("bounce_rate") === 0.5)
+    assert(out(1).getAs[Long]("bounces") === 1L)
+  }
+
+  test("activeUsers counts distinct visitors per minute") {
+    val df = events(
+      ("u1", 0L, "view", "i1"), ("u1", 5L, "view", "i2"), ("u2", 9L, "view", "i3"))
+    val out = MinuteStats.activeUsers(df).collect().head
+    assert(out.getAs[Long]("active_users") === 2L)
+  }
+
+  test("topItemsRanked keeps k per minute with deterministic tiebreak") {
+    val df = events(
+      ("u1", 0L, "view", "b"), ("u2", 1L, "view", "b"),
+      ("u3", 2L, "view", "a"), ("u4", 3L, "view", "c"))
+    val out = Items.topItemsRanked(df, 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("itemid")).toSeq === Seq("b", "a")) // count desc, then id asc
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.clean.CleanStage
+import graft.schema.Schemas
+
+class CleanStageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("validate drops empty visitorid/itemid like the NiFi RouteOnContent") {
+    val raw = Seq(
+      ("1433221332117", "257597", "view", "355908", ""),
+      ("1433221332117", "", "view", "355908", ""),        // invalid: visitorid
+      ("1433221332117", "42", "addtocart", "", ""))        // invalid: itemid
+      .toDF("timestamp", "visitorid", "event", "itemid", "transactionid")
+    assert(CleanStage.validate(raw).count() === 1)
+    assert(CleanStage.invalid(raw).count() === 2)
+  }
+
+  test("enrich derives category, wall-clock string, typed event_time") {
+    val raw = Seq(
+      ("1433221332117", "257597", "view", "355908", ""),
+      ("1433222276276", "599528", "transaction", "356475", "4000.0"))
+      .toDF("timestamp", "visitorid", "event", "itemid", "transactionid")
+    val out = CleanStage(raw).orderBy("visitorid").collect()
+    val view = out.head
+    assert(view.getAs[String]("event_category") === "Low Value")
+    assert(view.getAs[String]("timestamp") === "2015-06-02 05:02:12")
+    assert(view.getAs[String]("unix_timestamp") === "1433221332117")
+    val tx = out(1)
+    assert(tx.getAs[String]("event_category") === "High Value")
+  }
+
+  test("parseKafkaEnvelope expands the JSON value against the 7-string schema") {
+    val kafka = Seq(
+      (null.asInstanceOf[Array[Byte]],
+        """{"timestamp":"2015-06-02 05:02:12","visitorid":"257597","event":"view",
+          |"itemid":"355908","transactionid":"","event_category":"Low Value",
+          |"unix_timestamp":"1433221332117"}""".stripMargin.replace("\n", "").getBytes))
+      .toDF("key", "value")
+    val out = CleanStage.parseKafkaEnvelope(kafka).collect().head
+    assert(out.getAs[String]("visitorid") === "257597")
+    assert(out.getAs[String]("event_category") === "Low Value")
+    assert(out.isNullAt(out.fieldIndex("session_key")))  // keyless clean topic
+    assert(Schemas.clean.fieldNames.forall(f => out.schema.fieldNames.contains(f)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.schema.Schemas
+import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
+
+/** Pins the per-batch parity semantics (SURVEY.md §2.7) and the
+  * correct-mode cross-batch sessionization upgrades. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(visitorid: String, event_time: java.sql.Timestamp,
+                        event: String, itemid: String)
+
+  test("foreachBatch parity: sessions split at batch boundaries, ids collide") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val results = mutable.Map[String, mutable.Buffer[Row]]()
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = StreamJob.start(ms.toDF(), dir, Schemas.testdataFunnelSteps) { (df, table) =>
+      results.getOrElseUpdate(table, mutable.Buffer()) ++= df.collect()
+    }
+    try {
+      // one visitor, continuous activity split across two micro-batches
+      ms.addData(Ev("u1", ts(100), "view", "i1"), Ev("u1", ts(200), "click", "i2"))
+      q.processAllAvailable()
+      ms.addData(Ev("u1", ts(300), "purchase", "i3"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(StreamJob.tables.forall(results.contains))
+    val sessions = results("sessions")
+    // parity quirk: ONE logical session emitted as TWO rows with the SAME id
+    assert(sessions.size === 2)
+    assert(sessions.map(_.getAs[String]("session_id")).toSet === Set("u1_1"))
+    // funnel provenance columns stamped per batch
+    val batchIds = results("funnel_analysis").map(_.getAs[Long]("batch_id")).sorted
+    assert(batchIds === mutable.Buffer(0L, 1L))
+  }
+
+  test("session_window (batch mode) merges what per-batch processing split") {
+    val df = Seq(
+      ("u1", ts(100)), ("u1", ts(200)), ("u1", ts(300)),  // one session
+      ("u1", ts(300 + 1801)))                              // gap > 1800 -> second
+      .toDF("visitorid", "event_time")
+    val out = GlobalSessions.sessionWindow(df, streaming = false)
+      .orderBy("session_start").collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("events_in_session") === 3L)
+    assert(out(1).getAs[Long]("events_in_session") === 1L)
+  }
+
+  test("flatMapGroupsWithState closes sessions across batches exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val sessions = GlobalSessions.flatMapGroupsWithStateSessions(
+      spark, ms.toDS(), gapSeconds = 1800L, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+    try {
+      // batch 1+2: continuous activity for u1 across the batch boundary
+      ms.addData(SessionEvent("u1", ts(100)), SessionEvent("u1", ts(200)))
+      q.processAllAvailable()
+      ms.addData(SessionEvent("u1", ts(300)))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark past u1's gap
+      ms.addData(SessionEvent("u2", ts(100000)))
+      q.processAllAvailable()
+      // batch 4: another batch so the event-time timeout fires
+      ms.addData(SessionEvent("u2", ts(100001)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("closed_sessions")
+      .filter($"visitorid" === "u1").collect()
+    // exactly ONE session despite the batch split (the parity-mode bug fixed)
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("events_in_session") === 3L)
+    assert(out.head.getAs[Long]("session_length") === 200L)
+  }
+}
