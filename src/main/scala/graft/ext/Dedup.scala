@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import TextAnalysis.{hash32Sql, withShingles, withTokens}
+import TextAnalysis.withShingles
 
 /**
  * Deduplication operators for LLM training-data curation over `documents`:
@@ -50,16 +50,16 @@ object Dedup {
    * ((2j+1)*h + (104729j+12345)) mod P` with the portable md5-derived
    * 32-bit shingle hash. One narrow projection — no shuffle, no UDF.
    */
-  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3): DataFrame =
-    withShingles(docs, shingleSize)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"),
-        expr(
-          s"""transform(sequence(0, ${NumPerms - 1}), j ->
-             |  array_min(transform(shingles, s ->
-             |    ((2*CAST(j AS BIGINT)+1) * ${hash32Sql.format("s")}
-             |      + (104729*CAST(j AS BIGINT)+12345)) % $Prime)))""".stripMargin)
-          .as("sig"))
+  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    // fused compiled pipeline: tokens -> distinct shingles -> md5-uint32 ->
+    // 16-perm signature; same values as the HOF formulation mirrored by the
+    // DuckDB oracle, minus four interpreted lambda passes
+    TextAnalysis.withTokens(docs)
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col("doc_id"),
+        expr(s"graft_minhash(graft_shingle_hash(toks, $shingleSize))").as("sig"))
+  }
 
   /** LSH banding: one row per (doc, band) with the band's signature slice
     * serialized as the join key. */
@@ -77,7 +77,10 @@ object Dedup {
    * matching signature components.
    */
   def minhashCandidatePairs(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, shingleSize)
+    // materialize signatures once: every branch of the self-joins below
+    // would otherwise recompute the full tokenize→shingle→hash lineage
+    // (at cluster scale this persist is "write the signature table")
+    val sigs = minhashSignatures(docs, shingleSize).persist()
     val bands = minhashBands(sigs)
     val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
       col("doc_id").as("doc1"))
@@ -101,7 +104,7 @@ object Dedup {
    * the survivors, never on the cross product).
    */
   def ngramJaccardOnCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles"))
+    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles")).persist()
     val pairs = minhashCandidatePairs(docs, shingleSize).select("doc1", "doc2")
     pairs
       .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
@@ -118,24 +121,21 @@ object Dedup {
    * of `sum over tokens of (+1 if bit k of hash32(token) else -1)`.
    * Nested higher-order expressions — still fully codegen'd.
    */
-  def simhash(docs: DataFrame): DataFrame =
-    withTokens(docs)
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    // fused compiled pipeline (token md5 + bit-vote) — same bit rule as the
+    // nested-aggregate HOF formulation mirrored by the DuckDB oracle
+    TextAnalysis.withTokens(docs)
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        expr(
-          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) ->
-             |  acc + IF(aggregate(toks, 0, (a2, t) ->
-             |            a2 + IF((shiftright(${hash32Sql.format("t")}, k) % 2) = 1, 1, -1)
-             |          ) >= 0,
-             |          shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))""".stripMargin)
-          .as("simhash"))
+      .select(col("doc_id"), expr("graft_simhash32(graft_token_hash(toks))").as("simhash"))
+  }
 
   /**
    * SimHash candidate pairs: banded on 4 × 8-bit slices (pairs agreeing on
    * any slice), then filtered by Hamming distance ≤ `maxHamming`.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 10): DataFrame = {
-    val sh = simhash(docs)
+    val sh = simhash(docs).persist()
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b*8) % 256)")))

@@ -23,18 +23,20 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
-  def dot(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+  /** Sequential-fold dot product of two float-array columns, in double —
+    * the codegen'd [[graft.functions.DotProductFloat]] expression
+    * (bit-identical to the HOF `aggregate(zip_with(...))` formulation, ~10×
+    * faster: tight Java loop instead of interpreted per-element lambdas). */
+  def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** L2 norm of a float-array column. */
-  def norm(a: String): Column =
-    sqrt(expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+  def norm(a: String): Column = sqrt(expr(s"graft_dot($a, $a)"))
 
   /** vec_id + embedding + precomputed norm. */
-  def withNorms(embeddings: DataFrame): DataFrame =
+  def withNorms(embeddings: DataFrame): DataFrame = {
+    graft.functions.SketchExprs.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"))
+  }
 
   /**
    * Exact top-k cosine neighbors for a small query set (default: vec_id <
@@ -90,7 +92,7 @@ object Similarity {
    */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
                       dim: Int = 64): DataFrame = {
-    val sig = withLshBands(embeddings, dim)
+    val sig = withLshBands(embeddings, dim).persist()
     val bands = sig.select(col("vec_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),

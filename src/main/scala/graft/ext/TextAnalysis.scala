@@ -41,6 +41,18 @@ object TextAnalysis {
               |        i -> concat_ws(' ', $parts))) END""".stripMargin))
   }
 
+  /** Shingles hashed ONCE into `hs` (one md5 per shingle). Downstream
+    * sketches (minhash perms, simhash bits) loop over these integers —
+    * never recompute the md5 inside a per-perm/per-bit lambda. */
+  def withHashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingles(docs, n).withColumn("hs",
+      expr(s"transform(shingles, s -> ${hash32Sql.format("s")})"))
+
+  /** Tokens hashed once into `ths` (simhash input — keeps multiplicity). */
+  def withHashedTokens(docs: DataFrame): DataFrame =
+    withTokens(docs).withColumn("ths",
+      expr(s"transform(toks, t -> ${hash32Sql.format("t")})"))
+
   /** Basic stats: token counts (whitespace + word-regex), char counts,
     * average token length. */
   def textStats(docs: DataFrame): DataFrame =
@@ -114,11 +126,13 @@ object TextAnalysis {
    * MinHash over word-3-gram shingles (the rolling-hash fingerprint used
    * for cheap near-dup pre-clustering).
    */
-  def fingerprint(docs: DataFrame): DataFrame =
-    withShingles(docs, 3)
+  def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    withTokens(docs)
       .select(
         col("doc_id"),
         md5(col("text")).as("content_hash"),
-        expr(s"array_min(transform(shingles, s -> ${hash32Sql.format("s")}))")
-          .as("min_shingle_hash"))
+        // fused compiled shingle hashing (== transform+conv+md5 HOF chain)
+        expr("array_min(graft_shingle_hash(toks, 3))").as("min_shingle_hash"))
+  }
 }

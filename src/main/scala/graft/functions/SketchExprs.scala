@@ -1,0 +1,306 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Custom Catalyst expressions (with whole-stage codegen via `doGenCode`)
+ * for the sketch/similarity hot paths. Spark's higher-order functions
+ * (`transform`/`aggregate`/`zip_with`) evaluate their lambdas interpreted —
+ * per-element virtual calls — which dominates runtime when an operator
+ * touches every element of every array (dot products: ~130M lambda calls
+ * at sf0.1). These expressions emit tight Java loops over `ArrayData`
+ * instead: same values (identical order and double-precision arithmetic,
+ * so the DuckDB oracle still hash-matches), ~10× faster.
+ *
+ * Preference order per the engine design: built-ins first, custom
+ * `Expression` only where built-ins can't express it efficiently — this is
+ * that case.
+ */
+object SketchExprs {
+
+  /** Register the SQL functions once per session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash32",
+      exprs => SimHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSignature(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_hash",
+      exprs => HashedTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hash", {
+      case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n, IntegerType)) =>
+        HashedShingles(toks, n.asInstanceOf[Int])
+      case other => throw new IllegalArgumentException(
+        "graft_shingle_hash(tokens, <int literal>) — got " + other)
+    }, "built-in")
+  }
+}
+
+/**
+ * Sequential-fold dot product of two `array<float>` columns in double
+ * precision — bit-identical to
+ * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`.
+ */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * 32-bit SimHash over pre-hashed tokens (`array<bigint>`): bit k is set iff
+ * `sum over h of (+1 if bit k of h else -1) >= 0`. Identical to the
+ * nested-aggregate formulation in Dedup.simhash / the DuckDB oracle.
+ */
+case class SimHash32(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash32 expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < 32) {
+        if (((h >> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 32) { if (counts(k) >= 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $counts = new int[32];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < 32; $k++) {
+         |    if ((($h >> $k) & 1L) == 1L) $counts[$k]++; else $counts[$k]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $k = 0; $k < 32; $k++) {
+         |  if ($counts[$k] >= 0) $out |= (1L << $k);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * 16-permutation MinHash signature over pre-hashed shingles
+ * (`array<bigint>` → `array<bigint>`): `sig[j] = min over h of
+ * ((2j+1)*h + (104729j+12345)) mod 4294967311` — identical to
+ * Dedup.minhashSignatures' HOF formulation and the DuckDB oracle.
+ */
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression {
+
+  val NumPerms = 16
+  val Prime = 4294967311L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < NumPerms) {
+        val v = ((2L * j + 1L) * h + (104729L * j + 12345L)) % Prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$NumPerms];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $NumPerms; $j++) {
+         |    long $v = ((2L * $j + 1L) * $h + (104729L * $j + 12345L)) % ${Prime}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Fused shingle hasher: tokens (`array<string>`) → distinct word n-grams →
+ * md5 → first-4-bytes-as-unsigned-int (`array<bigint>`). Value-identical to
+ * `array_distinct(transform(...concat_ws...))` + per-shingle
+ * `conv(substr(md5(s),1,8),16,10)` but runs as one compiled eval instead of
+ * four interpreted lambda passes with intermediate UTF8String churn.
+ * (Output order is insertion order of distinct shingles; every consumer is
+ * order-insensitive: minhash/array_min.)
+ */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingle_hash expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val num = toks.numElements()
+    if (num < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = digest.get()
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= num - n) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Per-token md5-uint32 hashes (`array<string>` → `array<bigint>`),
+ * multiplicity-preserving (simhash input). Value-identical to
+ * `transform(toks, t -> conv(substr(md5(t),1,8),16,10)::bigint)`.
+ */
+case class HashedTokens(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_token_hash expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val md = digest.get()
+    val out = new Array[Long](toks.numElements())
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
