@@ -82,6 +82,14 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d))),
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
+    // -- LLM-pipeline round 2: vocab, quantiles, dedup-keep, bucketed ANN --
+    "q_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
+    "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
+    "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
+    "q_ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    // -- session_window cross-validation (independent impl vs window-fn oracle) --
+    "q_global_sessions" -> ((s, d) =>
+      graft.stream.GlobalSessions.sessionWindow(cs(s, d), streaming = false)),
   )
 
   // ---------------------------------------------------------------------------
@@ -401,5 +409,44 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    "q_vocab_topk" -> (TOK +
+      """, ex AS (SELECT unnest(toks) AS token FROM tok),
+        |fr AS (SELECT token, count(*) AS freq FROM ex GROUP BY token),
+        |rk AS (SELECT token, freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank FROM fr)
+        |SELECT token, freq, rank FROM rk WHERE rank <= 50""".stripMargin),
+    "q_doclen_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS quantiles
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_neardup_dedup" -> (MINHASH_PAIRS +
+      """, est AS (
+        |  SELECT pr.doc1, pr.doc2,
+        |    len(list_filter(range(16), i -> s1.sig[i+1] = s2.sig[i+1])) / 16 AS ej
+        |  FROM pr JOIN sg s1 ON pr.doc1 = s1.doc_id JOIN sg s2 ON pr.doc2 = s2.doc_id
+        |) SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM est WHERE est.doc2 = d.doc_id AND est.ej >= 0.5)""".stripMargin),
+    "q_ann_topk_lsh" -> (EMB + LSH_SIG +
+      """, bnd AS (
+        |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
+        |  FROM sig, (SELECT unnest(range(4)) AS b) t
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM bnd q JOIN bnd c ON q.band = c.band AND q.band_key = c.band_key
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), sc AS (
+        |  SELECT q_id, c_id,
+        |    list_sum(list_transform(range(len(e1.embedding)), i ->
+        |      CAST(e1.embedding[i+1] AS DOUBLE) * CAST(e2.embedding[i+1] AS DOUBLE))) / (e1.nrm * e2.nrm) AS cosine
+        |  FROM cand JOIN e e1 ON cand.q_id = e1.vec_id JOIN e e2 ON cand.c_id = e2.vec_id
+        |), rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
+        |  FROM sc
+        |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
+    "q_global_sessions" -> (SESS +
+      """ SELECT visitorid, min(event_time) AS session_start,
+        |  max(event_time) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS events_in_session
+        | FROM sid GROUP BY visitorid, session_id""".stripMargin),
   )
 }

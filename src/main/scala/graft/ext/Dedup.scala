@@ -114,6 +114,22 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
   }
 
+  /**
+   * Near-dup removal: keep every document that never appears as the larger
+   * id of a candidate pair with estimated jaccard ≥ `threshold` (greedy
+   * keep-lowest-id; with `doc1 < doc2` ordering this retains the minimum id
+   * of each near-dup cluster when clusters are pairwise-connected — the
+   * standard cheap approximation of connected-components dedup).
+   */
+  def dropNearDups(docs: DataFrame, threshold: Double = 0.5,
+                   shingleSize: Int = 3): DataFrame = {
+    val dups = minhashCandidatePairs(docs, shingleSize)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc2").as("doc_id")).distinct()
+    docs.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   // -- SimHash ----------------------------------------------------------------
 
   /**

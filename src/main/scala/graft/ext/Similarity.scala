@@ -111,6 +111,32 @@ object Similarity {
       .select("id1", "id2", "cosine")
   }
 
+  /**
+   * LSH-bucketed top-k: like [[bruteForceTopK]] but candidates are only the
+   * vectors sharing an LSH band with the query — the IVF-shaped ANN scale
+   * path (recall < 1 by design; queries may return < k rows).
+   */
+  def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              dim: Int = 64): DataFrame = {
+    val sig = withLshBands(embeddings, dim).persist()
+    val bands = sig.select(col("vec_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val qb = bands.filter(col("vec_id") < numQueries)
+      .select(col("band").as("q_band"), col("band_key").as("q_key"), col("vec_id").as("q_id"))
+    val cand = qb.join(bands,
+        col("q_band") === col("band") && col("q_key") === col("band_key") &&
+          col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id")).distinct()
+    val qe = sig.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val ce = sig.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    cand.join(qe, "q_id").join(ce, "c_id")
+      .withColumn("cosine", dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact all-pairs near-dup baseline (correctness reference; O(n²) —
     * verification scale only, the LSH variant is the production path). */
   def bruteForceNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

@@ -122,6 +122,30 @@ object TextAnalysis {
   }
 
   /**
+   * Global top-k vocabulary: explode → count → rank. The rank window is
+   * global (single partition) but its input is the aggregated vocabulary,
+   * not the corpus — at 100 TB the heavy lifting stays in the partial+final
+   * count aggregation; only |vocab| rows pass through the window.
+   */
+  def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withTokens(docs)
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-language document-length quantiles (exact, interpolated). */
+  def doclenQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("quantiles"))
+
+  /**
    * Document fingerprint: portable content hash (md5 hex) plus a one-perm
    * MinHash over word-3-gram shingles (the rolling-hash fingerprint used
    * for cheap near-dup pre-clustering).

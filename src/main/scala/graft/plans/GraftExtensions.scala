@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProductFloat, HashedShingles, HashedTokens, MinHashSignature, SimHash32}
+
+/**
+ * The 100 TB switch for exact distincts (SURVEY.md §7.4): an optimizer rule
+ * that rewrites `count(DISTINCT x)` to the HyperLogLog++ sketch when
+ * `spark.graft.approxDistinct.enabled` is set. Exact distinct is a shuffle
+ * bomb at scale (`RewriteDistinctAggregates` expands every row); HLL keeps
+ * the aggregation partial/mergeable with fixed-size state. Parity mode
+ * (flag off, the default) leaves plans untouched.
+ *
+ * Multi-argument `count(DISTINCT a, b)` and distinct aggregates under
+ * filters are left alone — only the single-column case has identical
+ * grouping semantics under the sketch.
+ */
+case class ApproxDistinctRewrite() extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.approxDistinct.enabled"
+  val RsdKey = "spark.graft.approxDistinct.rsd"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    val rsd = conf.getConfString(RsdKey, "0.05").toDouble
+    plan.transform {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(Count(Seq(child)), mode, true, None, resultId) =>
+            AggregateExpression(
+              HyperLogLogPlusPlus(child, rsd), mode, isDistinct = false,
+              filter = None, resultId = resultId)
+        }
+    }
+  }
+}
+
+/**
+ * Session extensions: install via
+ * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+ * `.withExtensions(new GraftExtensions)`) — registers the custom sketch
+ * expressions as SQL functions permanently and injects the approx-distinct
+ * rewrite rule.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite())
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", classOf[DotProductFloat]),
+      (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32", classOf[SimHash32]),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", classOf[MinHashSignature]),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_token_hash"),
+      info("graft_token_hash", classOf[HashedTokens]),
+      (exprs: Seq[Expression]) => HashedTokens(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingle_hash"),
+      info("graft_shingle_hash", classOf[HashedShingles]),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(toks, Literal(n, IntegerType)) => HashedShingles(toks, n.asInstanceOf[Int])
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hash(tokens, <int literal>) — got $other")
+      }))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.GraftExtensions
+
+/** The approx-distinct optimizer rule + extension-registered functions. */
+class ExtensionsSpec extends SparkSpec {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val base = spark // force shared-session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("approx-distinct rewrite fires only under the flag and stays accurate") {
+    withExtSession { s2 =>
+      import s2.implicits._
+      val df = (1 to 1000).map(i => (i % 7, i % 100)).toDF("g", "x")
+      df.createOrReplaceTempView("t")
+
+      s2.conf.set("spark.graft.approxDistinct.enabled", "false")
+      val exact = s2.sql("SELECT g, count(DISTINCT x) AS d FROM t GROUP BY g")
+      assert(exact.queryExecution.optimizedPlan.toString.contains("count(distinct"))
+
+      s2.conf.set("spark.graft.approxDistinct.enabled", "true")
+      val approx = s2.sql("SELECT g, count(DISTINCT x) AS d FROM t GROUP BY g")
+      val planStr = approx.queryExecution.optimizedPlan.toString
+      assert(!planStr.contains("count(distinct"))
+      assert(planStr.toLowerCase.contains("approx_count_distinct"))
+      // HLL(rsd=0.05) stays within tolerance of the exact counts
+      val got = approx.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = exact.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      got.foreach { case (g, v) =>
+        assert(math.abs(v - want(g)).toDouble / want(g) <= 0.05, s"group $g: $v vs ${want(g)}")
+      }
+      s2.conf.set("spark.graft.approxDistinct.enabled", "false")
+    }
+  }
+
+  test("extension-registered sketch functions resolve in plain SQL") {
+    withExtSession { s2 =>
+      val one = s2.sql(
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect().head.getDouble(0)
+      assert(one === 11.0)
+      val sig = s2.sql(
+        "SELECT graft_minhash(graft_shingle_hash(array('a','b','c','d'), 3)) AS s")
+        .collect().head.getSeq[Long](0)
+      assert(sig.length === 16)
+    }
+  }
+}
