@@ -51,6 +51,7 @@ object SparkEntry {
     "q_top_items" -> ((s, d) => Items.topItemsPerMinute(cs(s, d))),
     "q_top_items_ranked" -> ((s, d) => Items.topItemsRanked(cs(s, d), 5)),
     "q_item_interactions" -> ((s, d) => Items.itemInteractions(cs(s, d))),
+    "q_item_interactions_salted" -> ((s, d) => Items.itemInteractionsSalted(cs(s, d))),
     "q_most_viewed_items" -> ((s, d) => Items.mostViewedItems(cs(s, d))),
     // -- relational extension family (joins/rollup/top-k/JSON; SURVEY §2.5) --
     "q_pricing_summary" -> (Relational.pricingSummary _),
@@ -250,6 +251,9 @@ object SparkEntry {
         |  FROM agg
         |) SELECT minute, itemid, interactions, rank FROM ranked WHERE rank <= 5""".stripMargin),
     "q_item_interactions" -> (CS +
+      """ SELECT itemid, count(*) AS interaction_count FROM cs GROUP BY itemid""".stripMargin),
+    // salted two-phase aggregation must produce the identical result
+    "q_item_interactions_salted" -> (CS +
       """ SELECT itemid, count(*) AS interaction_count FROM cs GROUP BY itemid""".stripMargin),
     "q_most_viewed_items" -> (CS +
       """ SELECT itemid, count(*) AS view_count FROM cs WHERE event = 'view' GROUP BY itemid""".stripMargin),

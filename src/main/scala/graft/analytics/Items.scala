@@ -38,6 +38,24 @@ object Items {
       .groupBy(col("itemid"))
       .agg(count(lit(1)).as("interaction_count"))
 
+  /**
+   * A10 under key skew: two-phase salted aggregation. Phase 1 counts on
+   * (itemid, salt) — spreading a hot item over `saltBuckets` reducers —
+   * phase 2 merges the partials. Same result as [[itemInteractions]]
+   * (verified against the same oracle); the pattern matters when one item
+   * dominates (bot traffic) and a single reducer would bottleneck.
+   * (Plain Spark partial aggregation already map-side-combines; explicit
+   * salting is for when the SECOND phase's single key is still too hot,
+   * e.g. under `collect_list`-style aggregates that can't partial-merge.)
+   */
+  def itemInteractionsSalted(events: DataFrame, saltBuckets: Int = 16): DataFrame =
+    events
+      .withColumn("salt", pmod(crc32(col("visitorid")), lit(saltBuckets)))
+      .groupBy(col("itemid"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("itemid"))
+      .agg(sum(col("partial")).cast("long").as("interaction_count"))
+
   /** A11: view-only counts per item (filter pushed below the aggregate). */
   def mostViewedItems(events: DataFrame, viewEvent: String = "view"): DataFrame =
     events

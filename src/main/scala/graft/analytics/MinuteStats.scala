@@ -41,6 +41,19 @@ object MinuteStats {
       .groupBy(col("minute"))
       .agg(approx_count_distinct(col("visitorid"), rsd).as("active_users"))
 
+  /**
+   * A5, streaming-native (the upgrade the reference lacks, SURVEY §2.7):
+   * event-time tumbling window + watermark, so late data is bounded and
+   * state is evicted — instead of per-batch minute rows that consumers
+   * must re-aggregate.
+   */
+  def eventsPerMinuteStreaming(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 minute"))
+      .agg(count(lit(1)).as("events_count"))
+      .select(col("window.start").as("minute"), col("events_count"))
+
   /** A7: event-type distribution per minute → (minute, event, event_count). */
   def eventTypeDistribution(events: DataFrame): DataFrame =
     withMinute(events)

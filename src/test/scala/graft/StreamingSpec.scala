@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("events_in_session") === 1L)
   }
 
+  test("streaming windowed events-per-minute emits finalized minutes after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = graft.analytics.MinuteStats.eventsPerMinuteStreaming(
+      ms.toDF(), watermark = "0 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("epm").start()
+    try {
+      ms.addData(Ev("u1", ts(10), "view", "i1"), Ev("u1", ts(20), "view", "i2"))
+      q.processAllAvailable()
+      // advance watermark past minute 0 so its window finalizes
+      ms.addData(Ev("u2", ts(200), "view", "i3"))
+      q.processAllAvailable()
+      ms.addData(Ev("u2", ts(400), "view", "i4"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("epm").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toMap
+    assert(out.get(0L) === Some(2L))   // minute 0 finalized with both events
+  }
+
   test("flatMapGroupsWithState closes sessions across batches exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[SessionEvent]
