@@ -64,6 +64,10 @@ object SparkEntry {
     "q_order_gaps" -> (Relational.orderGaps _),
     "q_props_sum" -> (Relational.propsSumByType _),
     "q_value_stats" -> (Relational.valueStatsByType _),
+    "q_asof_last_order" -> (Relational.eventsWithLastOrder _),
+    "q_orders_cube" -> (Relational.ordersCube _),
+    "q_event_pivot" -> (Relational.eventPivot _),
+    "q_viewers_no_purchase" -> (Relational.viewersWithoutPurchase _),
     // -- LLM-pipeline: text analysis over documents --
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -318,6 +322,34 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_asof_last_order" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), e AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS visitorid, ts AS event_time FROM events
+        |) SELECT e.event_id, e.visitorid, e.event_time,
+        |    r.okey AS last_order_key, r.o_orderdate AS last_order_date
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.visitorid = CAST(r.o_custkey AS VARCHAR) AND r.o_orderdate <= e.event_time""".stripMargin,
+    "q_orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_event_pivot" -> (CS +
+      """ SELECT date_trunc('minute', event_time) AS minute,
+        |  count(*) FILTER (WHERE event = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event = 'view') AS n_view
+        | FROM cs GROUP BY 1""".stripMargin),
+    "q_viewers_no_purchase" -> (CS +
+      """ SELECT DISTINCT visitorid, date_trunc('minute', event_time) AS minute
+        |   FROM cs WHERE event = 'view'
+        | EXCEPT
+        | SELECT DISTINCT visitorid, date_trunc('minute', event_time) AS minute
+        |   FROM cs WHERE event = 'purchase'""".stripMargin),
     "q_text_stats" -> (TOK +
       """ SELECT doc_id, length(text) AS n_chars_actual,
         |  CAST(len(toks) AS INTEGER) AS n_ws_tokens,

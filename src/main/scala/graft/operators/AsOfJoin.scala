@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join: for every left row, attach the latest right row whose time is
+ * <= the left row's time, per key — the classic event-stream enrichment
+ * operator Spark has no built-in for.
+ *
+ * Implementation is the scale-correct composition (preference (a) of the
+ * engine design — no custom physical operator needed): tag both sides,
+ * union, and take `last(payload, ignoreNulls)` over a
+ * (key, time, side-tag) ordered running window. Cost: ONE shuffle on the
+ * key + an in-partition sort — never the m×n range-join blowup of the
+ * naive `join + filter + max_by` formulation. Right rows sort before left
+ * rows at equal times (tag 0 < 1), giving inclusive `<=` semantics —
+ * matching DuckDB's ASOF JOIN, which the oracle uses as the independent
+ * reference implementation.
+ *
+ * Determinism: callers must make (key, time) unique on the right side
+ * (pre-aggregate) — with duplicates, "the" latest right row is undefined
+ * in any as-of implementation.
+ */
+object AsOfJoin {
+
+  def apply(left: DataFrame, right: DataFrame,
+            leftKey: String, rightKey: String,
+            leftTime: String, rightTime: String): DataFrame = {
+    val leftPayload = struct(left.columns.map(col): _*)
+    val rightPayload = struct(right.columns.map(col): _*)
+
+    val l = left.select(
+      col(leftKey).cast("string").as("_k"), col(leftTime).as("_t"),
+      lit(1).as("_typ"), leftPayload.as("_l"))
+    val r = right.select(
+      col(rightKey).cast("string").as("_k"), col(rightTime).as("_t"),
+      lit(0).as("_typ"), rightPayload.as("_r"))
+
+    val lAligned = l.withColumn("_r", lit(null).cast(r.schema("_r").dataType))
+    val rAligned = r.withColumn("_l", lit(null).cast(l.schema("_l").dataType))
+      .select(lAligned.columns.map(col): _*)
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_typ"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lAligned.union(rAligned)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_typ") === 1)
+      .select(col("_l.*"), col("_asof").as("asof"))
+  }
+}

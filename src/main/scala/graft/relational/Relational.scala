@@ -127,6 +127,59 @@ object Relational {
         datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
   }
 
+  /**
+   * As-of enrichment: every clickstream event tagged with the customer's
+   * most recent order as of the event time ([[graft.operators.AsOfJoin]];
+   * right side pre-aggregated to make (key, time) unique).
+   */
+  def eventsWithLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val left = Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id").cast("string").as("visitorid"),
+      expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)").as("event_time"))
+    val right = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    graft.operators.AsOfJoin(left, right,
+        leftKey = "visitorid", rightKey = "o_custkey",
+        leftTime = "event_time", rightTime = "o_orderdate")
+      .select(col("event_id"), col("visitorid"), col("event_time"),
+        col("asof.okey").as("last_order_key"),
+        col("asof.o_orderdate").as("last_order_date"))
+  }
+
+  /** CUBE over order status × priority (all grouping-set combinations). */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("dt"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
+        col("dt").cast("double").as("total_price"))
+
+  /** Pivot: per-minute event counts, one column per event type. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.clickstream(spark, dir)
+      .withColumn("minute", date_trunc("minute", col("event_time")))
+      .groupBy(col("minute"))
+      .pivot("event", types)
+      .count()
+    types.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+    }
+  }
+
+  /** Set ops: (visitor, minute) pairs with a view but no purchase in that
+    * minute (EXCEPT at a grain where the difference is non-trivial —
+    * user-lifetime grain saturates: every user eventually purchases). */
+  def viewersWithoutPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.clickstream(spark, dir)
+      .withColumn("minute", date_trunc("minute", col("event_time")))
+    cs.filter(col("event") === "view").select(col("visitorid"), col("minute")).distinct()
+      .except(cs.filter(col("event") === "purchase")
+        .select(col("visitorid"), col("minute")).distinct())
+  }
+
   /** JSON property extraction from the events `props` column, aggregated
     * per event type (get_json_object → codegen'd JSON path, no UDF). */
   def propsSumByType(spark: SparkSession, dir: String): DataFrame =
