@@ -89,6 +89,10 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
     // -- LLM-pipeline round 2: vocab, quantiles, dedup-keep, bucketed ANN --
     "q_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
+    "q_scrub" -> ((s, d) => TextAnalysis.scrub(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d))),
+    "q_split_assign" -> ((s, d) => TextAnalysis.splitAssign(Tables.documents(s, d))),
+    "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
     "q_ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
@@ -451,6 +455,34 @@ object SparkEntry {
         |rk AS (SELECT token, freq,
         |  CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank FROM fr)
         |SELECT token, freq, rank FROM rk WHERE rank <= 50""".stripMargin),
+    "q_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    "q_repetition" -> (TOK +
+      """, gr AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |    ELSE list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2]) END) AS gram
+        |  FROM tok
+        |), cg AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY doc_id, gram
+        |) SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(max(c) AS BIGINT) AS max_gram_freq,
+        |    CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS repetition_ratio
+        |FROM cg GROUP BY doc_id""".stripMargin),
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 95
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents""".stripMargin,
+    "q_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_start,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_doclen_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
         |  quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS quantiles

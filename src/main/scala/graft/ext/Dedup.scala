@@ -76,12 +76,27 @@ object Dedup {
    * (band, band_key) — bucket-local, never n². `est_jaccard` = fraction of
    * matching signature components.
    */
-  def minhashCandidatePairs(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, shingleSize: Int = 3,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     // materialize signatures once: every branch of the self-joins below
     // would otherwise recompute the full tokenize→shingle→hash lineage
     // (at cluster scale this persist is "write the signature table")
     val sigs = minhashSignatures(docs, shingleSize).persist()
-    val bands = minhashBands(sigs)
+    val allBands = minhashBands(sigs)
+    // skew guard: a pathological bucket (boilerplate/empty-page band key
+    // shared by millions of docs) would make the pair join quadratic in
+    // that bucket; capping trades recall on exactly those degenerate
+    // clusters for bounded work. Off by default (oracle parity).
+    val bands = maxBucketSize match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        allBands
+          .withColumn("_bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+          .filter(col("_bucket_n") <= cap)
+          .drop("_bucket_n")
+      case None => allBands
+    }
     val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
       col("doc_id").as("doc1"))
     val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),

@@ -146,6 +146,56 @@ object TextAnalysis {
         expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("quantiles"))
 
   /**
+   * PII/noise scrubbing: mask email-like tokens, long digit runs, and
+   * URL-like tokens — the regexp_replace cleaning layer of corpus prep.
+   * Patterns kept to the regex subset with identical semantics across
+   * engines (character classes, +, alternation — no lookaround).
+   */
+  def scrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>"),
+        "[0-9]{6,}", "<NUM>").as("scrubbed"))
+
+  /**
+   * Repetition filter (Gopher-style): share of all word-2-gram occurrences
+   * taken by the single most frequent 2-gram. High ratio = boilerplate /
+   * degenerate repetition. Computed per row with sort-free array ops.
+   */
+  def repetitionRatio(docs: DataFrame): DataFrame = {
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    // per-row compiled stats (graft.functions.RepetitionStats): zero
+    // shuffle — the explode + two-level-aggregate formulation (which the
+    // DuckDB oracle mirrors) moves every gram string through an exchange
+    withTokens(docs)
+      .select(col("doc_id"), expr("graft_rep_stats(toks, 2)").as("rs"))
+      .filter(col("rs.n_grams") > 0)
+      .select(
+        col("doc_id"),
+        col("rs.n_grams").as("n_grams"),
+        col("rs.max_gram_freq").as("max_gram_freq"),
+        (col("rs.max_gram_freq") / col("rs.n_grams")).as("repetition_ratio"))
+  }
+
+  /**
+   * Deterministic train/validation split by content hash — stable under
+   * re-runs and engine changes (the md5-derived hash, not a random seed).
+   */
+  def splitAssign(docs: DataFrame, valPercent: Int = 5): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(hash32(col("text")) % 100 < lit(100 - valPercent), lit("train"))
+        .otherwise(lit("val")).as("split"))
+
+  /** Document-length histogram in fixed-width buckets. */
+  def lengthHistogram(docs: DataFrame, bucketWidth: Int = 100): DataFrame =
+    docs.groupBy((floor(col("n_chars") / bucketWidth) * bucketWidth).as("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /**
    * Document fingerprint: portable content hash (md5 hex) plus a one-perm
    * MinHash over word-3-gram shingles (the rolling-hash fingerprint used
    * for cheap near-dup pre-clustering).

@@ -32,6 +32,12 @@ object SketchExprs {
       exprs => SimHash32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashSignature(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_rep_stats", {
+      case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n, IntegerType)) =>
+        RepetitionStats(toks, n.asInstanceOf[Int])
+      case other => throw new IllegalArgumentException(
+        "graft_rep_stats(tokens, <int literal>) — got " + other)
+    }, "built-in")
     reg.createOrReplaceTempFunction("graft_token_hash",
       exprs => HashedTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hash", {
@@ -299,6 +305,53 @@ case class HashedTokens(child: Expression)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Per-row n-gram repetition stats (`array<string>` →
+ * `struct<n_grams:bigint, max_gram_freq:bigint>`): total word-n-gram
+ * occurrences and the count of the most frequent one. Value-identical to
+ * exploding the grams and two-level aggregating — but computed per row in
+ * one pass with zero shuffle (the explode formulation moves every gram
+ * string through an exchange).
+ */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_rep_stats expects array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("max_gram_freq", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val num = toks.numElements()
+    val counts = new java.util.HashMap[String, Long]()
+    var maxFreq = 0L
+    var total = 0L
+    var i = 0
+    while (i <= num - n) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
+      if (c > maxFreq) maxFreq = c
+      total += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, maxFreq))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -41,6 +41,14 @@ class ExtSpec extends SparkSpec {
     assert(pairs((0L, 3L)) === 0)
   }
 
+  test("minhash bucket cap drops degenerate buckets, bounding pair work") {
+    // cap=1: every bucket with >=2 docs (i.e. every candidate source) dropped
+    val capped = Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(1)).count()
+    assert(capped === 0L)
+    // no cap: the duplicate pairs are found
+    assert(Dedup.minhashCandidatePairs(docs).count() > 0L)
+  }
+
   test("language ID picks the dictionary with most hits") {
     val d = Seq(
       (0L, "le chat et les chiens est dans le jardin", "fr"),
