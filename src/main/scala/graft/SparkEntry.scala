@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.analytics._
 import graft.clean.CleanStage
@@ -87,6 +88,12 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d))),
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
+    // partition-wise decode path (deterministic stub features); no SQL
+    // oracle — driver records the weaker rows-only check for this one
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.decodeStub(s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("feature"))),
     // -- LLM-pipeline round 2: vocab, quantiles, dedup-keep, bucketed ANN --
     "q_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "q_scrub" -> ((s, d) => TextAnalysis.scrub(Tables.documents(s, d))),
