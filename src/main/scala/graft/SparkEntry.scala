@@ -518,10 +518,22 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
         |  FROM sc
         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
-    "q_global_sessions" -> (SESS +
-      """ SELECT visitorid, min(event_time) AS session_start,
+    // NOTE: session_window splits on the FULL-precision gap (> 1800s in
+    // microseconds), not the reference's floor-seconds diff — its oracle
+    // therefore uses epoch_us arithmetic, unlike the SESS family. The two
+    // rules diverge for fractional gaps in (1800s, 1801s).
+    "q_global_sessions" -> (CS +
+      """, glag AS (
+        |  SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time, itemid) AS prev_event_time FROM cs
+        |), gflag AS (
+        |  SELECT *, CASE WHEN prev_event_time IS NULL THEN 1
+        |    WHEN epoch_us(event_time) - epoch_us(prev_event_time) > 1800000000 THEN 1
+        |    ELSE 0 END AS is_new FROM glag
+        |), gsess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY visitorid ORDER BY event_time, itemid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS snum FROM gflag
+        |) SELECT visitorid, min(event_time) AS session_start,
         |  max(event_time) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS events_in_session
-        | FROM sid GROUP BY visitorid, session_id""".stripMargin),
+        |FROM gsess GROUP BY visitorid, snum""".stripMargin),
   )
 }

@@ -29,6 +29,11 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
 
+  /** The ns-long → microsecond TIMESTAMP_NTZ conversion for `events.ts` —
+    * the single definition of the truncation rule every query must share
+    * (matches DuckDB's ns→µs read truncation; see table()). */
+  val eventTimeExpr: String = "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
+
   /**
    * Clickstream view of the testdata `events` table. Column projection is
    * declared up front so Catalyst prunes the parquet scan to exactly the
@@ -42,7 +47,7 @@ object Tables {
     // timestamps the DuckDB oracle produces).
     val core = Seq(
       col("user_id").cast("string").as("visitorid"),
-      expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)").as("event_time"),
+      expr(eventTimeExpr).as("event_time"),
       col("event_type").as("event"),
       col("event_id").cast("string").as("itemid"))
     val cols = if (withExtras) core ++ Seq(col("value"), col("props")) else core

@@ -34,7 +34,9 @@ object AsOfJoin {
     val l = left.select(
       col(leftKey).cast("string").as("_k"), col(leftTime).as("_t"),
       lit(1).as("_typ"), leftPayload.as("_l"))
-    val r = right.select(
+    // null right times sort nulls-first and would wrongly match as "latest";
+    // ASOF semantics (and the DuckDB oracle's `<=` predicate) exclude them
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).cast("string").as("_k"), col(rightTime).as("_t"),
       lit(0).as("_typ"), rightPayload.as("_r"))
 

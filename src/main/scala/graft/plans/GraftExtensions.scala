@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductFloat, HashedShingles, HashedTokens, MinHashSignature, SimHash32}
+import graft.functions.{DotProductFloat, HashedShingles, HashedTokens, MinHashSignature, RepetitionStats, SimHash32}
 
 /**
  * The 100 TB switch for exact distincts (SURVEY.md §7.4): an optimizer rule
@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_token_hash"),
       info("graft_token_hash", classOf[HashedTokens]),
       (exprs: Seq[Expression]) => HashedTokens(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_rep_stats"),
+      info("graft_rep_stats", classOf[RepetitionStats]),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(toks, Literal(n, IntegerType)) => RepetitionStats(toks, n.asInstanceOf[Int])
+        case other => throw new IllegalArgumentException(
+          s"graft_rep_stats(tokens, <int literal>) — got $other")
+      }))
     e.injectFunction((FunctionIdentifier("graft_shingle_hash"),
       info("graft_shingle_hash", classOf[HashedShingles]),
       (exprs: Seq[Expression]) => exprs match {

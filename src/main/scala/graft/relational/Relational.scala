@@ -136,7 +136,7 @@ object Relational {
     val left = Tables.events(spark, dir).select(
       col("event_id"),
       col("user_id").cast("string").as("visitorid"),
-      expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)").as("event_time"))
+      expr(Tables.eventTimeExpr).as("event_time"))
     val right = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("okey"))

@@ -54,6 +54,21 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("events_in_session") === 1L)
   }
 
+  test("fractional gap in (1800,1801): session_window splits, floor-seconds parity mode merges") {
+    // real gap 1800.7s; floor-seconds diff = 1800 (not > 1800).
+    // The two sessionization modes INTENTIONALLY diverge here:
+    // session_window works at full timestamp precision, the reference's
+    // parity mode floors to seconds (stream_processor.py:88-99 semantics).
+    val t1 = new java.sql.Timestamp(200)      // 0.2s
+    val t2 = new java.sql.Timestamp(1800900)  // 1800.9s
+    val df = Seq(("u1", t1), ("u1", t2)).toDF("visitorid", "event_time")
+    assert(GlobalSessions.sessionWindow(df, streaming = false).count() === 2)
+    val parity = df.withColumn("event", org.apache.spark.sql.functions.lit("view"))
+      .withColumn("itemid", org.apache.spark.sql.functions.lit("i"))
+    assert(graft.analytics.Sessionize(parity)
+      .agg(org.apache.spark.sql.functions.max("session_number")).collect().head.getLong(0) === 1L)
+  }
+
   test("streaming windowed events-per-minute emits finalized minutes after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
