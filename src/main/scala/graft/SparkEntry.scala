@@ -66,6 +66,7 @@ object SparkEntry {
     "q_props_sum" -> (Relational.propsSumByType _),
     "q_value_stats" -> (Relational.valueStatsByType _),
     "q_asof_last_order" -> (Relational.eventsWithLastOrder _),
+    "q_asof_last_order_exec" -> (Relational.eventsWithLastOrderExec _),
     "q_orders_cube" -> (Relational.ordersCube _),
     "q_event_pivot" -> (Relational.eventPivot _),
     "q_viewers_no_purchase" -> (Relational.viewersWithoutPurchase _),
@@ -334,6 +335,18 @@ object SparkEntry {
         |  count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
     "q_asof_last_order" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), e AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS visitorid, ts AS event_time FROM events
+        |) SELECT e.event_id, e.visitorid, e.event_time,
+        |    r.okey AS last_order_key, r.o_orderdate AS last_order_date
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.visitorid = CAST(r.o_custkey AS VARCHAR) AND r.o_orderdate <= e.event_time""".stripMargin,
+    // identical oracle as q_asof_last_order: the custom physical operator,
+    // the union+window composition, and DuckDB ASOF must all agree
+    "q_asof_last_order_exec" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
         |  FROM orders GROUP BY o_custkey, o_orderdate

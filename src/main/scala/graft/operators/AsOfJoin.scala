@@ -25,6 +25,32 @@ import org.apache.spark.sql.functions._
  */
 object AsOfJoin {
 
+  /**
+   * The custom-operator implementation ((c) path): plans through
+   * [[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]], a
+   * sort-merge physical operator (one shuffle + sort per side, O(n+m)
+   * single-pass merge, one buffered right row). Registers the planner
+   * strategy on the session if absent. Key columns must share a data type;
+   * time columns must be long-backed and non-null on the right.
+   */
+  def planBased(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String,
+                leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graftshim.Shim.ofRows(spark,
+      graft.plans.AsOfJoinNode(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime), attr(rp, rightTime)))
+  }
+
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTime: String, rightTime: String): DataFrame = {

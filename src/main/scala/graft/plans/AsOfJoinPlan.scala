@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/**
+ * The full custom-operator path ((c) in the engine design): a dedicated
+ * logical node, planner strategy, and sort-merge physical operator for the
+ * as-of join — the alternative to the union+window composition in
+ * [[graft.operators.AsOfJoin]].
+ *
+ * Physical shape: both sides hash-partitioned on the key
+ * (`ClusteredDistribution`, so `EnsureRequirements` co-partitions them) and
+ * sorted by (key, time); each partition pair is merged in one pass — for
+ * every left row, the retained right row is the last one with
+ * `rightTime <= leftTime` for the same key. Left join semantics: unmatched
+ * left rows get nulls. Cost at scale: one shuffle + sort per side, O(n+m)
+ * merge, no buffering beyond a single right row per key.
+ *
+ * Constraints: key expressions must have the same data type on both sides;
+ * time columns must be long-backed (timestamp / timestamp_ntz / bigint) and
+ * non-null on the right (filter first — null "times" have no as-of meaning).
+ */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val rk = rightKey
+    val lt = leftTime
+    val rt = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val keyOrdering = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(Seq(lk.dataType))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        // one-row lookahead into the right side
+        private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+        // last right row (copied) whose (key, time) has been passed
+        private var matched: InternalRow = _
+        private var matchedKey: UnsafeRow = _
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lKey = lKeyProj(l)
+          val lTimeVal = lTimeProj(l).getLong(0)
+          // drop any retained match from an earlier key
+          if (matchedKey != null && keyOrdering.compare(matchedKey, lKey) != 0) {
+            matched = null; matchedKey = null
+          }
+          // advance the right side through every row with key < lKey, or
+          // key == lKey and time <= lTime; the last equal-key row wins
+          var advancing = true
+          while (advancing && rHead != null) {
+            val rKey = rKeyProj(rHead)
+            val cmp = keyOrdering.compare(rKey, lKey)
+            if (cmp < 0) {
+              rHead = if (rIt.hasNext) rIt.next() else null
+            } else if (cmp == 0 && rTimeProj(rHead).getLong(0) <= lTimeVal) {
+              matched = rHead.copy()
+              matchedKey = rKey.copy()
+              rHead = if (rIt.hasNext) rIt.next() else null
+            } else {
+              advancing = false
+            }
+          }
+          if (matched != null) joined(l, matched) else joined(l, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}

@@ -56,6 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite())
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", classOf[DotProductFloat]),
       (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))

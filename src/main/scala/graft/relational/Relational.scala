@@ -148,6 +148,27 @@ object Relational {
         col("asof.o_orderdate").as("last_order_date"))
   }
 
+  /** Same as-of enrichment through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]) — 3-way validated: this plan, the
+    * union+window composition, and DuckDB's native ASOF JOIN share one
+    * oracle. */
+  def eventsWithLastOrderExec(spark: SparkSession, dir: String): DataFrame = {
+    val left = Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id").cast("string").as("visitorid"),
+      expr(Tables.eventTimeExpr).as("event_time"))
+    val right = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("okey"))
+      .select(col("o_custkey").cast("string").as("ck"), col("o_orderdate"), col("okey"))
+    graft.operators.AsOfJoin.planBased(left, right,
+        leftKey = "visitorid", rightKey = "ck",
+        leftTime = "event_time", rightTime = "o_orderdate")
+      .select(col("event_id"), col("visitorid"), col("event_time"),
+        col("okey").as("last_order_key"),
+        col("o_orderdate").as("last_order_date"))
+  }
+
   /** CUBE over order status × priority (all grouping-set combinations). */
   def ordersCube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

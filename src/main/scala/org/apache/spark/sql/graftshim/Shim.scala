@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/**
+ * Minimal bridge into `private[sql]` surface: building a DataFrame from a
+ * custom LogicalPlan (`Dataset.ofRows`) has no public equivalent, so — like
+ * other open-source Spark extensions — this lives under the
+ * `org.apache.spark.sql` package solely to call it. Nothing else belongs
+ * here; all engine code stays in `graft.*`.
+ */
+object Shim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+}

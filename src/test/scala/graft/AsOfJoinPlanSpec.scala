@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+/** The custom sort-merge as-of operator vs the union+window composition. */
+class AsOfJoinPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frames() = {
+    val left = Seq(
+      ("u1", ts(100), "e1"), ("u1", ts(300), "e2"), ("u1", ts(500), "e3"),
+      ("u2", ts(250), "e4"),
+      ("u3", ts(999), "e5")) // u3 has no right rows at all
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      ("u1", ts(90), "r1"), ("u1", ts(300), "r2"), ("u1", ts(450), "r3"),
+      ("u2", ts(260), "r4")) // after u2's only left row
+      .toDF("k", "t", "payload")
+    (left, right)
+  }
+
+  test("plan-based exec selects the custom operator and matches the composition") {
+    val (left, right) = frames()
+    val exec = AsOfJoin.planBased(
+      left, right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
+      "k", "rk", "t", "rt")
+    // nodeName renders as "AsOfJoin" (case-class name minus Exec)
+    assert(exec.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    val got = exec.select($"ev", $"payload").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // e1@100 -> r1@90; e2@300 -> r2@300 (inclusive <=); e3@500 -> r3@450;
+    // e4@250 -> no right row yet -> null; e5 -> no rows for key -> null
+    assert(got === Map("e1" -> "r1", "e2" -> "r2", "e3" -> "r3",
+      "e4" -> null, "e5" -> null))
+
+    val comp = AsOfJoin(left, right, "k", "k", "t", "t")
+      .select($"ev", $"asof.payload").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(comp === got)
+  }
+}
