@@ -41,6 +41,7 @@ object SparkEntry {
       "visitorid", "event_time", "event", "itemid", "prev_event_time",
       "diff_seconds", "is_new_session", "session_number", "session_id")),
     "q_sessions" -> ((s, d) => Sessionize.sessionMetrics(sess(s, d))),
+    "q_sessions_typed" -> ((s, d) => TypedSessionize(cs(s, d))),
     "q_user_paths" -> ((s, d) => UserPaths(sess(s, d))),
     "q_funnel" -> ((s, d) => Funnel.counts(sess(s, d), steps)),
     // -- per-minute family (A5-A8) --
@@ -216,6 +217,13 @@ object SparkEntry {
       """ SELECT visitorid, event_time, event, itemid, prev_event_time,
         |   diff_seconds, is_new_session, session_number, session_id FROM sid""".stripMargin),
     "q_sessions" -> (SESS +
+      """ SELECT session_id, visitorid,
+        |   min(event_time) AS session_start, max(event_time) AS session_end,
+        |   count(*) AS events_in_session,
+        |   epoch_us(max(event_time))//1000000 - epoch_us(min(event_time))//1000000 AS session_length
+        | FROM sid GROUP BY session_id, visitorid""".stripMargin),
+    // typed flatMapGroups implementation — same oracle as q_sessions
+    "q_sessions_typed" -> (SESS +
       """ SELECT session_id, visitorid,
         |   min(event_time) AS session_start, max(event_time) AS session_end,
         |   count(*) AS events_in_session,
