@@ -105,6 +105,7 @@ object SparkEntry {
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
     "q_ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "q_ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // -- session_window cross-validation (independent impl vs window-fn oracle) --
     "q_global_sessions" -> ((s, d) =>
       graft.stream.GlobalSessions.sessionWindow(cs(s, d), streaming = false)),
@@ -452,6 +453,33 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
         |  FROM cand
         |) SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin),
+    "q_ann_topk_ivf" -> (EMB +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e WHERE vec_id < 8
+        |), ar AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(len(e.embedding)), i ->
+        |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
+        |      c.cent_id ASC) AS INTEGER) AS arank
+        |  FROM e, cents c
+        |), assign AS (
+        |  SELECT vec_id AS member_id, cent_id AS cluster FROM ar WHERE arank = 1
+        |), probes AS (
+        |  SELECT vec_id AS q_id, cent_id AS cluster FROM ar WHERE arank <= 2 AND vec_id < 10
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.member_id AS c_id
+        |  FROM probes p JOIN assign a ON p.cluster = a.cluster
+        |  WHERE p.q_id <> a.member_id
+        |), sc AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |    list_sum(list_transform(range(len(q.embedding)), i ->
+        |      CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+        |  FROM cand JOIN e q ON cand.q_id = q.vec_id JOIN e c ON cand.c_id = c.vec_id
+        |), rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
+        |  FROM sc
+        |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
     "q_embed_neardup" -> (EMB +
       """, cand AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -137,6 +137,50 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
   }
 
+  /**
+   * IVF-shaped ANN: assign every vector to its nearest of `numCentroids`
+   * coarse centroids (broadcast — assignment is one linear pass), then each
+   * query probes only the `nprobe` nearest centroid lists. This is the
+   * inverted-file index structure at cluster scale: the assignment is a
+   * partitioning of the corpus, probing touches nprobe/numCentroids of it.
+   *
+   * Centroids here are the first `numCentroids` vectors (deterministic
+   * stand-in for a k-means codebook — on random data equally spread; a real
+   * codebook drops in without changing the dataflow). Assignment metric:
+   * cosine, tiebreak centroid id.
+   */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    val base = withNorms(embeddings).persist()
+    val cents = base.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    def centRank = row_number().over(
+      Window.partitionBy(col("vec_id"))
+        .orderBy((dot("embedding", "cent_emb") / (col("nrm") * col("cent_nrm"))).desc,
+          col("cent_id").asc))
+    // every vector -> nearest centroid (its inverted-list id)
+    val assign = base.crossJoin(broadcast(cents))
+      .withColumn("arank", centRank).filter(col("arank") === 1)
+      .select(col("vec_id").as("member_id"), col("cent_id").as("cluster"))
+    // each query -> its nprobe nearest centroid lists
+    val probes = base.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("arank", centRank).filter(col("arank") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cluster"))
+    val cand = probes.join(assign, "cluster")
+      .filter(col("q_id") =!= col("member_id"))
+      .select(col("q_id"), col("member_id").as("c_id")).distinct()
+    val qe = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val ce = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    cand.join(qe, "q_id").join(ce, "c_id")
+      .withColumn("cosine", dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact all-pairs near-dup baseline (correctness reference; O(n²) —
     * verification scale only, the LSH variant is the production path). */
   def bruteForceNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
