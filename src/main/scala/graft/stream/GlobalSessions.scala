@@ -35,6 +35,22 @@ final case class ClosedSession(
  *     `flatMapGroupsWithState` — for semantics `session_window` can't
  *     express (e.g. emitting provisional sessions, custom merge rules).
  */
+object StreamDedup {
+
+  /**
+   * Streaming exact deduplication by id — the dedup machinery the reference
+   * lacks entirely (SURVEY §2.7 "absent streaming machinery"). State is
+   * bounded by the watermark: a duplicate arriving within the watermark of
+   * the first occurrence is dropped; later state is evicted.
+   */
+  def byIdWithinWatermark(events: org.apache.spark.sql.DataFrame,
+                          idCol: String, timeCol: String,
+                          watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+}
+
 object GlobalSessions {
 
   /** Gap-based sessions via the built-in session_window (streaming or batch).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.schema.Schemas
-import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
+import graft.stream.{GlobalSessions, SessionEvent, StreamDedup, StreamJob}
 
 /** Pins the per-batch parity semantics (SURVEY.md §2.7) and the
   * correct-mode cross-batch sessionization upgrades. */
@@ -52,6 +52,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out.head.getAs[Long]("events_in_session") === 3L)
     assert(out(1).getAs[Long]("events_in_session") === 1L)
+  }
+
+  test("streaming dedup drops duplicate ids across micro-batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val deduped = StreamDedup.byIdWithinWatermark(
+      ms.toDF(), idCol = "itemid", timeCol = "event_time", watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      ms.addData(Ev("u1", ts(10), "view", "id1"), Ev("u1", ts(20), "view", "id2"))
+      q.processAllAvailable()
+      // id1 again in a LATER batch, still within the watermark -> dropped
+      ms.addData(Ev("u1", ts(30), "view", "id1"), Ev("u1", ts(40), "view", "id3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("deduped").collect().map(_.getAs[String]("itemid")).sorted
+    assert(ids === Array("id1", "id2", "id3"))
   }
 
   test("fractional gap in (1800,1801): session_window splits, floor-seconds parity mode merges") {
