@@ -69,6 +69,7 @@ object SparkEntry {
     "q_asof_last_order" -> (Relational.eventsWithLastOrder _),
     "q_asof_last_order_exec" -> (Relational.eventsWithLastOrderExec _),
     "q_orders_cube" -> (Relational.ordersCube _),
+    "q_ship_delay" -> (Relational.shipDelayByPriority _),
     "q_event_pivot" -> (Relational.eventPivot _),
     "q_viewers_no_purchase" -> (Relational.viewersWithoutPurchase _),
     // -- LLM-pipeline: text analysis over documents --
@@ -369,6 +370,13 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_ship_delay" ->
+      """SELECT o_orderpriority, count(*) AS n_lineitems,
+        |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS total_delay_days,
+        |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / count(*) AS avg_delay_days,
+        |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS max_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_event_pivot" -> (CS +
       """ SELECT date_trunc('minute', event_time) AS minute,
         |  count(*) FILTER (WHERE event = 'click') AS n_click,

@@ -169,6 +169,23 @@ object Relational {
         col("o_orderdate").as("last_order_date"))
   }
 
+  /** Cross-table temporal relation: ship delay (days between order date and
+    * each lineitem's ship date) aggregated per order priority — exact
+    * integer day arithmetic on both engines. */
+  def shipDelayByPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum(col("delay_days")).cast("long").as("total_delay_days"),
+        (sum(col("delay_days")).cast("double") / count(lit(1))).as("avg_delay_days"),
+        max(col("delay_days")).as("max_delay_days"))
+
   /** CUBE over order status × priority (all grouping-set combinations). */
   def ordersCube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
