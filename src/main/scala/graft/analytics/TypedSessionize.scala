@@ -38,7 +38,9 @@ object TypedSessionize {
     import spark.implicits._
     events.groupByKey(_.visitorid).flatMapGroups { (visitorid, it) =>
       // same ordering as the window implementation: (event_time, itemid)
-      val evs = it.toArray.sortBy(e => (e.event_time, e.itemid))(
+      // null itemid sorts first (Spark's nulls-first), matching Sessionize
+      val evs = it.toArray.sortBy(e =>
+        (e.event_time, Option(e.itemid).getOrElse("")))(
         Ordering.Tuple2(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _), Ordering.String))
       val out = Seq.newBuilder[TypedSession]
       var sessionNum = 0L
@@ -46,7 +48,9 @@ object TypedSessionize {
       var end: java.time.LocalDateTime = null
       var count = 0L
       def emit(): Unit = if (count > 0) {
-        out += TypedSession(s"${visitorid}_$sessionNum", visitorid, start, end,
+        // concat_ws semantics: a null visitorid contributes nothing
+        val sid = if (visitorid == null) s"$sessionNum" else s"${visitorid}_$sessionNum"
+        out += TypedSession(sid, visitorid, start, end,
           count, floorSeconds(end) - floorSeconds(start))
       }
       evs.foreach { e =>

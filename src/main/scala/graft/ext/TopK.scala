@@ -20,6 +20,11 @@ import org.apache.spark.sql.expressions.Aggregator
  * At 100 TB this is the shape that replaces `groupBy(key).count + sort` for
  * "top items" on unbounded key domains: fixed-size partial state per task,
  * one final merge, no full shuffle of the key distribution.
+ *
+ * Complexity note: eviction does an O(capacity) min scan, so mostly-unique
+ * streams pay O(n·capacity); the classic Stream-Summary (min-tracked bucket
+ * list) brings that to O(1) amortized and is the planned upgrade if this
+ * aggregator lands on such workloads (ROADMAP).
  */
 class SpaceSavingTopK(k: Int, capacity: Int)
     extends Aggregator[String, mutable.Map[String, Long], Seq[(String, Long)]] {
@@ -62,7 +67,7 @@ class SpaceSavingTopK(k: Int, capacity: Int)
 object TopK {
   /** Top-k heavy hitters of a string Dataset via the bounded aggregator. */
   def heavyHitters(items: Dataset[String], k: Int, capacity: Int = 0): Seq[(String, Long)] = {
-    val cap = if (capacity > 0) capacity else k * 8
-    items.select(new SpaceSavingTopK(k, cap).toColumn).head()
+    val agg = if (capacity > 0) new SpaceSavingTopK(k, capacity) else new SpaceSavingTopK(k)
+    items.select(agg.toColumn).head()
   }
 }

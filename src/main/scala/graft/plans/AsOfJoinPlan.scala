@@ -51,8 +51,27 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
+  // times are compared as raw longs — identical long-backed types on both
+  // sides is a hard requirement (a DateType days-int against a timestamp's
+  // micros would compare silently wrong otherwise)
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must share a type, got ${leftTime.dataType} vs ${rightTime.dataType}")
+  require(Seq(leftTime.dataType).forall(t =>
+    t == org.apache.spark.sql.types.LongType ||
+    t == org.apache.spark.sql.types.TimestampType ||
+    t == org.apache.spark.sql.types.TimestampNTZType),
+    s"as-of time columns must be long-backed (bigint/timestamp/timestamp_ntz), got ${leftTime.dataType}")
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key columns must share a type, got ${leftKey.dataType} vs ${rightKey.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  // children arrive hash-partitioned on the key and sorted by (key, time);
+  // forward that so downstream operators don't re-shuffle/re-sort
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
@@ -77,8 +96,11 @@ case class AsOfJoinExec(
         .createNaturalAscendingOrdering(Seq(lk.dataType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
+      // SparkPlan output contract: rows crossing operator boundaries must be
+      // UnsafeRow (collect()/shuffle cast to it) — project like SMJ does
+      val outputProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
 
-      new Iterator[InternalRow] {
+      val it = new Iterator[InternalRow] {
         // one-row lookahead into the right side
         private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
         // last right row (copied) whose (key, time) has been passed
@@ -114,6 +136,7 @@ case class AsOfJoinExec(
           if (matched != null) joined(l, matched) else joined(l, nullRight)
         }
       }
+      it.map(outputProj)
     }
   }
 

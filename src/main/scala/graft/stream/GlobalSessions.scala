@@ -97,7 +97,11 @@ object GlobalSessions {
       sorted.foreach { e =>
         open match {
           case Some(s) if e.event_time.getTime - s.end.getTime <= gapSeconds * 1000L =>
-            open = Some(SessionState(s.start, e.event_time, s.events + 1))
+            // a late-but-within-watermark event must never move the session
+            // end (or start) backward
+            val newEnd = if (e.event_time.getTime > s.end.getTime) e.event_time else s.end
+            val newStart = if (e.event_time.getTime < s.start.getTime) e.event_time else s.start
+            open = Some(SessionState(newStart, newEnd, s.events + 1))
           case Some(s) =>
             closed += close(visitorid, s)
             open = Some(SessionState(e.event_time, e.event_time, 1L))

@@ -19,6 +19,31 @@ class AsOfJoinPlanSpec extends SparkSpec {
     (left, right)
   }
 
+  test("exec output survives collect() without a projection on top (UnsafeRow contract)") {
+    val (left, right) = frames()
+    val exec = AsOfJoin.planBased(
+      left, right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
+      "k", "rk", "t", "rt")
+    // no select(): collect casts rows to UnsafeRow internally
+    assert(exec.collect().length === 5)
+    // downstream aggregation must not re-shuffle (partitioning forwarded)
+    val agg = exec.groupBy("k").count()
+    val nExchanges = agg.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(nExchanges <= 2, agg.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("mismatched time types are rejected, not silently compared") {
+    val (left, right) = frames()
+    val dateRight = right.withColumnRenamed("k", "rk")
+      .withColumn("rt", org.apache.spark.sql.functions.col("t").cast("date"))
+    val ex = intercept[Exception] {
+      AsOfJoin.planBased(left, dateRight, "k", "rk", "t", "rt").collect()
+    }
+    assert(ex.getMessage.contains("share a type") || ex.getMessage.contains("long-backed"),
+      ex.getMessage)
+  }
+
   test("plan-based exec selects the custom operator and matches the composition") {
     val (left, right) = frames()
     val exec = AsOfJoin.planBased(
