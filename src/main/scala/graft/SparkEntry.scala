@@ -44,6 +44,7 @@ object SparkEntry {
     "q_sessions_typed" -> ((s, d) => TypedSessionize(cs(s, d))),
     "q_user_paths" -> ((s, d) => UserPaths(sess(s, d))),
     "q_funnel" -> ((s, d) => Funnel.counts(sess(s, d), steps)),
+    "q_funnel_ordered" -> ((s, d) => Funnel.orderedCounts(sess(s, d), steps)),
     // -- per-minute family (A5-A8) --
     "q_events_per_minute" -> ((s, d) => MinuteStats.eventsPerMinute(cs(s, d))),
     "q_active_users" -> ((s, d) => MinuteStats.activeUsers(cs(s, d))),
@@ -244,6 +245,26 @@ object SparkEntry {
         |   CAST(sum(CASE WHEN list_contains(events, 'click') THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
         |   CAST(sum(CASE WHEN list_contains(events, 'purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
         | FROM se""".stripMargin),
+    "q_funnel_ordered" -> (SESS +
+      """, paths AS (
+        |  SELECT visitorid, session_id,
+        |    array_agg(event ORDER BY event_time, event) AS user_path
+        |  FROM sid GROUP BY visitorid, session_id
+        |), pos AS (
+        |  SELECT
+        |    coalesce(list_position(user_path, 'view'), 0) AS p0,
+        |    coalesce(list_position(user_path, 'click'), 0) AS p1,
+        |    coalesce(list_position(user_path, 'purchase'), 0) AS p2
+        |  FROM paths
+        |), fl AS (
+        |  SELECT CASE WHEN p0 > 0 THEN 1 ELSE 0 END AS f0,
+        |    CASE WHEN p0 > 0 AND p1 > p0 THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN p0 > 0 AND p1 > p0 AND p2 > p1 THEN 1 ELSE 0 END AS f2
+        |  FROM pos
+        |) SELECT CAST(sum(f0) AS BIGINT) AS n_view,
+        |    CAST(sum(f1) AS BIGINT) AS n_click,
+        |    CAST(sum(f2) AS BIGINT) AS n_purchase
+        |FROM fl""".stripMargin),
     "q_events_per_minute" -> (CS +
       """ SELECT date_trunc('minute', event_time) AS minute, count(*) AS events_count
         | FROM cs GROUP BY 1""".stripMargin),

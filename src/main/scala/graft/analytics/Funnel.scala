@@ -37,6 +37,29 @@ object Funnel {
   }
 
   /**
+   * The ORDERED funnel the reference's docstring claims but does not
+   * implement (stream_processor.py:195 vs the array_contains membership
+   * check): a session counts for step k only if the steps' first
+   * occurrences appear in order. Uses the time-ordered user path and
+   * first-occurrence positions (array_position; 0 = absent).
+   */
+  def orderedCounts(sessionized: DataFrame, steps: Seq[String]): DataFrame = {
+    val withPath = UserPaths(sessionized)
+    val positions = steps.zipWithIndex.foldLeft(withPath) { case (df, (step, i)) =>
+      df.withColumn(s"_p$i", array_position(col("user_path"), step))
+    }
+    val flags = steps.indices.foldLeft(positions) { (df, i) =>
+      val inOrder =
+        if (i == 0) col(s"_p0") > 0
+        else col(s"_f${i - 1}") === 1 && col(s"_p$i") > col(s"_p${i - 1}")
+      df.withColumn(s"_f$i", when(inOrder, 1).otherwise(0))
+    }
+    flags.agg(
+      sum(col("_f0")).as(s"n_${steps.head}"),
+      steps.indices.tail.map(i => sum(col(s"_f$i")).as(s"n_${steps(i)}")): _*)
+  }
+
+  /**
    * Stream-mode variant with the reference's provenance columns
    * (batch_id + analysis_time, stream_processor.py:219-221). Not
    * oracle-checkable (current_timestamp), used by the streaming job.

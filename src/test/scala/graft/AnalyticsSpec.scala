@@ -20,6 +20,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_purchase") === 1L)
   }
 
+  test("ordered funnel requires step order; membership funnel does not") {
+    // session is [purchase, view]: membership counts both; ordered counts only view
+    val df = events(
+      ("u1", 100L, "purchase", "i1"),
+      ("u1", 200L, "view", "i2"))
+    val ordered = Funnel.orderedCounts(Sessionize(df), Seq("view", "click", "purchase"))
+      .collect().head
+    assert(ordered.getAs[Long]("n_view") === 1L)
+    assert(ordered.getAs[Long]("n_click") === 0L)
+    assert(ordered.getAs[Long]("n_purchase") === 0L)  // purchase BEFORE view -> not counted
+    // full in-order journey counts all three
+    val ok = events(("u2", 1L, "view", "a"), ("u2", 2L, "click", "b"), ("u2", 3L, "purchase", "c"))
+    val o2 = Funnel.orderedCounts(Sessionize(ok), Seq("view", "click", "purchase")).collect().head
+    assert((o2.getAs[Long]("n_view"), o2.getAs[Long]("n_click"), o2.getAs[Long]("n_purchase")) === ((1L, 1L, 1L)))
+  }
+
   test("user path is ordered by event_time with event-name tiebreak (struct sort)") {
     val df = events(
       ("u1", 100L, "view", "i1"),
