@@ -20,7 +20,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the one-line JSON contract — WARN noise (WindowExec on the
+    // k-row rank window, AQE notices) would bury the result line
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warm-up so the first timed query doesn't absorb cold-start
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.headOption.foreach { case (_, fn) =>

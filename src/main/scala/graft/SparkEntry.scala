@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 import graft.analytics._
 import graft.clean.CleanStage
@@ -42,7 +42,7 @@ object SparkEntry {
       "diff_seconds", "is_new_session", "session_number", "session_id")),
     "q_sessions" -> ((s, d) => Sessionize.sessionMetrics(sess(s, d))),
     "q_sessions_typed" -> ((s, d) => TypedSessionize(cs(s, d))),
-    "q_user_paths" -> ((s, d) => UserPaths(sess(s, d))),
+    "q_user_paths" -> ((s, d) => UserPaths.joined(sess(s, d))),
     "q_funnel" -> ((s, d) => Funnel.counts(sess(s, d), steps)),
     "q_funnel_ordered" -> ((s, d) => Funnel.orderedCounts(sess(s, d), steps)),
     // -- per-minute family (A5-A8) --
@@ -93,11 +93,14 @@ object SparkEntry {
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
     // partition-wise decode path (deterministic stub features); no SQL
-    // oracle — driver records the weaker rows-only check for this one
+    // oracle (the stub's fold wraps 64-bit arithmetic, which DuckDB BIGINT
+    // refuses) — driver records the weaker rows-only check. The feature
+    // vector is flattened to a string so the harness can sort the rows.
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.decodeStub(s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .toDF()
-        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("feature"))),
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          concat_ws(",", col("feature").cast("array<string>")).as("feature_str"))),
     // -- LLM-pipeline round 2: vocab, quantiles, dedup-keep, bucketed ANN --
     "q_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "q_scrub" -> ((s, d) => TextAnalysis.scrub(Tables.documents(s, d))),
@@ -234,7 +237,7 @@ object SparkEntry {
         | FROM sid GROUP BY session_id, visitorid""".stripMargin),
     "q_user_paths" -> (SESS +
       """ SELECT visitorid, session_id,
-        |   array_agg(event ORDER BY event_time, event) AS user_path
+        |   array_to_string(array_agg(event ORDER BY event_time, event), '>') AS user_path
         | FROM sid GROUP BY visitorid, session_id""".stripMargin),
     "q_funnel" -> (SESS +
       """, se AS (
@@ -570,7 +573,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_doclen_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
-        |  quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS quantiles
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
         |FROM documents GROUP BY lang""".stripMargin,
     "q_neardup_dedup" -> (MINHASH_PAIRS +
       """, est AS (

@@ -29,4 +29,10 @@ object UserPaths {
   /** Same, but keep at most `maxEvents` of each path (bot guard). */
   def userPathsCapped(sessionized: DataFrame, maxEvents: Int = 1000): DataFrame =
     apply(sessionized).withColumn("user_path", slice(col("user_path"), 1, maxEvents))
+
+  /** Paths flattened to a `'>'`-joined string — the serialization-friendly
+    * form (array columns don't survive every downstream consumer; the
+    * driver's pandas-based compare is one such). */
+  def joined(sessionized: DataFrame, sep: String = ">"): DataFrame =
+    apply(sessionized).withColumn("user_path", concat_ws(sep, col("user_path")))
 }

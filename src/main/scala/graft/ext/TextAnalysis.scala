@@ -122,10 +122,13 @@ object TextAnalysis {
   }
 
   /**
-   * Global top-k vocabulary: explode → count → rank. The rank window is
-   * global (single partition) but its input is the aggregated vocabulary,
-   * not the corpus — at 100 TB the heavy lifting stays in the partial+final
-   * count aggregation; only |vocab| rows pass through the window.
+   * Global top-k vocabulary: explode → count → top-k → rank. The top-k is
+   * `orderBy.limit(k)`, which plans as TakeOrderedAndProject — each task
+   * keeps a k-row heap and only k rows per partition reach the driver-side
+   * merge, so the full vocabulary (easily 10⁸ rows at 100 TB) is never
+   * globally sorted or moved to one partition. Only the k survivors pass
+   * through the rank window — its single-partition WindowExec is k rows by
+   * construction, not a scale hazard.
    */
   def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -133,9 +136,10 @@ object TextAnalysis {
       .select(explode(col("toks")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
-      .filter(col("rank") <= k)
   }
 
   /** Per-language document-length quantiles (exact, interpolated). */
@@ -143,7 +147,12 @@ object TextAnalysis {
     docs.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("quantiles"))
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(
+        col("lang"), col("n_docs"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"))
 
   /**
    * PII/noise scrubbing: mask email-like tokens, long digit runs, and

@@ -256,14 +256,25 @@ case class HashedShingles(child: Expression, n: Int)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i <= num - n) {
-      val sb = new java.lang.StringBuilder()
+      // a window containing a null token yields no shingle (concat_ws drops
+      // nothing meaningful from a null gram; skipping beats an NPE for SQL
+      // callers passing array<string> with nulls)
+      var hasNull = false
       var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+      while (k < n && !hasNull) {
+        if (toks.isNullAt(i + k)) hasNull = true
         k += 1
       }
-      seen.add(sb.toString)
+      if (!hasNull) {
+        val sb = new java.lang.StringBuilder()
+        k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          k += 1
+        }
+        seen.add(sb.toString)
+      }
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -295,7 +306,12 @@ case class HashedTokens(child: Expression)
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_token_hash expects array<string>, got $t")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements propagate (matching `transform(toks, t -> ...)`, whose
+  // lambda maps a null token to a null hash)
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(LongType, containsNull)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
 
   @transient private lazy val digest =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
@@ -304,14 +320,16 @@ case class HashedTokens(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val md = digest.get()
-    val out = new Array[Long](toks.numElements())
+    val out = new Array[Any](toks.numElements())
     var i = 0
     while (i < out.length) {
-      md.reset()
-      val d = md.digest(toks.getUTF8String(i).toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                 ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -348,16 +366,26 @@ case class RepetitionStats(child: Expression, n: Int)
     var total = 0L
     var i = 0
     while (i <= num - n) {
-      val sb = new java.lang.StringBuilder()
+      // windows containing a null token produce no gram (and don't count
+      // toward the total) — same skip rule as HashedShingles
+      var hasNull = false
       var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+      while (k < n && !hasNull) {
+        if (toks.isNullAt(i + k)) hasNull = true
         k += 1
       }
-      val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
-      if (c > maxFreq) maxFreq = c
-      total += 1
+      if (!hasNull) {
+        val sb = new java.lang.StringBuilder()
+        k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          k += 1
+        }
+        val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
+        if (c > maxFreq) maxFreq = c
+        total += 1
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

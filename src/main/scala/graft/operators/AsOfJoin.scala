@@ -42,7 +42,9 @@ object AsOfJoin {
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     }
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    // null right times have no as-of meaning (mirrors apply() and the DuckDB
+    // oracle's `<=`, which is NULL on null) — filter them before planning
+    val rp = right.filter(col(rightTime).isNotNull).queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))

@@ -22,8 +22,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
  * merge, no buffering beyond a single right row per key.
  *
  * Constraints: key expressions must have the same data type on both sides;
- * time columns must be long-backed (timestamp / timestamp_ntz / bigint) and
- * non-null on the right (filter first — null "times" have no as-of meaning).
+ * time columns must be long-backed (timestamp / timestamp_ntz / bigint).
+ * Null times have no as-of meaning: null-time right rows never match and
+ * null-time left rows emit unmatched (both handled inside the merge).
  */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -112,28 +113,41 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIt.next()
           val lKey = lKeyProj(l)
-          val lTimeVal = lTimeProj(l).getLong(0)
+          val lTimeRow = lTimeProj(l)
+          // a null time on either side has no as-of meaning: a null-time left
+          // row emits unmatched (same as SQL `null <= t` ⇒ NULL), a null-time
+          // right row is skipped (they sort nulls-first, so skipping cannot
+          // hide a real match)
+          val lTimeNull = lTimeRow.isNullAt(0)
+          val lTimeVal = if (lTimeNull) 0L else lTimeRow.getLong(0)
           // drop any retained match from an earlier key
           if (matchedKey != null && keyOrdering.compare(matchedKey, lKey) != 0) {
             matched = null; matchedKey = null
           }
           // advance the right side through every row with key < lKey, or
           // key == lKey and time <= lTime; the last equal-key row wins
-          var advancing = true
+          var advancing = !lTimeNull
           while (advancing && rHead != null) {
             val rKey = rKeyProj(rHead)
             val cmp = keyOrdering.compare(rKey, lKey)
             if (cmp < 0) {
               rHead = if (rIt.hasNext) rIt.next() else null
-            } else if (cmp == 0 && rTimeProj(rHead).getLong(0) <= lTimeVal) {
-              matched = rHead.copy()
-              matchedKey = rKey.copy()
-              rHead = if (rIt.hasNext) rIt.next() else null
+            } else if (cmp == 0) {
+              val rTimeRow = rTimeProj(rHead)
+              if (rTimeRow.isNullAt(0)) {
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else if (rTimeRow.getLong(0) <= lTimeVal) {
+                matched = rHead.copy()
+                matchedKey = rKey.copy()
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else {
+                advancing = false
+              }
             } else {
               advancing = false
             }
           }
-          if (matched != null) joined(l, matched) else joined(l, nullRight)
+          if (!lTimeNull && matched != null) joined(l, matched) else joined(l, nullRight)
         }
       }
       it.map(outputProj)

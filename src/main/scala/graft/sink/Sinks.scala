@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
  * append for production parity, parquet for verification. The reference
  * appends each analysis to PostgreSQL per micro-batch; `batch_id`-stamped
  * tables (funnel_analysis) enable idempotent replay — generalized here via
- * [[jdbcIdempotent]] (SURVEY.md §7.4 risk 5).
+ * [[jdbcBatchStamped]] (SURVEY.md §7.4 risk 5).
  */
 object Sinks {
 
@@ -30,13 +30,15 @@ object Sinks {
     df.write.mode("append").jdbc(cfg.url, table, cfg.properties)
 
   /**
-   * Idempotent variant: delete-then-insert keyed by batch_id inside one
-   * transaction boundary per partition is not expressible through the plain
-   * JDBC writer, so this stamps batch_id and relies on a unique index +
-   * `ON CONFLICT DO NOTHING` via the insert statement when supported;
-   * otherwise callers should stage to a temp table and merge.
+   * Still at-least-once BY ITSELF: this only stamps each row with the
+   * micro-batch id and appends — replaying a batch appends its rows again.
+   * The stamp is what makes downstream exactly-once cheap to build: dedup
+   * with `DELETE ... WHERE batch_id = ?` before re-insert, a unique index +
+   * `ON CONFLICT DO NOTHING`, or a staged-table merge keyed on batch_id.
+   * None of those run through Spark's plain JDBC writer, so they stay on
+   * the database side by design.
    */
-  def jdbcIdempotent(df: DataFrame, table: String, cfg: JdbcConfig, batchId: Long): Unit = {
+  def jdbcBatchStamped(df: DataFrame, table: String, cfg: JdbcConfig, batchId: Long): Unit = {
     val stamped =
       if (df.columns.contains("batch_id")) df
       else df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
