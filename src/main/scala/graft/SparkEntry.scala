@@ -604,7 +604,9 @@ object SparkEntry {
     // NOTE: session_window splits on the FULL-precision gap (> 1800s in
     // microseconds), not the reference's floor-seconds diff — its oracle
     // therefore uses epoch_us arithmetic, unlike the SESS family. The two
-    // rules diverge for fractional gaps in (1800s, 1801s).
+    // rules diverge for fractional gaps in (1800s, 1801s). At a gap of
+    // EXACTLY 1800.000000s both merge (strict `>` split on both sides;
+    // pinned by the exact-gap boundary test in StreamingSpec).
     "q_global_sessions" -> (CS +
       """, glag AS (
         |  SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time, itemid) AS prev_event_time FROM cs

@@ -54,7 +54,13 @@ object StreamDedup {
 object GlobalSessions {
 
   /** Gap-based sessions via the built-in session_window (streaming or batch).
-    * In streaming mode, append output arrives after the watermark passes. */
+    * In streaming mode, append output arrives after the watermark passes.
+    *
+    * Boundary semantics (pinned by StreamingSpec): an event exactly `gap`
+    * after the previous one MERGES into the session — the split rule is a
+    * strict `>`, same as the q_global_sessions oracle's
+    * `diff > 1800000000`; only fractional gaps in (1800s, 1801s) diverge
+    * from the reference's floor-seconds parity mode. */
   def sessionWindow(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "1 hour", streaming: Boolean = true): DataFrame = {
     val in = if (streaming) events.withWatermark("event_time", watermark) else events

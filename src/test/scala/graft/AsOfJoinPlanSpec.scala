@@ -44,6 +44,25 @@ class AsOfJoinPlanSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("null times never match: null-time right rows are ignored, null-time left rows unmatched") {
+    val left = Seq(
+      ("u1", Some(ts(100)), "e1"),
+      ("u1", None: Option[java.sql.Timestamp], "e2")) // null left time
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      ("u1", None: Option[java.sql.Timestamp], "r0"), // null right time: would sort first and wrongly win as "epoch 0"
+      ("u1", Some(ts(90)), "r1"))
+      .toDF("k", "t", "payload")
+    for (df <- Seq(
+        AsOfJoin.planBased(left, right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
+          "k", "rk", "t", "rt").select($"ev", $"payload"),
+        AsOfJoin(left, right, "k", "k", "t", "t").select($"ev", $"asof.payload"))) {
+      val got = df.collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(got === Map("e1" -> "r1", "e2" -> null))
+    }
+  }
+
   test("plan-based exec selects the custom operator and matches the composition") {
     val (left, right) = frames()
     val exec = AsOfJoin.planBased(

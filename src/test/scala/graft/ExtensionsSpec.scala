@@ -62,4 +62,22 @@ class ExtensionsSpec extends SparkSpec {
       assert(sig.length === 16)
     }
   }
+
+  test("sketch functions tolerate null array elements (SQL callers can pass any array<string>)") {
+    withExtSession { s2 =>
+      // token hash: null element propagates as a null hash (transform parity)
+      val th = s2.sql("SELECT graft_token_hash(array('a', NULL, 'b')) AS h").collect().head
+      val hs = th.getSeq[Any](0)
+      assert(hs.length === 3 && hs(1) == null && hs(0) != null)
+      // shingles: any window touching a null token yields no gram — here
+      // ('a',NULL) and (NULL,'b') both drop, leaving zero 2-shingles
+      val sh = s2.sql("SELECT graft_shingle_hash(array('a', NULL, 'b'), 2) AS s")
+        .collect().head.getSeq[Long](0)
+      assert(sh.isEmpty)
+      // rep stats: same skip rule; ('x','x') windows still counted
+      val rs = s2.sql("SELECT graft_rep_stats(array('x', 'x', NULL, 'x'), 2) AS r")
+        .collect().head.getStruct(0)
+      assert(rs.getLong(0) === 1L && rs.getLong(1) === 1L)
+    }
+  }
 }

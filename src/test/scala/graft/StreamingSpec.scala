@@ -54,6 +54,20 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("events_in_session") === 1L)
   }
 
+  test("exact-gap boundary: session_window MERGES two events exactly 1800.000000s apart") {
+    // pins the inclusivity rule the q_global_sessions oracle depends on:
+    // session_window extends a session through an event at exactly
+    // start+gap (window end is the merge boundary, and merging applies at
+    // equality), matching the oracle's strict `diff > 1800000000` split
+    // predicate — NOT a >= rule
+    val t1 = new java.sql.Timestamp(0L)
+    val t2 = new java.sql.Timestamp(1800000L) // exactly gap seconds later
+    val df = Seq(("u1", t1), ("u1", t2)).toDF("visitorid", "event_time")
+    val out = GlobalSessions.sessionWindow(df, streaming = false).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("events_in_session") === 2L)
+  }
+
   test("streaming dedup drops duplicate ids across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
