@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.functions.{col, concat_ws, round}
 
 import graft.analytics._
 import graft.clean.CleanStage
@@ -114,6 +114,15 @@ object SparkEntry {
     // -- session_window cross-validation (independent impl vs window-fn oracle) --
     "q_global_sessions" -> ((s, d) =>
       graft.stream.GlobalSessions.sessionWindow(cs(s, d), streaming = false)),
+    // -- LLM-pipeline round 3: ranking stats, CMS sketch, trained IVF --
+    "q_tfidf" -> ((s, d) => TextAnalysis.termDocFreq(Tables.documents(s, d))),
+    // score rounded to 6dp: the double chain off integer inputs is
+    // deterministic but the final ln() may differ from another engine in
+    // the last ulp; exact values are pinned by ExtSpec instead
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))
+      .withColumn("score_r6", round(col("score"), 6)).drop("score")),
+    "q_cms_counts" -> ((s, d) => TextAnalysis.cmsTokenCounts(Tables.documents(s, d))),
+    "q_ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfTopKTrained(Tables.embeddings(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -607,6 +616,103 @@ object SparkEntry {
     // rules diverge for fractional gaps in (1800s, 1801s). At a gap of
     // EXACTLY 1800.000000s both merge (strict `>` split on both sides;
     // pinned by the exact-gap boundary test in StreamingSpec).
+    "q_tfidf" -> (TOK +
+      """, ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |tfq AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token)
+        |SELECT t.doc_id, t.token, t.tf, d.df
+        |FROM tfq t JOIN dfq d ON t.token = d.token""".stripMargin),
+    // double literals written as CAST(... AS DOUBLE) arithmetic so DuckDB
+    // computes the same IEEE chain (its bare decimals parse as DECIMAL);
+    // only ln() can drift (last ulp), absorbed by round(..., 6)
+    "q_bm25" -> (TOK +
+      """, ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |tfq AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+        |dlq AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS dl FROM tok),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlq),
+        |j AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df, l.dl, s.n_docs, s.avgdl
+        |  FROM tfq t JOIN dfq d ON t.token = d.token
+        |    JOIN dlq l ON t.doc_id = l.doc_id, st s
+        |) SELECT doc_id, token, tf, df, dl,
+        |  round(
+        |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |    * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (tf + CAST(1.2 AS DOUBLE) *
+        |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+        |  6) AS score_r6
+        |FROM j""".stripMargin),
+    "q_cms_counts" -> (TOK +
+      s""", ex AS (SELECT unnest(toks) AS token FROM tok),
+        |cnt AS (SELECT token, count(*) AS exact, ${h32("token")} AS h FROM ex GROUP BY token),
+        |bk AS (
+        |  SELECT token, exact, j, ((2*j+1) * h + (104729*j + 12345)) % 4294967311 % 256 AS b
+        |  FROM cnt, (SELECT unnest(range(4)) AS j) js
+        |), colls AS (
+        |  SELECT x.token, x.j, CAST(sum(y.exact) AS BIGINT) AS e
+        |  FROM bk x JOIN bk y ON x.j = y.j AND x.b = y.b
+        |  GROUP BY x.token, x.j
+        |) SELECT c.token, c.exact, m.est
+        |FROM cnt c JOIN (SELECT token, min(e) AS est FROM colls GROUP BY token) m
+        |  ON c.token = m.token""".stripMargin),
+    // one Lloyd iteration from the seed codebook (ids < 8): sequential
+    // per-dimension double folds in vec_id order, mean rounded to float —
+    // bit-identical to Similarity.kmeansCodebook — then the standard IVF
+    // probe/search over the trained centroids
+    "q_ann_topk_ivf_trained" -> (EMB +
+      """, cents0 AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e WHERE vec_id < 8
+        |), ar0 AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(len(e.embedding)), i ->
+        |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
+        |      c.cent_id ASC) AS INTEGER) AS arank
+        |  FROM e, cents0 c
+        |), asg0 AS (
+        |  SELECT vec_id, cent_id AS cluster FROM ar0 WHERE arank = 1
+        |), contrib AS (
+        |  SELECT a.cluster, e.vec_id,
+        |    generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
+        |  FROM asg0 a JOIN e ON a.vec_id = e.vec_id
+        |), dimsum AS (
+        |  SELECT cluster, pos,
+        |    list_sum(array_agg(CAST(x AS DOUBLE) ORDER BY vec_id)) AS sm,
+        |    count(*) AS cnt
+        |  FROM contrib GROUP BY cluster, pos
+        |), cents AS (
+        |  SELECT cent_id, cent_emb,
+        |    sqrt(list_sum(list_transform(cent_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cent_nrm
+        |  FROM (
+        |    SELECT cluster AS cent_id,
+        |      array_agg(CAST(sm / cnt AS FLOAT) ORDER BY pos) AS cent_emb
+        |    FROM dimsum GROUP BY cluster
+        |  )
+        |), ar AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(len(e.embedding)), i ->
+        |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
+        |      c.cent_id ASC) AS INTEGER) AS arank
+        |  FROM e, cents c
+        |), assign AS (
+        |  SELECT vec_id AS member_id, cent_id AS cluster FROM ar WHERE arank = 1
+        |), probes AS (
+        |  SELECT vec_id AS q_id, cent_id AS cluster FROM ar WHERE arank <= 2 AND vec_id < 10
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.member_id AS c_id
+        |  FROM probes p JOIN assign a ON p.cluster = a.cluster
+        |  WHERE p.q_id <> a.member_id
+        |), sc AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |    list_sum(list_transform(range(len(q.embedding)), i ->
+        |      CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+        |  FROM cand JOIN e q ON cand.q_id = q.vec_id JOIN e c ON cand.c_id = c.vec_id
+        |), rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
+        |  FROM sc
+        |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
     "q_global_sessions" -> (CS +
       """, glag AS (
         |  SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time, itemid) AS prev_event_time FROM cs

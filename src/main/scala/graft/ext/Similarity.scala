@@ -152,13 +152,26 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
     val base = withNorms(embeddings).persist()
-    val cents = base.filter(col("vec_id") < numCentroids)
+    ivfSearch(base, initCentroids(base, numCentroids), numQueries, k, nprobe)
+  }
+
+  /** First `numCentroids` vectors as the deterministic seed codebook. */
+  private def initCentroids(base: DataFrame, numCentroids: Int): DataFrame =
+    base.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         col("nrm").as("cent_nrm"))
-    def centRank = row_number().over(
-      Window.partitionBy(col("vec_id"))
-        .orderBy((dot("embedding", "cent_emb") / (col("nrm") * col("cent_nrm"))).desc,
-          col("cent_id").asc))
+
+  /** Nearest-centroid rank (cosine desc, centroid id tiebreak) — the
+    * assignment rule shared by index build, probing, and k-means. */
+  private def centRank = row_number().over(
+    Window.partitionBy(col("vec_id"))
+      .orderBy((dot("embedding", "cent_emb") / (col("nrm") * col("cent_nrm"))).desc,
+        col("cent_id").asc))
+
+  /** The IVF probe+search dataflow given a codebook `cents`
+    * (cent_id, cent_emb: array<float>, cent_nrm). */
+  private def ivfSearch(base: DataFrame, cents: DataFrame,
+                        numQueries: Int, k: Int, nprobe: Int): DataFrame = {
     // every vector -> nearest centroid (its inverted-list id)
     val assign = base.crossJoin(broadcast(cents))
       .withColumn("arank", centRank).filter(col("arank") === 1)
@@ -179,6 +192,58 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
+  }
+
+  /**
+   * Lloyd's k-means over the embedding column — trains the codebook the
+   * seeded stand-in of [[ivfTopK]] leaves open. Per iteration: one
+   * broadcast-assign pass (narrow — the codebook is numCentroids rows) and
+   * one two-level aggregation for the new means (shuffle keyed on
+   * (cluster, dimension), so recompute cost is independent of how skewed
+   * the clusters are). Cluster ids stay the seed centroid's vec_id; empty
+   * clusters drop out of the codebook (standard Lloyd degeneracy handling).
+   *
+   * Determinism across engines: per-dimension means are SEQUENTIAL double
+   * folds in vec_id order (collect → sort → fold, not a parallel sum — the
+   * float-sum order would otherwise be partition-timing dependent), then
+   * rounded to float. That makes the trained codebook bit-reproducible by
+   * the DuckDB oracle. At extreme cluster sizes the collect_list bounds
+   * this to one cluster-dimension's values per group — the standard
+   * mergeable-mean tradeoff would drop determinism, so it's opt-out by
+   * design here.
+   */
+  def kmeansCodebook(embeddings: DataFrame, numCentroids: Int = 8,
+                     iters: Int = 1): DataFrame = {
+    val base = withNorms(embeddings).persist()
+    var cents = initCentroids(base, numCentroids)
+    for (_ <- 0 until iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("arank", centRank).filter(col("arank") === 1)
+        .select(col("cent_id").as("cluster"), col("vec_id"), col("embedding"))
+      val dimMeans = assigned
+        .select(col("cluster"), col("vec_id"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(
+          expr("""aggregate(array_sort(collect_list(struct(vec_id, col))),
+                 |  CAST(0 AS DOUBLE), (a, s) -> a + CAST(s.col AS DOUBLE))""".stripMargin)
+            .as("sm"),
+          count(lit(1)).as("cnt"))
+        .withColumn("m", (col("sm") / col("cnt")).cast("float"))
+      cents = dimMeans
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cent_emb"))
+        .select(col("cluster").as("cent_id"), col("cent_emb"),
+          norm("cent_emb").as("cent_nrm"))
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with a k-means-trained codebook instead of the seed one. */
+  def ivfTopKTrained(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                     numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 1): DataFrame = {
+    val base = withNorms(embeddings).persist()
+    ivfSearch(base, kmeansCodebook(embeddings, numCentroids, iters), numQueries, k, nprobe)
   }
 
   /** Exact all-pairs near-dup baseline (correctness reference; O(n²) —

@@ -155,6 +155,74 @@ object TextAnalysis {
         element_at(col("qs"), 3).as("p75"))
 
   /**
+   * Term/document frequencies — the integer substrate of tf-idf / BM25.
+   * Two aggregations: tf per (doc, token), then df per token derived from
+   * tf (so df counts documents, not occurrences). The df side is
+   * vocab-sized; the join back to tf is left to the planner — AQE picks a
+   * broadcast join whenever the vocabulary fits, and degrades to a
+   * shuffled hash join (both sides already partitioned by token) when a
+   * 100 TB corpus's vocabulary doesn't.
+   */
+  def termDocFreq(docs: DataFrame): DataFrame = {
+    val ex = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("token"))
+    val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, "token").select(col("doc_id"), col("token"), col("tf"), col("df"))
+  }
+
+  /**
+   * BM25 relevance scores for every (document, token) pair:
+   * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with the
+   * Robertson-Sparck Jones idf `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+   * Corpus scalars (N, avgdl) ride along via a broadcast single-row cross
+   * join — never a driver-side collect. The arithmetic is pure double
+   * IEEE chains off integer inputs, so scores are deterministic; only the
+   * final `ln` can differ from another engine in the last ulp (hence the
+   * oracle compares the score rounded, and the exact values are pinned by
+   * a ScalaTest instead).
+   */
+  def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = withTokens(docs).select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    termDocFreq(docs)
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("dl"), col("score"))
+  }
+
+  /**
+   * Token frequencies estimated through a count-min sketch
+   * ([[graft.functions.CountMinSketchAgg]]), next to the exact counts for
+   * error inspection. The sketch is ONE fixed-size row aggregated from the
+   * full token stream (mergeable partials — the 100 TB path: no per-key
+   * state, one reduce to a `depth×width` matrix); estimates are then read
+   * back with plain SQL `element_at` against the broadcast sketch. The
+   * exact-count side exists for the oracle/error column — a production
+   * pipeline would keep only the sketch.
+   */
+  def cmsTokenCounts(docs: DataFrame, width: Int = 256, depth: Int = 4): DataFrame = {
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    val P = 4294967311L
+    val hashed = withTokens(docs)
+      .select(explode(col("toks")).as("token"))
+      .withColumn("h", hash32(col("token")))
+    val sketch = hashed.agg(expr(s"graft_cms(h)").as("cms"))
+    val perToken = hashed.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact"), min(col("h")).as("h"))
+    val estJ = (0 until depth).map { j =>
+      expr(s"element_at(cms, CAST((${2 * j + 1} * h + ${104729L * j + 12345L}) % $P % $width AS INT) + ${j * width} + 1)")
+    }
+    perToken.crossJoin(broadcast(sketch))
+      .withColumn("est", least(estJ: _*))
+      .select(col("token"), col("exact"), col("est"))
+  }
+
+  /**
    * PII/noise scrubbing: mask email-like tokens, long digit runs, and
    * URL-like tokens — the regexp_replace cleaning layer of corpus prep.
    * Patterns kept to the regex subset with identical semantics across

@@ -46,6 +46,9 @@ object SketchExprs {
       case other => throw new IllegalArgumentException(
         "graft_shingle_hash(tokens, <int literal>) — got " + other)
     }, "built-in")
+    // aggregate: the analyzer wraps a bare AggregateFunction in Complete mode
+    reg.createOrReplaceTempFunction("graft_cms",
+      exprs => CountMinSketchAgg(exprs.head), "built-in")
   }
 }
 

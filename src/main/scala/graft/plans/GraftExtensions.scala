@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductFloat, HashedShingles, HashedTokens, MinHashSignature, RepetitionStats, SimHash32}
+import graft.functions.{CountMinSketchAgg, DotProductFloat, HashedShingles, HashedTokens, MinHashSignature, RepetitionStats, SimHash32}
 
 /**
  * The 100 TB switch for exact distincts (SURVEY.md §7.4): an optimizer rule
@@ -83,5 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_shingle_hash(tokens, <int literal>) — got $other")
       }))
+    e.injectFunction((FunctionIdentifier("graft_cms"),
+      info("graft_cms", classOf[CountMinSketchAgg]),
+      (exprs: Seq[Expression]) => CountMinSketchAgg(exprs.head)))
   }
 }

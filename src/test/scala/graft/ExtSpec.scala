@@ -71,6 +71,50 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("bm25: exact score on a hand-computed corpus") {
+    // d1 = "a b a", d2 = "a c": N=2, avgdl=2.5
+    val d = Seq((1L, "a b a", "en"), (2L, "a c", "en")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bm25(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) -> r.getAs[Double]("score"))
+      .toMap
+    def score(tf: Long, df: Long, dl: Int): Double = {
+      val idf = math.log(1.0 + (2L - df + 0.5) / (df + 0.5))
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 2.5))
+    }
+    assert(got((1L, "a")) === score(2, 2, 3)) // tf=2, df=2, dl=3
+    assert(got((1L, "b")) === score(1, 1, 3))
+    assert(got((2L, "c")) === score(1, 1, 2))
+    assert(got.size === 4)
+  }
+
+  test("count-min sketch: estimates dominate exact counts and match them when collision-free") {
+    // force many partitions so partial sketches really merge
+    val d = docs.repartition(8)
+    val out = TextAnalysis.cmsTokenCounts(d).collect()
+      .map(r => r.getAs[String]("token") -> (r.getAs[Long]("exact"), r.getAs[Long]("est"))).toMap
+    out.values.foreach { case (exact, est) => assert(est >= exact) } // CMS never undercounts
+    // tiny vocab in a 4x256 sketch: no collisions, estimates exact
+    assert(out("the") === ((6L, 6L)))
+    assert(out.values.forall { case (exact, est) => est === exact })
+  }
+
+  test("k-means codebook: one iteration pulls the centroid to the cluster mean") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),   // seeds
+      (2L, Array(1.0f, 0.1f)), (3L, Array(1.0f, -0.1f)),  // cluster around seed 0
+      (4L, Array(0.1f, 1.0f)))                            // joins seed 1
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCodebook(vecs, numCentroids = 2, iters = 1).collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getSeq[Float](1)).toMap
+    assert(cents.keySet === Set(0L, 1L))
+    // cluster 0 = {0,2,3}: mean = (1.0, 0.0)
+    assert(cents(0L)(0) === 1.0f)
+    assert(math.abs(cents(0L)(1) - 0.0f) < 1e-6f)
+    // cluster 1 = {1,4}: mean = (0.05, 1.0)
+    assert(math.abs(cents(1L)(0) - 0.05f) < 1e-6f)
+    assert(cents(1L)(1) === 1.0f)
+  }
+
   test("multimodal decode stub: deterministic features, correct byte counts") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.decodeStub(spark, media).collect().sortBy(_.doc_id)
