@@ -181,7 +181,10 @@ object Dedup {
           col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
         expr("bit_count(sh1 ^ sh2)").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so the threshold commutes
+      // with the dedup — filtering FIRST keeps far-apart pairs (the bulk of
+      // band collisions) out of the distinct's shuffle entirely
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -78,4 +78,31 @@ object StreamJob {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /**
+   * Stream-static enrichment join (one of SURVEY §2.7's "absent streaming
+   * machinery" upgrades): every micro-batch joins the static dimension —
+   * stateless, and with `broadcast` on the dim side the stream is never
+   * shuffled. At cluster scale this is the stream-side dimension lookup
+   * (user profile, item catalog); a dim too big to broadcast degrades to a
+   * per-batch shuffled join, still stateless.
+   */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       key: String, joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
+
+  /**
+   * Streaming count-min sketch over a key column
+   * ([[graft.functions.CountMinSketchAgg]]): per-trigger the sketch row
+   * holds estimated counts over the WHOLE stream so far (complete/update
+   * output) — bounded state (depth×width longs) no matter how many
+   * distinct keys the stream carries, the streaming half of the
+   * heavy-hitter story next to the batch `ext.SpaceSavingTopK`.
+   */
+  def streamingCms(events: DataFrame, keyCol: String): DataFrame = {
+    graft.functions.SketchExprs.register(events.sparkSession)
+    events
+      .select(graft.ext.TextAnalysis.hash32(col(keyCol)).as("h"))
+      .agg(expr("graft_cms(h)").as("cms"))
+  }
 }

@@ -54,6 +54,53 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("events_in_session") === 1L)
   }
 
+  test("stream-static join enriches each micro-batch from the static dim without state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val dim = Seq(("i1", 9.99), ("i2", 5.00)).toDF("itemid", "price")
+    val q = StreamJob.enrichWithStatic(ms.toDF(), dim, "itemid")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      ms.addData(Ev("u1", ts(10), "view", "i1"), Ev("u2", ts(20), "view", "i3"))
+      q.processAllAvailable()
+      ms.addData(Ev("u3", ts(30), "view", "i2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => r.getAs[String]("itemid") ->
+        (if (r.isNullAt(r.fieldIndex("price"))) null else r.getAs[Double]("price"))).toMap
+    assert(got === Map("i1" -> 9.99, "i2" -> 5.0, "i3" -> null)) // left join keeps unmatched
+  }
+
+  test("streaming CMS: sketch state merges across micro-batches (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamJob.streamingCms(ms.toDF(), "itemid")
+      .writeStream.outputMode("complete").format("memory").queryName("cms_stream").start()
+    try {
+      ms.addData(Ev("u1", ts(10), "view", "hot"), Ev("u1", ts(20), "view", "hot"))
+      q.processAllAvailable()
+      ms.addData(Ev("u2", ts(30), "view", "hot"), Ev("u2", ts(40), "view", "cold"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sketch = spark.table("cms_stream").collect().head.getSeq[Long](0)
+    assert(sketch.length === 4 * 256)
+    assert(sketch.sum === 4L * 4L) // 4 events x depth increments, across both batches
+    // estimate("hot") = 3 (both batches merged into one sketch row)
+    def est(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+              ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      (0 until 4).map { j =>
+        val b = (((2L * j + 1) * h + (104729L * j + 12345L)) % 4294967311L % 256L).toInt
+        sketch(j * 256 + b)
+      }.min
+    }
+    assert(est("hot") === 3L)
+    assert(est("cold") === 1L)
+  }
+
   test("exact-gap boundary: session_window MERGES two events exactly 1800.000000s apart") {
     // pins the inclusivity rule the q_global_sessions oracle depends on:
     // session_window extends a session through an event at exactly
