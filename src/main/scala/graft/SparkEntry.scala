@@ -69,6 +69,7 @@ object SparkEntry {
     "q_value_stats" -> (Relational.valueStatsByType _),
     "q_asof_last_order" -> (Relational.eventsWithLastOrder _),
     "q_asof_last_order_exec" -> (Relational.eventsWithLastOrderExec _),
+    "q_range_orders_week" -> (Relational.eventsWithRecentOrders _),
     "q_orders_cube" -> (Relational.ordersCube _),
     "q_ship_delay" -> (Relational.shipDelayByPriority _),
     "q_event_pivot" -> (Relational.eventPivot _),
@@ -399,6 +400,21 @@ object SparkEntry {
         |    r.okey AS last_order_key, r.o_orderdate AS last_order_date
         |FROM e ASOF LEFT JOIN r
         |  ON e.visitorid = CAST(r.o_custkey AS VARCHAR) AND r.o_orderdate <= e.event_time""".stripMargin,
+    // the binned range join must agree with DuckDB's direct inequality join
+    "q_range_orders_week" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS visitorid, ts AS event_time FROM events
+        |), o AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS ck, o_orderdate, o_orderkey FROM orders
+        |), m AS (
+        |  SELECT e.event_id, count(o.o_orderkey) AS n_recent_orders,
+        |    max(o.o_orderkey) AS last_recent_key
+        |  FROM e LEFT JOIN o ON e.visitorid = o.ck
+        |    AND o.o_orderdate <= e.event_time
+        |    AND o.o_orderdate >= e.event_time - INTERVAL 7 DAY
+        |  GROUP BY e.event_id
+        |) SELECT e.event_id, e.visitorid, e.event_time, m.n_recent_orders, m.last_recent_key
+        |FROM e JOIN m ON e.event_id = m.event_id""".stripMargin,
     "q_orders_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

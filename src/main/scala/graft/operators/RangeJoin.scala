@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Banded (interval) range join: all (left, right) pairs with equal keys and
+ * `rightTime` in `[leftTime - window, leftTime]` — the "what happened in
+ * the last N days before this event" enrichment, the second temporal join
+ * Spark has no built-in operator for (the first, as-of, is
+ * [[AsOfJoin]]/[[graft.plans.AsOfJoinExec]]).
+ *
+ * The naive formulation — `l.join(r, keyEq && between)` — carries the
+ * BETWEEN as a non-equi predicate, so Spark plans a per-key cross product
+ * (or a broadcast nested loop): |L|·|R| work per key, a blowup at any real
+ * scale. This is the standard binned decomposition instead: bucket the time
+ * axis at `window` granularity, replicate each LEFT row to the (at most
+ * two) buckets its window can reach, land each RIGHT row in exactly one
+ * bucket, and join as a plain EQUI-join on (key, bucket) with the precise
+ * BETWEEN as a residual filter. Shuffle and probe work are proportional to
+ * genuine bucket co-occurrences; each qualifying pair appears exactly once
+ * because the right row owns a single bucket.
+ *
+ * Returns inner-join pairs (left columns + right columns). For left-outer
+ * semantics aggregate the pairs and join back onto the left table — the
+ * two-bucket replication would otherwise emit duplicate null-padded rows
+ * for unmatched left rows (see `Relational.eventsWithRecentOrders`).
+ *
+ * Time columns must be timestamps (or anything `unix_timestamp` accepts);
+ * null times on either side never match (the residual BETWEEN is NULL).
+ */
+object RangeJoin {
+
+  def apply(left: DataFrame, right: DataFrame,
+            leftKey: String, rightKey: String,
+            leftTime: String, rightTime: String,
+            windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"window must be positive, got $windowSeconds")
+    // bins from floor-seconds: rightTime >= leftTime - window implies the
+    // right bin is in {leftBin - 1, leftBin} (window = bin width), so two
+    // replicas per left row always suffice
+    val l = left.withColumn("_bin",
+      explode(array_distinct(array(
+        floor((unix_timestamp(col(leftTime)) - windowSeconds) / windowSeconds),
+        floor(unix_timestamp(col(leftTime)) / windowSeconds)))))
+    val r = right.withColumn("_bin",
+      floor(unix_timestamp(col(rightTime)) / windowSeconds))
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("_bin") === r("_bin") &&
+          r(rightTime) <= l(leftTime) &&
+          r(rightTime) >= l(leftTime) - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("_bin")
+  }
+}

@@ -169,6 +169,32 @@ object Relational {
         col("o_orderdate").as("last_order_date"))
   }
 
+  /** Range-join enrichment (the binned interval join,
+    * [[graft.operators.RangeJoin]]): per event, how many orders — and the
+    * latest — the visitor placed in the 7 days ending at the event. Pairs
+    * come from the equi-join-on-(key, bucket) decomposition, then the
+    * left-outer semantics are restored by aggregating the pairs and joining
+    * back onto events (events with no recent order keep n=0 / null key). */
+  def eventsWithRecentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id").cast("string").as("visitorid"),
+      expr(Tables.eventTimeExpr).as("event_time"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").cast("string").as("ck"), col("o_orderdate"), col("o_orderkey"))
+    val pairs = graft.operators.RangeJoin(e, o,
+      leftKey = "visitorid", rightKey = "ck",
+      leftTime = "event_time", rightTime = "o_orderdate",
+      windowSeconds = 7L * 86400L)
+    val agg = pairs.groupBy(col("event_id"))
+      .agg(count(col("o_orderkey")).as("n_recent_orders"),
+        max(col("o_orderkey")).as("last_recent_key"))
+    e.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("visitorid"), col("event_time"),
+        coalesce(col("n_recent_orders"), lit(0L)).as("n_recent_orders"),
+        col("last_recent_key"))
+  }
+
   /** Cross-table temporal relation: ship delay (days between order date and
     * each lineitem's ship date) aggregated per order priority — exact
     * integer day arithmetic on both engines. */

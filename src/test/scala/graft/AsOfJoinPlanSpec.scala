@@ -1,10 +1,29 @@
 package graft
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
-/** The custom sort-merge as-of operator vs the union+window composition. */
+/** The custom sort-merge as-of operator vs the union+window composition,
+  * plus the binned range join's boundary behavior. */
 class AsOfJoinPlanSpec extends SparkSpec {
   import spark.implicits._
+
+  test("range join: inclusive window bounds, cross-bin matches, no duplicate pairs") {
+    // window = 100s; bins are 100s wide
+    val left = Seq(("u1", ts(250), "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      ("u1", ts(150), "exact-lower"),   // t - 100: included (>=)
+      ("u1", ts(149), "below"),         // just outside
+      ("u1", ts(199), "cross-bin"),     // bin 1, left is bin 2 - found via replica
+      ("u1", ts(250), "exact-upper"),   // == t: included (<=)
+      ("u1", ts(251), "above"),         // future: excluded
+      ("u2", ts(200), "other-key"))
+      .toDF("k", "t", "what")
+    val got = RangeJoin(left,
+        right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
+        "k", "rk", "t", "rt", windowSeconds = 100)
+      .select($"what").collect().map(_.getString(0)).sorted
+    assert(got === Array("cross-bin", "exact-lower", "exact-upper"))
+  }
 
   private def frames() = {
     val left = Seq(
