@@ -124,6 +124,8 @@ object SparkEntry {
       .withColumn("score_r6", round(col("score"), 6)).drop("score")),
     "q_cms_counts" -> ((s, d) => TextAnalysis.cmsTokenCounts(Tables.documents(s, d))),
     "q_ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfTopKTrained(Tables.embeddings(s, d))),
+    "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -626,6 +628,23 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
         |  FROM sc
         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN 50 ELSE 100 END AS keep_rate
+        |FROM documents
+        |WHERE ${h32("text")} % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END""".stripMargin,
+    // quantization arithmetic mirrored op-for-op: q = round(x / (amax/127))
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |) SELECT vec_id,
+        |  CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127 END AS scale,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(round(CASE WHEN amax = 0 THEN CAST(0 AS DOUBLE)
+        |                    ELSE CAST(x AS DOUBLE) / (amax / 127) END) AS INTEGER)), ',') AS qvec_str
+        |FROM s""".stripMargin,
     // NOTE: session_window splits on the FULL-precision gap (> 1800s in
     // microseconds), not the reference's floor-seconds diff — its oracle
     // therefore uses epoch_us arithmetic, unlike the SESS family. The two

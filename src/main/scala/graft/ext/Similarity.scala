@@ -246,6 +246,26 @@ object Similarity {
     ivfSearch(base, kmeansCodebook(embeddings, numCentroids, iters), numQueries, k, nprobe)
   }
 
+  /**
+   * Symmetric int8 quantization of the embedding column: per vector,
+   * `scale = max|x| / 127` and `q_i = round(x_i / scale)` ∈ [-127, 127] —
+   * the 4× storage/bandwidth shrink an ANN index applies before sharding.
+   * Deterministic double arithmetic (abs/max/divide/round are all exact or
+   * IEEE single-op), so quantized codes are engine-reproducible. The codes
+   * are emitted as a joined string (harness-sortable); `scale` rides along
+   * for dequantization. Zero vectors quantize to all-zero codes, scale 0.
+   */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("amax", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .select(
+        col("vec_id"),
+        when(col("amax") === 0.0, lit(0.0)).otherwise(col("amax") / lit(127)).as("scale"),
+        expr("""concat_ws(',', transform(embedding, x ->
+               |  CAST(round(CASE WHEN amax = 0.0D THEN 0.0D
+               |                  ELSE CAST(x AS DOUBLE) / (amax / 127) END) AS INT)))""".stripMargin)
+          .as("qvec_str"))
+
   /** Exact all-pairs near-dup baseline (correctness reference; O(n²) —
     * verification scale only, the LSH variant is the production path). */
   def bruteForceNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

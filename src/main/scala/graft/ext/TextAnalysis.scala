@@ -223,6 +223,26 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic stratified sampling: per-stratum keep rates (percent)
+   * applied via the portable content hash, so the SAME documents are kept
+   * on every engine, every run, at any parallelism — the reproducible
+   * corpus-rebalancing primitive (e.g. downsample the dominant language).
+   * Unlisted strata keep `defaultRatePct`. Pure narrow projection+filter:
+   * no shuffle, no RNG state.
+   */
+  def stratifiedSample(docs: DataFrame,
+                       ratesPct: Map[String, Int] = Map("en" -> 50),
+                       defaultRatePct: Int = 100): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(defaultRatePct)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("keep_rate", rate)
+      .filter(pmod(hash32(col("text")), lit(100)) < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("keep_rate"))
+  }
+
+  /**
    * PII/noise scrubbing: mask email-like tokens, long digit runs, and
    * URL-like tokens — the regexp_replace cleaning layer of corpus prep.
    * Patterns kept to the regex subset with identical semantics across

@@ -115,6 +115,33 @@ class ExtSpec extends SparkSpec {
     assert(cents(1L)(1) === 1.0f)
   }
 
+  test("int8 quantization: scale from max component, deterministic codes, zero-vector safe") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.2f, 0.6f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("scale"), r.getAs[String]("qvec_str")))).toMap
+    assert(out(0L)._1 === 1.0 / 127)
+    assert(out(0L)._2 === "127,-25,76") // round(±x*127) with max|x|=1
+    assert(out(1L) === ((0.0, "0,0,0"))) // zero vector: scale 0, all-zero codes
+  }
+
+  test("stratified sample is deterministic and keeps full-rate strata intact") {
+    val d = Seq(
+      (0L, "alpha beta gamma", "en"), (1L, "delta epsilon zeta", "en"),
+      (2L, "eta theta iota", "en"), (3L, "kappa lambda mu", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val once = TextAnalysis.stratifiedSample(d).collect().map(_.getLong(0)).sorted
+    val twice = TextAnalysis.stratifiedSample(d).collect().map(_.getLong(0)).sorted
+    assert(once === twice)            // hash-based: no RNG, same docs every run
+    assert(once.contains(3L))         // fr at 100% always kept
+    val kept = TextAnalysis.stratifiedSample(d, ratesPct = Map("en" -> 0))
+      .collect().map(_.getLong(0))
+    assert(kept === Array(3L))        // en at 0%: only the fr doc survives
+  }
+
   test("multimodal decode stub: deterministic features, correct byte counts") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.decodeStub(spark, media).collect().sortBy(_.doc_id)
