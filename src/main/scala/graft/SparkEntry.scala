@@ -125,6 +125,8 @@ object SparkEntry {
     "q_cms_counts" -> ((s, d) => TextAnalysis.cmsTokenCounts(Tables.documents(s, d))),
     "q_ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfTopKTrained(Tables.embeddings(s, d))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    // small budget so sf0.01's short docs still spread over multiple packs
+    "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d), 512)),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
   )
 
@@ -628,6 +630,17 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
         |  FROM sc
         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
+    "q_pack_sequences" -> (TOK +
+      """, tk AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens FROM tok
+        |), cb AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM tk
+        |) SELECT doc_id, lang, n_tokens, cum_before,
+        |  cum_before // 512 AS pack_id, cum_before % 512 AS offset_in_pack
+        |FROM cb""".stripMargin),
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang,
         |  CASE WHEN lang = 'en' THEN 50 ELSE 100 END AS keep_rate

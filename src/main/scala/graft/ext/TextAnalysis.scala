@@ -243,6 +243,31 @@ object TextAnalysis {
   }
 
   /**
+   * Training-sequence packing: assign each document a (pack_id, offset)
+   * inside fixed token-budget packs, computed from the exclusive running
+   * token count in deterministic (lang, doc_id) order — the layout step
+   * before writing training shards. A document straddling a boundary
+   * starts the next pack's id at its running offset (streaming-chunking
+   * semantics; exact first-fit would need a stateful scan — the
+   * sessionization machinery — for marginal packing gain).
+   *
+   * Scale note: the running sum windows PER LANG (any shard key works), so
+   * no global single-partition window; packs are local to their stratum,
+   * which is how shards are laid out anyway.
+   */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("cum_before"))
+      .withColumn("pack_id", expr(s"cum_before DIV $budgetTokens"))
+      .withColumn("offset_in_pack", col("cum_before") % budgetTokens)
+  }
+
+  /**
    * PII/noise scrubbing: mask email-like tokens, long digit runs, and
    * URL-like tokens — the regexp_replace cleaning layer of corpus prep.
    * Patterns kept to the regex subset with identical semantics across

@@ -142,6 +142,22 @@ class ExtSpec extends SparkSpec {
     assert(kept === Array(3L))        // en at 0%: only the fr doc survives
   }
 
+  test("sequence packing: offsets accumulate in doc order, pack ids advance at the budget") {
+    val d = Seq(
+      (0L, "a b c", "en"),       // 3 tokens -> pack 0, offset 0
+      (1L, "d e f g", "en"),     // cum 3    -> pack 0, offset 3
+      (2L, "h i", "en"),         // cum 7    -> pack 0 boundary: 7 DIV 6 = 1
+      (3L, "j", "fr"))           // separate stratum restarts at 0
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.packSequences(d, budgetTokens = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pack_id"), r.getAs[Long]("offset_in_pack")))).toMap
+    assert(out(0L) === ((0L, 0L)))
+    assert(out(1L) === ((0L, 3L)))
+    assert(out(2L) === ((1L, 1L))) // cum_before 7: next pack, straddle offset 1
+    assert(out(3L) === ((0L, 0L)))
+  }
+
   test("multimodal decode stub: deterministic features, correct byte counts") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.decodeStub(spark, media).collect().sortBy(_.doc_id)
