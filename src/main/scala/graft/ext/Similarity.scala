@@ -213,8 +213,13 @@ object Similarity {
    * design here.
    */
   def kmeansCodebook(embeddings: DataFrame, numCentroids: Int = 8,
-                     iters: Int = 1): DataFrame = {
-    val base = withNorms(embeddings).persist()
+                     iters: Int = 1): DataFrame =
+    kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
+
+  /** Lloyd's iterations over an already-normed (and ideally persisted)
+    * base — lets callers that also search share ONE normed corpus scan. */
+  private def kmeansFromBase(base: DataFrame, numCentroids: Int,
+                             iters: Int): DataFrame = {
     var cents = initCentroids(base, numCentroids)
     for (_ <- 0 until iters) {
       val assigned = base.crossJoin(broadcast(cents))
@@ -239,11 +244,12 @@ object Similarity {
     cents
   }
 
-  /** [[ivfTopK]] with a k-means-trained codebook instead of the seed one. */
+  /** [[ivfTopK]] with a k-means-trained codebook instead of the seed one —
+    * training and search share one persisted normed corpus. */
   def ivfTopKTrained(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                      numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 1): DataFrame = {
     val base = withNorms(embeddings).persist()
-    ivfSearch(base, kmeansCodebook(embeddings, numCentroids, iters), numQueries, k, nprobe)
+    ivfSearch(base, kmeansFromBase(base, numCentroids, iters), numQueries, k, nprobe)
   }
 
   /**

@@ -208,12 +208,17 @@ object TextAnalysis {
   def cmsTokenCounts(docs: DataFrame, width: Int = 256, depth: Int = 4): DataFrame = {
     graft.functions.SketchExprs.register(docs.sparkSession)
     val P = 4294967311L
-    val hashed = withTokens(docs)
+    // one scan: the exact per-token counts feed the sketch as WEIGHTED
+    // inserts (value-identical to count-many +1 updates on the raw stream —
+    // a sketch-only production pipeline would instead graft_cms(h) straight
+    // off the token stream with no groupBy at all, see StreamJob.streamingCms)
+    val perToken = withTokens(docs)
       .select(explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact"))
       .withColumn("h", hash32(col("token")))
-    val sketch = hashed.agg(expr(s"graft_cms(h)").as("cms"))
-    val perToken = hashed.groupBy(col("token"))
-      .agg(count(lit(1)).as("exact"), min(col("h")).as("h"))
+      .persist()
+    val sketch = perToken.agg(expr(s"graft_cms(h, exact, $width, $depth)").as("cms"))
     val estJ = (0 until depth).map { j =>
       expr(s"element_at(cms, CAST((${2 * j + 1} * h + ${104729L * j + 12345L}) % $P % $width AS INT) + ${j * width} + 1)")
     }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -33,18 +33,22 @@ import org.apache.spark.sql.types._
  */
 case class CountMinSketchAgg(
     child: Expression,
+    weight: Expression = org.apache.spark.sql.catalyst.expressions.Literal(1L, LongType),
     width: Int = 256,
     depth: Int = 4,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
 
   val Prime: Long = 4294967311L // same universal-hash prime as MinHashSignature
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_cms expects a bigint pre-hashed key (use graft.TextAnalysis.hash32), got $t")
+  override def left: Expression = child
+  override def right: Expression = weight
+
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, weight.dataType) match {
+    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (c, w) => TypeCheckResult.TypeCheckFailure(
+      s"graft_cms expects (bigint pre-hashed key[, bigint weight]) — use graft.TextAnalysis.hash32 — got ($c, $w)")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -55,14 +59,18 @@ case class CountMinSketchAgg(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
+    val w = weight.eval(input)
+    // weighted insert: a pre-aggregated (key, count) stream updates in one
+    // row what per-occurrence streams update count times — same sketch
+    if (v != null && w != null) {
       val h = v.asInstanceOf[Long]
+      val inc = w.asInstanceOf[Long]
       var j = 0
       while (j < depth) {
         // floorMod: negative caller-supplied hashes must still land in-range
         val b = java.lang.Math.floorMod(
           java.lang.Math.floorMod((2L * j + 1L) * h + (104729L * j + 12345L), Prime), width.toLong).toInt
-        buf(j * width + b) += 1L
+        buf(j * width + b) += inc
         j += 1
       }
     }
@@ -93,6 +101,23 @@ case class CountMinSketchAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, weight = newRight)
+}
+
+object CountMinSketchAgg {
+  /** SQL-registry builder: `graft_cms(hash)`, `graft_cms(hash, weight)`,
+    * or `graft_cms(hash, weight, <width literal>, <depth literal>)`. */
+  def fromExprs(exprs: Seq[Expression]): CountMinSketchAgg = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs match {
+      case Seq(h) => CountMinSketchAgg(h)
+      case Seq(h, w) => CountMinSketchAgg(h, w)
+      case Seq(h, w, Literal(wd: Int, IntegerType), Literal(dp: Int, IntegerType)) =>
+        CountMinSketchAgg(h, w, wd, dp)
+      case other => throw new IllegalArgumentException(
+        "graft_cms(hash[, weight[, <width literal>, <depth literal>]]) — got " + other)
+    }
+  }
 }

@@ -48,7 +48,7 @@ object SketchExprs {
     }, "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction in Complete mode
     reg.createOrReplaceTempFunction("graft_cms",
-      exprs => CountMinSketchAgg(exprs.head), "built-in")
+      CountMinSketchAgg.fromExprs, "built-in")
   }
 }
 
@@ -128,11 +128,15 @@ case class SimHash32(child: Expression)
     val counts = new Array[Int](32)
     var i = 0
     while (i < hs.numElements()) {
-      val h = hs.getLong(i)
-      var k = 0
-      while (k < 32) {
-        if (((h >> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-        k += 1
+      // null hashes (e.g. from graft_token_hash over tokens with nulls)
+      // cast no votes — getLong on a null slot would read garbage as 0
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var k = 0
+        while (k < 32) {
+          if (((h >> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
       }
       i += 1
     }
@@ -152,6 +156,7 @@ case class SimHash32(child: Expression)
       s"""
          |int[] $counts = new int[32];
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  long $h = $a.getLong($i);
          |  for (int $k = 0; $k < 32; $k++) {
          |    if ((($h >> $k) & 1L) == 1L) $counts[$k]++; else $counts[$k]--;
@@ -192,12 +197,15 @@ case class MinHashSignature(child: Expression)
     val sig = Array.fill(NumPerms)(Long.MaxValue)
     var i = 0
     while (i < hs.numElements()) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < NumPerms) {
-        val v = ((2L * j + 1L) * h + (104729L * j + 12345L)) % Prime
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      // null hashes contribute to no permutation minimum (see SimHash32)
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < NumPerms) {
+          val v = ((2L * j + 1L) * h + (104729L * j + 12345L)) % Prime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -215,6 +223,7 @@ case class MinHashSignature(child: Expression)
          |long[] $sig = new long[$NumPerms];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $NumPerms; $j++) {
          |    long $v = ((2L * $j + 1L) * $h + (104729L * $j + 12345L)) % ${Prime}L;

@@ -43,8 +43,14 @@ object AsOfJoin {
     }
     val lp = left.queryExecution.analyzed
     // null right times have no as-of meaning (mirrors apply() and the DuckDB
-    // oracle's `<=`, which is NULL on null) — filter them before planning
-    val rp = right.filter(col(rightTime).isNotNull).queryExecution.analyzed
+    // oracle's `<=`, which is NULL on null), and a null right KEY can never
+    // satisfy SQL equality — filter both before planning. A null-key LEFT
+    // row then finds no equal right key in the merge (the exec's natural
+    // ordering would otherwise treat null == null as a match, which SQL
+    // equality never does) and emits unmatched, as required.
+    val rp = right
+      .filter(col(rightTime).isNotNull && col(rightKey).isNotNull)
+      .queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
@@ -63,8 +69,11 @@ object AsOfJoin {
       col(leftKey).cast("string").as("_k"), col(leftTime).as("_t"),
       lit(1).as("_typ"), leftPayload.as("_l"))
     // null right times sort nulls-first and would wrongly match as "latest";
-    // ASOF semantics (and the DuckDB oracle's `<=` predicate) exclude them
-    val r = right.filter(col(rightTime).isNotNull).select(
+    // ASOF semantics (and the DuckDB oracle's `<=` predicate) exclude them.
+    // Null right keys are excluded too: the union's partitionBy groups null
+    // keys together, but SQL equality (`l.key = r.key`) is never true for
+    // nulls — a null-key left row must emit unmatched
+    val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull).select(
       col(rightKey).cast("string").as("_k"), col(rightTime).as("_t"),
       lit(0).as("_typ"), rightPayload.as("_r"))
 

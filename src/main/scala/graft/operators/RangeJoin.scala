@@ -36,15 +36,26 @@ object RangeJoin {
             leftTime: String, rightTime: String,
             windowSeconds: Long): DataFrame = {
     require(windowSeconds > 0, s"window must be positive, got $windowSeconds")
+    // Bin seconds come from timestampdiff against a fixed same-type anchor,
+    // NOT unix_timestamp: unix_timestamp interprets TIMESTAMP_NTZ in the
+    // session timezone, and a DST transition inside the window would make
+    // the bin axis non-uniform — a qualifying pair could land 2 bins apart
+    // and silently vanish. timestampdiff(SECOND, ...) is a pure linear
+    // difference for NTZ, and for instant-typed columns the anchor offset
+    // is a constant, so bins stay uniform either way.
+    def binSecs(df: DataFrame, timeCol: String) = {
+      val anchor = s"CAST('1970-01-01 00:00:00' AS ${df.schema(timeCol).dataType.sql})"
+      expr(s"timestampdiff(SECOND, $anchor, $timeCol)")
+    }
     // bins from floor-seconds: rightTime >= leftTime - window implies the
     // right bin is in {leftBin - 1, leftBin} (window = bin width), so two
     // replicas per left row always suffice
     val l = left.withColumn("_bin",
       explode(array_distinct(array(
-        floor((unix_timestamp(col(leftTime)) - windowSeconds) / windowSeconds),
-        floor(unix_timestamp(col(leftTime)) / windowSeconds)))))
+        floor((binSecs(left, leftTime) - windowSeconds) / windowSeconds),
+        floor(binSecs(left, leftTime) / windowSeconds)))))
     val r = right.withColumn("_bin",
-      floor(unix_timestamp(col(rightTime)) / windowSeconds))
+      floor(binSecs(right, rightTime) / windowSeconds))
     l.join(r,
         l(leftKey) === r(rightKey) && l("_bin") === r("_bin") &&
           r(rightTime) <= l(leftTime) &&

@@ -85,6 +85,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction((FunctionIdentifier("graft_cms"),
       info("graft_cms", classOf[CountMinSketchAgg]),
-      (exprs: Seq[Expression]) => CountMinSketchAgg(exprs.head)))
+      (exprs: Seq[Expression]) => CountMinSketchAgg.fromExprs(exprs)))
   }
 }

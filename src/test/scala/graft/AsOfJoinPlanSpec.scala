@@ -63,14 +63,16 @@ class AsOfJoinPlanSpec extends SparkSpec {
       ex.getMessage)
   }
 
-  test("null times never match: null-time right rows are ignored, null-time left rows unmatched") {
+  test("null times/keys never match: SQL equality semantics, not null==null grouping") {
     val left = Seq(
-      ("u1", Some(ts(100)), "e1"),
-      ("u1", None: Option[java.sql.Timestamp], "e2")) // null left time
+      (Some("u1"), Some(ts(100)), "e1"),
+      (Some("u1"), None: Option[java.sql.Timestamp], "e2"), // null left time
+      (None: Option[String], Some(ts(100)), "e3"))          // null left KEY
       .toDF("k", "t", "ev")
     val right = Seq(
-      ("u1", None: Option[java.sql.Timestamp], "r0"), // null right time: would sort first and wrongly win as "epoch 0"
-      ("u1", Some(ts(90)), "r1"))
+      (Some("u1"), None: Option[java.sql.Timestamp], "r0"), // null right time: would sort first and wrongly win as "epoch 0"
+      (Some("u1"), Some(ts(90)), "r1"),
+      (None: Option[String], Some(ts(90)), "r2"))           // null right KEY: must never match e3
       .toDF("k", "t", "payload")
     for (df <- Seq(
         AsOfJoin.planBased(left, right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
@@ -78,7 +80,7 @@ class AsOfJoinPlanSpec extends SparkSpec {
         AsOfJoin(left, right, "k", "k", "t", "t").select($"ev", $"asof.payload"))) {
       val got = df.collect()
         .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
-      assert(got === Map("e1" -> "r1", "e2" -> null))
+      assert(got === Map("e1" -> "r1", "e2" -> null, "e3" -> null))
     }
   }
 

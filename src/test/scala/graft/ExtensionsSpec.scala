@@ -63,6 +63,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_cms: weighted inserts equal per-occurrence inserts; width/depth literals honored") {
+    withExtSession { s2 =>
+      val h = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+      val perOcc = s2.sql(
+        s"SELECT graft_cms($h) AS c FROM VALUES ('k1'), ('k1'), ('k2') t(x)")
+        .collect().head.getSeq[Long](0)
+      val weighted = s2.sql(
+        s"SELECT graft_cms($h, w) AS c FROM VALUES ('k1', CAST(2 AS BIGINT)), ('k2', CAST(1 AS BIGINT)) t(x, w)")
+        .collect().head.getSeq[Long](0)
+      assert(perOcc === weighted)
+      val small = s2.sql(
+        s"SELECT graft_cms($h, CAST(1 AS BIGINT), 16, 2) AS c FROM VALUES ('k1') t(x)")
+        .collect().head.getSeq[Long](0)
+      assert(small.length === 16 * 2)
+      assert(small.sum === 2L) // one increment per row of the 2-deep sketch
+    }
+  }
+
   test("sketch functions tolerate null array elements (SQL callers can pass any array<string>)") {
     withExtSession { s2 =>
       // token hash: null element propagates as a null hash (transform parity)
