@@ -127,6 +127,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // small budget so sf0.01's short docs still spread over multiple packs
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d), 512)),
+    "q_corpus_prep" -> ((s, d) => TextAnalysis.corpusPrep(Tables.documents(s, d), 512)),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
   )
 
@@ -638,6 +639,35 @@ object SparkEntry {
         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM tk
+        |) SELECT doc_id, lang, n_tokens, cum_before,
+        |  cum_before // 512 AS pack_id, cum_before % 512 AS offset_in_pack
+        |FROM cb""".stripMargin),
+    // the full prep funnel: quality gate -> exact-dedup keep-min ->
+    // stratified sample -> pack — stage predicates identical to the
+    // standalone q_quality / q_dedup_exact / q_stratified_sample /
+    // q_pack_sequences oracles
+    "q_corpus_prep" -> (TOK +
+      s""", q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |      CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique
+        |    FROM tok
+        |  ) WHERE n_tokens >= 10 AND n_unique / n_tokens > 0.2
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), samp AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE ${h32("text")} % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
+        |), surv AS (
+        |  SELECT t.doc_id, t.lang, CAST(len(t.toks) AS INTEGER) AS n_tokens FROM tok t
+        |  WHERE t.doc_id IN (SELECT doc_id FROM q)
+        |    AND t.doc_id IN (SELECT doc_id FROM keep)
+        |    AND t.doc_id IN (SELECT doc_id FROM samp)
+        |), cb AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM surv
         |) SELECT doc_id, lang, n_tokens, cum_before,
         |  cum_before // 512 AS pack_id, cum_before % 512 AS offset_in_pack
         |FROM cb""".stripMargin),

@@ -273,6 +273,26 @@ object TextAnalysis {
   }
 
   /**
+   * The end-to-end corpus-prep composition: quality gate → exact dedup
+   * (keep the minimum doc_id of each content-hash group) → deterministic
+   * stratified sampling → training-sequence packing of the survivors. Each
+   * stage is one of the operators above; the composition stays a single
+   * declarative plan (three left-semi joins, all on doc_id, then the
+   * per-stratum packing window), so Catalyst sees — and can reorder /
+   * pipeline — the whole funnel at once.
+   */
+  def corpusPrep(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
+    val q = qualityScore(docs).filter(col("passes_quality")).select("doc_id")
+    val keep = graft.ext.Dedup.exactGroups(docs).select(col("keep_doc_id").as("doc_id"))
+    val samp = stratifiedSample(docs).select("doc_id")
+    val survivors = docs
+      .join(q, Seq("doc_id"), "left_semi")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(samp, Seq("doc_id"), "left_semi")
+    packSequences(survivors, budgetTokens)
+  }
+
+  /**
    * PII/noise scrubbing: mask email-like tokens, long digit runs, and
    * URL-like tokens — the regexp_replace cleaning layer of corpus prep.
    * Patterns kept to the regex subset with identical semantics across
