@@ -93,6 +93,8 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d))),
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     // partition-wise decode path (deterministic stub features); no SQL
     // oracle (the stub's fold wraps 64-bit arithmetic, which DuckDB BIGINT
     // refuses) — driver records the weaker rows-only check. The feature
@@ -562,6 +564,25 @@ object SparkEntry {
         |      CAST(e1.embedding[i+1] AS DOUBLE) * CAST(e2.embedding[i+1] AS DOUBLE))) / (e1.nrm * e2.nrm) AS cosine
         |  FROM pr JOIN e e1 ON pr.id1 = e1.vec_id JOIN e e2 ON pr.id2 = e2.vec_id
         |) SELECT id1, id2, cosine FROM cand WHERE cosine >= 0.35""".stripMargin),
+    // DuckDB's substring can't slice BLOBs, so the oracle frames the VARCHAR
+    // by characters — equivalent to the engine's byte frames because the
+    // synthetic corpus is pure ASCII (verified: octet_length == length for
+    // every doc at every SF); md5 of an ASCII substring hashes the same
+    // bytes either way
+    "q_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, 'text/plain' AS media_type, text,
+        |    CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER) AS n_frames
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, media_type, text,
+        |    CAST(unnest(CASE WHEN n_frames <= 0 THEN []
+        |                     ELSE list_filter(range(n_frames), i -> i % 4 = 0) END) AS INTEGER) AS frame_idx
+        |  FROM m
+        |) SELECT doc_id, media_type, frame_idx,
+        |  CAST(length(substring(text, frame_idx * 64 + 1, 64)) AS INTEGER) AS frame_len,
+        |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM fr""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

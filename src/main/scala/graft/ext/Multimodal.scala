@@ -50,6 +50,32 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha256"))
 
   /**
+   * Frame sampling over opaque binary payloads: split into fixed-size
+   * byte frames, keep every `stride`-th, and emit per-frame metadata + a
+   * content digest — the "sample k frames from each video, fingerprint
+   * them" layout pass of a multimodal pipeline, WITHOUT any decode: frame
+   * slicing is `substring` on the binary column (codegen'd, columnar), so
+   * this runs at full scan speed and the digests feed straight into the
+   * dedup machinery. A real video pipeline swaps byte-strided frames for
+   * container-aware offsets; the dataflow (explode bounded index list →
+   * slice → digest) is unchanged.
+   */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    media
+      .withColumn("n_frames",
+        ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
+      .select(col("doc_id"), col("media_type"),
+        explode(expr(
+          s"CASE WHEN n_frames <= 0 THEN array() " +
+          s"ELSE filter(sequence(0, n_frames - 1), i -> i % $stride = 0) END")).as("frame_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+
+  /**
    * STUB media decoder: a real implementation would decode the image/audio
    * payload (e.g. via a JNI codec) and emit a model feature vector. The
    * deterministic stand-in hashes each 8-byte stride of the payload into a
