@@ -211,7 +211,10 @@ object TextAnalysis {
     // one scan: the exact per-token counts feed the sketch as WEIGHTED
     // inserts (value-identical to count-many +1 updates on the raw stream —
     // a sketch-only production pipeline would instead graft_cms(h) straight
-    // off the token stream with no groupBy at all, see StreamJob.streamingCms)
+    // off the token stream with no groupBy at all, see StreamJob.streamingCms).
+    // Persist convention as in Dedup/Similarity: the cached frame backs both
+    // branches; the session owner reclaims it (Verify/Bench clearCache per
+    // query — without the persist the corpus is scanned twice instead).
     val perToken = withTokens(docs)
       .select(explode(col("toks")).as("token"))
       .groupBy(col("token"))
@@ -260,12 +263,17 @@ object TextAnalysis {
    * no global single-partition window; packs are local to their stratum,
    * which is how shards are laid out anyway.
    */
-  def packSequences(docs: DataFrame, budgetTokens: Int = 8192): DataFrame = {
+  def packSequences(docs: DataFrame, budgetTokens: Int = 8192): DataFrame =
+    packCounts(withTokens(docs).withColumn("n_tokens", size(col("toks"))), budgetTokens)
+
+  /** Packing layout over rows that already carry `(doc_id, lang, n_tokens)` —
+    * the shared tail of [[packSequences]] and [[corpusPrep]] (which has the
+    * token counts in hand and must not re-tokenize). */
+  def packCounts(counted: DataFrame, budgetTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withTokens(docs)
-      .withColumn("n_tokens", size(col("toks")))
+    counted
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("cum_before"))
       .withColumn("pack_id", expr(s"cum_before DIV $budgetTokens"))
@@ -275,21 +283,35 @@ object TextAnalysis {
   /**
    * The end-to-end corpus-prep composition: quality gate → exact dedup
    * (keep the minimum doc_id of each content-hash group) → deterministic
-   * stratified sampling → training-sequence packing of the survivors. Each
-   * stage is one of the operators above; the composition stays a single
-   * declarative plan (three left-semi joins, all on doc_id, then the
-   * per-stratum packing window), so Catalyst sees — and can reorder /
-   * pipeline — the whole funnel at once.
+   * stratified sampling → training-sequence packing of the survivors.
+   *
+   * Scan budget: the quality and sampling predicates are PER-ROW, so they
+   * fuse into one tokenizing pass that also yields the packing token
+   * counts — documents is read once for the main pipeline plus once more,
+   * column-pruned, for the dedup keep-set (which by definition must see
+   * every document's hash, including ones the row filters drop — filtering
+   * first would change which copy of a duplicate survives). The semi join
+   * back carries doc_ids only. Same stage semantics as running the four
+   * standalone operators in sequence, at half their combined scan cost.
    */
-  def corpusPrep(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
-    val q = qualityScore(docs).filter(col("passes_quality")).select("doc_id")
+  def corpusPrep(docs: DataFrame, budgetTokens: Int = 512,
+                 ratesPct: Map[String, Int] = Map("en" -> 50),
+                 defaultRatePct: Int = 100): DataFrame = {
     val keep = graft.ext.Dedup.exactGroups(docs).select(col("keep_doc_id").as("doc_id"))
-    val samp = stratifiedSample(docs).select("doc_id")
-    val survivors = docs
-      .join(q, Seq("doc_id"), "left_semi")
+    val rate = ratesPct.foldLeft(lit(defaultRatePct)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    val survivors = withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_unique", size(array_distinct(col("toks"))))
+      // quality gate (== qualityScore.passes_quality)
+      .filter(col("n_tokens") >= 10 && col("n_unique") / col("n_tokens") > 0.2)
+      // stratified sample (== stratifiedSample's hash gate)
+      .filter(pmod(hash32(col("text")), lit(100)) < rate)
+      // exact-dedup keep-min, decided over ALL documents
       .join(keep, Seq("doc_id"), "left_semi")
-      .join(samp, Seq("doc_id"), "left_semi")
-    packSequences(survivors, budgetTokens)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    packCounts(survivors, budgetTokens)
   }
 
   /**

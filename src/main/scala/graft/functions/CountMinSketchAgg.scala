@@ -40,6 +40,11 @@ case class CountMinSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
 
+  // fail at analysis (construction), not as a mid-job ArithmeticException /
+  // NegativeArraySizeException inside an executor task
+  require(width > 0, s"graft_cms width must be positive, got $width")
+  require(depth > 0, s"graft_cms depth must be positive, got $depth")
+
   val Prime: Long = 4294967311L // same universal-hash prime as MinHashSignature
 
   override def left: Expression = child

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
  * two-bucket replication would otherwise emit duplicate null-padded rows
  * for unmatched left rows (see `Relational.eventsWithRecentOrders`).
  *
- * Time columns must be timestamps (or anything `unix_timestamp` accepts);
- * null times on either side never match (the residual BETWEEN is NULL).
+ * Time columns must be timestamp-typed (TIMESTAMP or TIMESTAMP_NTZ — the
+ * binning runs `timestampdiff` against an anchor of the column's own
+ * type); null times on either side never match (the residual BETWEEN is
+ * NULL).
  */
 object RangeJoin {
 
@@ -45,7 +47,8 @@ object RangeJoin {
     // is a constant, so bins stay uniform either way.
     def binSecs(df: DataFrame, timeCol: String) = {
       val anchor = s"CAST('1970-01-01 00:00:00' AS ${df.schema(timeCol).dataType.sql})"
-      expr(s"timestampdiff(SECOND, $anchor, $timeCol)")
+      // backquote: column names with spaces/dashes must survive the parser
+      expr(s"timestampdiff(SECOND, $anchor, `$timeCol`)")
     }
     // bins from floor-seconds: rightTime >= leftTime - window implies the
     // right bin is in {leftBin - 1, leftBin} (window = bin width), so two

@@ -158,6 +158,16 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L)))
   }
 
+  test("frame sampling: stride selection, partial last frame, empty payload emits nothing") {
+    val media = Seq(
+      (0L, "image/x-test", "abcdefghij".getBytes("UTF-8")), // 10 bytes, frames of 4: [abcd][efgh][ij]
+      (1L, "image/x-test", Array.emptyByteArray))           // empty: no frames, no bogus sequence(0,-1)
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.frameSample(media, frameBytes = 4, stride = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"), r.getAs[Int]("frame_len")))
+    assert(out.toSet === Set((0L, 0, 4), (0L, 2, 2))) // every 2nd frame; last is partial
+  }
+
   test("multimodal decode stub: deterministic features, correct byte counts") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.decodeStub(spark, media).collect().sortBy(_.doc_id)
