@@ -17,6 +17,54 @@ class ScaleSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("hive-style partitioned layout: a stratum filter prunes partitions at the scan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
+    // the 100 TB layout move: partition the corpus by its stratum column so
+    // per-stratum jobs read only their directories
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val en = spark.read.parquet(dir).filter($"lang" === "en")
+    val scan = en.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(600))
+    assert(scan.contains("(lang"), scan.take(600)) // the filter reached partition pruning
+    // pruned read returns exactly the en stratum, nothing else scanned wrong
+    val want = docs.filter($"lang" === "en").count()
+    assert(en.count() === want && want > 0)
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // thresholds scaled down so the test's MB-scale skew triggers the same
+      // runtime re-plan a hot key triggers at production sizes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      import org.apache.spark.sql.functions.{lit, lpad, when}
+      // payload must DERIVE from id: a constant would be projected past the
+      // join and the skewed shuffle bytes would vanish with it
+      val left = spark.range(0, 50000)
+        .select(when($"id" < 45000, 0L).otherwise($"id").as("k"),
+          lpad($"id".cast("string"), 200, "x").as("payload"))
+      val right = spark.range(0, 64).select($"id".as("k"), lit("dim").as("v"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS QueryExecution (write/count would plan a
+      // fresh one and leave this plan isFinalPlan=false)
+      assert(joined.collect().length === 45000) // only the hot key k=0 matches the dim
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
