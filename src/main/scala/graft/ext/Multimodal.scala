@@ -76,6 +76,27 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
 
   /**
+   * STUB resize: a real implementation decodes, rescales, and re-encodes
+   * the asset; the container ships no codecs, so the stand-in byte-strides
+   * the payload down to at most `targetBytes` (every ceil(len/target)-th
+   * byte) and records original/resized sizes — exercising exactly the
+   * schema and columnar dataflow (binary in, smaller binary + metadata
+   * out, no shuffle) a real thumbnailer would use.
+   */
+  def resizeStub(media: DataFrame, targetBytes: Int = 256): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("stride", greatest(lit(1), ceil(col("n_bytes") / lit(targetBytes.toDouble)).cast("int")))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        // byte-level fold: substring+concat stay BINARY end-to-end (a
+        // string round-trip would mangle any non-UTF-8 byte)
+        expr("""CASE WHEN n_bytes = 0 THEN payload ELSE
+               |  aggregate(filter(sequence(0, n_bytes - 1), i -> i % stride = 0),
+               |    X'', (acc, i) -> concat(acc, substring(payload, i + 1, 1))) END""".stripMargin)
+          .as("resized"))
+      .withColumn("resized_bytes", length(col("resized")))
+
+  /**
    * STUB media decoder: a real implementation would decode the image/audio
    * payload (e.g. via a JNI codec) and emit a model feature vector. The
    * deterministic stand-in hashes each 8-byte stride of the payload into a

@@ -168,6 +168,21 @@ class ExtSpec extends SparkSpec {
     assert(out.toSet === Set((0L, 0, 4), (0L, 2, 2))) // every 2nd frame; last is partial
   }
 
+  test("resize stub: strided downsample lands at or under the target, empty payload survives") {
+    val media = Seq(
+      (0L, "image/x-test", Array.fill(600)(0xAB.toByte)),   // NON-UTF8 bytes: stride 3 -> 200 kept
+      (1L, "image/x-test", "tiny".getBytes("UTF-8")),       // under target: stride 1, unchanged
+      (2L, "image/x-test", Array.emptyByteArray))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resizeStub(media, targetBytes = 256).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_bytes"), r.getAs[Int]("resized_bytes"),
+          r.getAs[Array[Byte]]("resized").headOption))).toMap
+    assert(out(0L) === ((600, 200, Some(0xAB.toByte)))) // bytes survive verbatim
+    assert(out(1L) === ((4, 4, Some('t'.toByte))))
+    assert(out(2L) === ((0, 0, None)))
+  }
+
   test("multimodal decode stub: deterministic features, correct byte counts") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.decodeStub(spark, media).collect().sortBy(_.doc_id)
