@@ -50,6 +50,7 @@ object SparkEntry {
     "q_active_users" -> ((s, d) => MinuteStats.activeUsers(cs(s, d))),
     "q_event_type_distribution" -> ((s, d) => MinuteStats.eventTypeDistribution(cs(s, d))),
     "q_bounce_rate" -> ((s, d) => MinuteStats.bounceRate(cs(s, d))),
+    "q_cohort_retention" -> ((s, d) => Cohorts.retention(cs(s, d))),
     // -- item family (A9-A11 + ranked top-k extension) --
     "q_top_items" -> ((s, d) => Items.topItemsPerMinute(cs(s, d))),
     "q_top_items_ranked" -> ((s, d) => Items.topItemsRanked(cs(s, d), 5)),
@@ -305,6 +306,18 @@ object SparkEntry {
         |   count(*) AS total_users,
         |   CAST(sum(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS bounce_rate
         | FROM per_user GROUP BY minute""".stripMargin),
+    "q_cohort_retention" -> (CS +
+      """, fs AS (
+        |  SELECT visitorid, CAST(date_trunc('day', min(event_time)) AS DATE) AS cohort_day
+        |  FROM cs GROUP BY visitorid
+        |), act AS (
+        |  SELECT DISTINCT visitorid, CAST(date_trunc('day', event_time) AS DATE) AS activity_day
+        |  FROM cs
+        |) SELECT f.cohort_day, a.activity_day,
+        |   count(DISTINCT a.visitorid) AS n_active,
+        |   CAST(date_diff('day', f.cohort_day, a.activity_day) AS INTEGER) AS day_offset
+        | FROM act a JOIN fs f ON a.visitorid = f.visitorid
+        | GROUP BY f.cohort_day, a.activity_day""".stripMargin),
     "q_top_items" -> (CS +
       """ SELECT date_trunc('minute', event_time) AS minute, itemid,
         |   count(*) AS interactions
