@@ -63,6 +63,22 @@ class AsOfJoinPlanSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("range join: null times on either side match nothing") {
+    val left = Seq(
+      ("u1", Some(ts(250)), "e1"),
+      ("u1", None: Option[java.sql.Timestamp], "e2")) // null left time
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      ("u1", Some(ts(200)), "in-window"),
+      ("u1", None: Option[java.sql.Timestamp], "null-time")) // null right time
+      .toDF("k", "t", "what")
+    val got = RangeJoin(left,
+        right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
+        "k", "rk", "t", "rt", windowSeconds = 100)
+      .select($"ev", $"what").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("e1", "in-window"))) // null times drop out of the inner join
+  }
+
   test("null times/keys never match: SQL equality semantics, not null==null grouping") {
     val left = Seq(
       (Some("u1"), Some(ts(100)), "e1"),
