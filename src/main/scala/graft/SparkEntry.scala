@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, round}
+import org.apache.spark.sql.functions.{col, concat_ws, expr, md5, round}
 
 import graft.analytics._
 import graft.clean.CleanStage
@@ -96,15 +96,24 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
-    // partition-wise decode path (deterministic stub features); no SQL
-    // oracle (the stub's fold wraps 64-bit arithmetic, which DuckDB BIGINT
-    // refuses) — driver records the weaker rows-only check. The feature
-    // vector is flattened to a string so the harness can sort the rows.
+    // partition-wise decode path (deterministic stub features). The stub's
+    // rolling hash is modular (mod 1000003 < 2^31) so DuckDB BIGINT mirrors
+    // it exactly; the feature vector is flattened to comma-joined INTEGER
+    // hash residues (round(x*1000) recovers the residue exactly) so the
+    // oracle never has to match float-to-string formatting.
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.decodeStub(s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
-          concat_ws(",", col("feature").cast("array<string>")).as("feature_str"))),
+          concat_ws(",",
+            expr("transform(feature, x -> CAST(round(x * 1000) AS INT))"))
+            .as("feature_str"))),
+    // strided byte-resize stub: digest the resized payload (md5 hex) rather
+    // than emitting raw BINARY, so the harness compares strings
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeStub(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("resized_bytes"), md5(col("resized")).as("resized_md5"))),
     // -- LLM-pipeline round 2: vocab, quantiles, dedup-keep, bucketed ANN --
     "q_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "q_scrub" -> ((s, d) => TextAnalysis.scrub(Tables.documents(s, d))),
@@ -601,6 +610,41 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    // Mirrors the decode stub's modular rolling hash per 8-byte lane:
+    // acc = (acc*31 + byte) % 1000003, flattened residues mod 1000.
+    // ord(substring(text,i,1)) == payload byte because the corpus is pure
+    // ASCII (verified octet_length == length at every SF). range(d+1,
+    // len+1, 8) is the 1-based mirror of the stub's 0-based stride d, d+8…
+    "q_multimodal_features" -> {
+      val lane = (d: Int) =>
+        s"""CAST(list_reduce(list_prepend(0::BIGINT,
+           |    list_transform(range($d + 1, length(text) + 1, 8),
+           |      i -> ord(substring(text, CAST(i AS INTEGER), 1))::BIGINT)),
+           |  (acc, b) -> (acc * 31 + b) % 1000003) % 1000 AS VARCHAR)""".stripMargin
+      s"""SELECT doc_id, 'text/plain' AS media_type,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+         |  ${(0 until 8).map(lane).mkString(" || ',' || ")} AS feature_str
+         |FROM documents""".stripMargin
+    },
+    // Mirrors resizeStub: keep every stride-th byte (stride =
+    // greatest(1, ceil(n/256))), digest the kept bytes. Characters stand in
+    // for bytes because the corpus is pure ASCII (see q_frame_sample).
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, 'text/plain' AS media_type, text,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |    greatest(1, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS INTEGER)) AS stride
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, media_type, n_bytes,
+        |    array_to_string(list_transform(
+        |      list_filter(range(n_bytes), i -> i % stride = 0),
+        |      i -> substring(text, CAST(i AS INTEGER) + 1, 1)), '') AS resized
+        |  FROM m
+        |) SELECT doc_id, media_type, n_bytes,
+        |  CAST(length(resized) AS INTEGER) AS resized_bytes,
+        |  md5(resized) AS resized_md5
+        |FROM r""".stripMargin,
     "q_vocab_topk" -> (TOK +
       """, ex AS (SELECT unnest(toks) AS token FROM tok),
         |fr AS (SELECT token, count(*) AS freq FROM ex GROUP BY token),

@@ -45,6 +45,12 @@ object Dedup {
   /** Large prime > 2^32 for the universal-hash permutations. */
   val Prime = 4294967311L
 
+  /** Recommended band-bucket cap for corpus-scale runs: 10k members ≈ 50M
+    * candidate pairs per degenerate bucket, the most a single skew-split
+    * partition should absorb. See the skew-guard note in
+    * [[minhashCandidatePairs]]; exercised by ExtSpec's skew-cap test. */
+  val ProductionMaxBucketSize: Option[Int] = Some(10000)
+
   /**
    * MinHash signatures: per doc, `sig[j] = min over shingles of
    * ((2j+1)*h + (104729j+12345)) mod P` with the portable md5-derived
@@ -86,7 +92,12 @@ object Dedup {
     // skew guard: a pathological bucket (boilerplate/empty-page band key
     // shared by millions of docs) would make the pair join quadratic in
     // that bucket; capping trades recall on exactly those degenerate
-    // clusters for bounded work. Off by default (oracle parity).
+    // clusters for bounded work. Off by default ONLY because the oracle
+    // queries pin uncapped semantics; production runs at corpus scale
+    // should pass [[ProductionMaxBucketSize]] — an over-cap bucket is by
+    // definition a boilerplate cluster whose members exact-dedup (or a
+    // plain groupBy on the full signature) handles better than 10^12
+    // candidate pairs would.
     val bands = maxBucketSize match {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window

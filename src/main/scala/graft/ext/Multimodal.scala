@@ -82,6 +82,14 @@ object Multimodal {
    * byte) and records original/resized sizes — exercising exactly the
    * schema and columnar dataflow (binary in, smaller binary + metadata
    * out, no shuffle) a real thumbnailer would use.
+   *
+   * Per-row cost bound: the index list materializes `n_bytes` elements and
+   * the byte-wise `concat` fold is O(kept²) in output size (kept ≤
+   * ~`targetBytes`, so the fold is capped, but the index array is not) —
+   * fine for test-scale payloads, NOT for multi-MB assets. A real
+   * implementation replaces the whole expression with a per-partition
+   * codec call ([[decodeStub]]'s `mapPartitions` shape), which is why this
+   * stays a clearly-marked STUB rather than a chunked rewrite.
    */
   def resizeStub(media: DataFrame, targetBytes: Int = 256): DataFrame =
     media
@@ -96,12 +104,20 @@ object Multimodal {
           .as("resized"))
       .withColumn("resized_bytes", length(col("resized")))
 
+  /** Modulus for the decode-stub rolling hash: a prime below 2^31, so the
+    * recurrence `acc = (acc*31 + b) mod M` never leaves 64-bit range
+    * (M*31 + 255 < 2^31) and any engine with BIGINT arithmetic — including
+    * the DuckDB oracle — can mirror it bit-for-bit. */
+  val DecodeHashMod: Long = 1000003L
+
   /**
    * STUB media decoder: a real implementation would decode the image/audio
    * payload (e.g. via a JNI codec) and emit a model feature vector. The
-   * deterministic stand-in hashes each 8-byte stride of the payload into a
-   * bounded `dim`-length float vector, so tests exercise the exact
-   * partition-wise dataflow and schema a real decoder would use.
+   * deterministic stand-in hashes each `dim`-strided byte lane of the
+   * payload into a bounded `dim`-length float vector via a non-wrapping
+   * modular recurrence (see [[DecodeHashMod]]), so tests exercise the exact
+   * partition-wise dataflow and schema a real decoder would use AND an
+   * external SQL oracle can reproduce the values exactly.
    */
   def decodeStub(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -112,7 +128,10 @@ object Multimodal {
         val feature = Array.tabulate(dim) { d =>
           var acc = 0L
           var i = d
-          while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xffL); i += dim }
+          while (i < bytes.length) {
+            acc = (acc * 31 + (bytes(i) & 0xffL)) % DecodeHashMod
+            i += dim
+          }
           ((acc % 1000L).toFloat) / 1000.0f
         }
         MediaFeatures(rec.doc_id, rec.media_type, bytes.length, feature)

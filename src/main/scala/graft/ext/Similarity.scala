@@ -74,16 +74,25 @@ object Similarity {
   /**
    * Sign-LSH signature: bit j = sign of dot(embedding, plane_j). Returned
    * as an array of `NumBands` band keys (integers in [0, 2^PlanesPerBand)).
+   * Runs as the codegen'd [[graft.functions.LshBands]] expression — one
+   * compiled pass per vector instead of `NumPlanes` interpreted lambda
+   * folds; bit-identical to [[lshBandsHofColumn]] (pinned by test).
    */
   def withLshBands(embeddings: DataFrame, dim: Int = 64): DataFrame =
     withNorms(embeddings).withColumn("bands",
-      expr(
-        s"""transform(sequence(0, ${NumBands - 1}), b ->
-           |  aggregate(sequence(0, ${PlanesPerBand - 1}), 0, (acc, p) ->
-           |    acc + IF(aggregate(transform(embedding, (x, i) ->
-           |                CAST(x AS DOUBLE) * ${planeSign(s"(b*$PlanesPerBand + p)", "i", dim)}),
-           |              CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0,
-           |            shiftleft(1, p), 0)))""".stripMargin))
+      expr(s"graft_lsh_bands(embedding, $dim, $NumBands, $PlanesPerBand)"))
+
+  /** The reference HOF formulation of the band keys — kept as the
+    * spec/oracle-shaped definition the compiled expression must match
+    * (ExtensionsSpec asserts bit-parity against it). */
+  private[graft] def lshBandsHofColumn(dim: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${NumBands - 1}), b ->
+         |  aggregate(sequence(0, ${PlanesPerBand - 1}), 0, (acc, p) ->
+         |    acc + IF(aggregate(transform(embedding, (x, i) ->
+         |                CAST(x AS DOUBLE) * ${planeSign(s"(b*$PlanesPerBand + p)", "i", dim)}),
+         |              CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0,
+         |            shiftleft(1, p), 0)))""".stripMargin)
 
   /**
    * LSH-bucketed near-duplicate pairs: candidates share any band key;
@@ -207,19 +216,28 @@ object Similarity {
    * folds in vec_id order (collect → sort → fold, not a parallel sum — the
    * float-sum order would otherwise be partition-timing dependent), then
    * rounded to float. That makes the trained codebook bit-reproducible by
-   * the DuckDB oracle. At extreme cluster sizes the collect_list bounds
-   * this to one cluster-dimension's values per group — the standard
-   * mergeable-mean tradeoff would drop determinism, so it's opt-out by
-   * design here.
+   * the DuckDB oracle. The fold is two-level over ORDER-COMPATIBLE range
+   * shards (`vec_id DIV shardSpan`): shard-local sequential folds, then a
+   * sequential fold of the shard sums in shard order — still fully
+   * deterministic at any parallelism (the grouping and both fold orders
+   * are functions of vec_id alone), but no aggregation buffer ever holds
+   * more than `shardSpan` member values, so a billion-member cluster
+   * aggregates as ~15k bounded groups + one tiny second level instead of
+   * one O(cluster) `collect_list`. When every vec_id fits one shard (true
+   * at all test SFs with the 2^16 default) the two levels collapse to the
+   * flat fold bit for bit — which is what the DuckDB oracle mirrors.
    */
   def kmeansCodebook(embeddings: DataFrame, numCentroids: Int = 8,
                      iters: Int = 1): DataFrame =
     kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
 
   /** Lloyd's iterations over an already-normed (and ideally persisted)
-    * base — lets callers that also search share ONE normed corpus scan. */
-  private def kmeansFromBase(base: DataFrame, numCentroids: Int,
-                             iters: Int): DataFrame = {
+    * base — lets callers that also search share ONE normed corpus scan.
+    * `shardSpan` bounds the per-group fold state (see [[kmeansCodebook]]). */
+  private[graft] def kmeansFromBase(base: DataFrame, numCentroids: Int,
+                                    iters: Int,
+                                    shardSpan: Long = 1L << 16): DataFrame = {
+    require(shardSpan > 0, s"shardSpan must be positive, got $shardSpan")
     var cents = initCentroids(base, numCentroids)
     for (_ <- 0 until iters) {
       val assigned = base.crossJoin(broadcast(cents))
@@ -227,12 +245,22 @@ object Similarity {
         .select(col("cent_id").as("cluster"), col("vec_id"), col("embedding"))
       val dimMeans = assigned
         .select(col("cluster"), col("vec_id"), posexplode(col("embedding")))
-        .groupBy(col("cluster"), col("pos"))
+        .withColumn("_shard", expr(s"vec_id DIV ${shardSpan}L"))
+        // level 1: fold each shard's member values in vec_id order —
+        // bounded state (≤ shardSpan rows per group), map-side combinable
+        .groupBy(col("cluster"), col("pos"), col("_shard"))
         .agg(
           expr("""aggregate(array_sort(collect_list(struct(vec_id, col))),
                  |  CAST(0 AS DOUBLE), (a, s) -> a + CAST(s.col AS DOUBLE))""".stripMargin)
+            .as("shard_sum"),
+          count(lit(1)).as("shard_cnt"))
+        // level 2: fold the shard sums in shard order — one row per shard
+        .groupBy(col("cluster"), col("pos"))
+        .agg(
+          expr("""aggregate(array_sort(collect_list(struct(_shard, shard_sum))),
+                 |  CAST(0 AS DOUBLE), (a, s) -> a + s.shard_sum)""".stripMargin)
             .as("sm"),
-          count(lit(1)).as("cnt"))
+          sum(col("shard_cnt")).as("cnt"))
         .withColumn("m", (col("sm") / col("cnt")).cast("float"))
       cents = dimMeans
         .groupBy(col("cluster"))

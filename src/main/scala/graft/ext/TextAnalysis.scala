@@ -259,23 +259,51 @@ object TextAnalysis {
    * semantics; exact first-fit would need a stateful scan — the
    * sessionization machinery — for marginal packing gain).
    *
-   * Scale note: the running sum windows PER LANG (any shard key works), so
-   * no global single-partition window; packs are local to their stratum,
-   * which is how shards are laid out anyway.
+   * Scale note: the running sum is per lang in doc_id order, but it does
+   * NOT execute as one window partition per lang (lang is low-cardinality:
+   * at 100 TB the dominant language would be a single-reducer sort).
+   * [[packCounts]] decomposes it over (lang, range-shard) partitions with
+   * a broadcast base-offset join — same output, bounded partitions.
    */
   def packSequences(docs: DataFrame, budgetTokens: Int = 8192): DataFrame =
     packCounts(withTokens(docs).withColumn("n_tokens", size(col("toks"))), budgetTokens)
 
-  /** Packing layout over rows that already carry `(doc_id, lang, n_tokens)` —
-    * the shared tail of [[packSequences]] and [[corpusPrep]] (which has the
-    * token counts in hand and must not re-tokenize). */
-  def packCounts(counted: DataFrame, budgetTokens: Int): DataFrame = {
+  /**
+   * Packing layout over rows that already carry `(doc_id, lang, n_tokens)` —
+   * the shared tail of [[packSequences]] and [[corpusPrep]] (which has the
+   * token counts in hand and must not re-tokenize).
+   *
+   * The per-lang exclusive prefix sum is computed scale-safely in two
+   * levels: shard rows by `doc_id DIV shardSpan` — ORDER-COMPATIBLE range
+   * shards, so every doc in shard k precedes every doc in shard k+1 within
+   * its lang and the global prefix sum decomposes exactly — then (1) an
+   * intra-shard running sum windowed over (lang, shard), (2) per-shard
+   * token totals rolled into exclusive shard base offsets (a few rows per
+   * lang), broadcast-joined back. No window partition ever exceeds
+   * `shardSpan` doc_ids regardless of how skewed the lang distribution is.
+   * Assumes non-negative doc_ids (DIV floors toward -inf on negatives,
+   * which would still shard consistently but makes span accounting odd).
+   */
+  def packCounts(counted: DataFrame, budgetTokens: Int,
+                 shardSpan: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    require(shardSpan > 0, s"shardSpan must be positive, got $shardSpan")
+    val sharded = counted.withColumn("_shard", expr(s"doc_id DIV ${shardSpan}L"))
+    val wIn = Window.partitionBy(col("lang"), col("_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    counted
+    // shard totals are one row per (lang, shard): the base-offset window
+    // runs over that tiny frame, never over document rows
+    val wBase = Window.partitionBy(col("lang")).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sharded.groupBy(col("lang"), col("_shard"))
+      .agg(sum(col("n_tokens")).as("_shard_tokens"))
+      .select(col("lang"), col("_shard"),
+        coalesce(sum(col("_shard_tokens")).over(wBase), lit(0L)).as("_shard_base"))
+    sharded
+      .join(broadcast(bases), Seq("lang", "_shard"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("cum_before"))
+        (col("_shard_base") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+          .as("cum_before"))
       .withColumn("pack_id", expr(s"cum_before DIV $budgetTokens"))
       .withColumn("offset_in_pack", col("cum_before") % budgetTokens)
   }

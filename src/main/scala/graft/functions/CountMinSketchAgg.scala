@@ -50,10 +50,16 @@ case class CountMinSketchAgg(
   override def left: Expression = child
   override def right: Expression = weight
 
+  // The key must be bigint (pre-hashed contract); the weight accepts any
+  // integral type and widens in update() — ImplicitCastInputTypes would be
+  // the idiomatic coercion but its AbstractDataType signature is
+  // private[sql] in Spark 4.1, unextendable from user packages, so
+  // `graft_cms(h, 2)` with an integer-literal weight coerces here instead.
   override def checkInputDataTypes(): TypeCheckResult = (child.dataType, weight.dataType) match {
-    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (LongType, LongType | IntegerType | ShortType | ByteType) =>
+      TypeCheckResult.TypeCheckSuccess
     case (c, w) => TypeCheckResult.TypeCheckFailure(
-      s"graft_cms expects (bigint pre-hashed key[, bigint weight]) — use graft.TextAnalysis.hash32 — got ($c, $w)")
+      s"graft_cms expects (bigint pre-hashed key[, integral weight]) — use graft.TextAnalysis.hash32 — got ($c, $w)")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -69,7 +75,7 @@ case class CountMinSketchAgg(
     // row what per-occurrence streams update count times — same sketch
     if (v != null && w != null) {
       val h = v.asInstanceOf[Long]
-      val inc = w.asInstanceOf[Long]
+      val inc = w.asInstanceOf[Number].longValue()
       var j = 0
       while (j < depth) {
         // floorMod: negative caller-supplied hashes must still land in-range

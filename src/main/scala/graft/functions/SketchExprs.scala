@@ -46,10 +46,116 @@ object SketchExprs {
       case other => throw new IllegalArgumentException(
         "graft_shingle_hash(tokens, <int literal>) — got " + other)
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bands", {
+      case Seq(emb,
+          org.apache.spark.sql.catalyst.expressions.Literal(dim, IntegerType),
+          org.apache.spark.sql.catalyst.expressions.Literal(nb, IntegerType),
+          org.apache.spark.sql.catalyst.expressions.Literal(ppb, IntegerType)) =>
+        LshBands(emb, dim.asInstanceOf[Int], nb.asInstanceOf[Int], ppb.asInstanceOf[Int])
+      case other => throw new IllegalArgumentException(
+        "graft_lsh_bands(embedding, <dim literal>, <bands literal>, <planes/band literal>) — got " + other)
+    }, "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction in Complete mode
     reg.createOrReplaceTempFunction("graft_cms",
       CountMinSketchAgg.fromExprs, "built-in")
   }
+}
+
+/**
+ * Sign-LSH band keys over an `array<float>` embedding: plane `j`'s ±1
+ * component at dimension `i` comes from the seeded LCG over `j*dim + i`
+ * (`(1103515245*(j*dim+i) + 12345) mod 2^31 < 2^30 → +1 else -1`), band
+ * `b`'s key sets bit `p` iff `dot(embedding, plane_{b*planesPerBand+p}) >=
+ * 0`. Bit-identical to `ext.Similarity`'s nested-HOF formulation (per-plane
+ * dots are sequential folds in element order; pinned by an ExtensionsSpec
+ * parity test) but one compiled pass instead of `numPlanes` interpreted
+ * lambda folds per vector — the same fix graft_dot applied to the cosine
+ * path. A null embedding yields null; a null ELEMENT nulls every plane dot
+ * in the HOF (`IF(null >= 0, …, 0)` → 0), so here it yields all-zero keys.
+ *
+ * The plane table (`numPlanes × dim` doubles) is precomputed per expression
+ * instance and referenced from generated code; dimensions beyond `dim`
+ * (ragged oversized vectors) fall back to the LCG inline.
+ */
+case class LshBands(child: Expression, dim: Int, numBands: Int, planesPerBand: Int)
+    extends UnaryExpression {
+
+  require(dim > 0 && numBands > 0 && planesPerBand > 0,
+    s"graft_lsh_bands needs positive dims, got ($dim, $numBands, $planesPerBand)")
+
+  private def numPlanes = numBands * planesPerBand
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_lsh_bands expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def planeSign(j: Long, i: Long): Double =
+    if ((1103515245L * (j * dim + i) + 12345L) % 2147483648L < 1073741824L) 1.0 else -1.0
+
+  // row-major [plane][dim] ±1 table, built once per instance (so once per
+  // task after deserialization), not per row
+  @transient private lazy val signs: Array[Double] = {
+    val t = new Array[Double](numPlanes * dim)
+    var j = 0
+    while (j < numPlanes) {
+      var i = 0
+      while (i < dim) { t(j * dim + i) = planeSign(j, i); i += 1 }
+      j += 1
+    }
+    t
+  }
+
+  /** Compiled kernel, called from both eval and generated code. */
+  def compute(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { if (emb.isNullAt(i)) hasNull = true; i += 1 }
+    val keys = new Array[Int](numBands)
+    if (!hasNull) {
+      // one pass over the vector, numPlanes running dots — each plane's sum
+      // accumulates in element order, matching the HOF sequential fold bit
+      // for bit
+      val dots = new Array[Double](numPlanes)
+      i = 0
+      while (i < n) {
+        val x = emb.getFloat(i).toDouble
+        var j = 0
+        while (j < numPlanes) {
+          val s = if (i < dim) signs(j * dim + i) else planeSign(j, i)
+          dots(j) += x * s
+          j += 1
+        }
+        i += 1
+      }
+      var b = 0
+      while (b < numBands) {
+        var key = 0
+        var p = 0
+        while (p < planesPerBand) {
+          if (dots(b * planesPerBand + p) >= 0) key |= (1 << p)
+          p += 1
+        }
+        keys(b) = key
+        b += 1
+      }
+    }
+    new GenericArrayData(keys)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBands", this, classOf[LshBands].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /**

@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
  * two-bucket replication would otherwise emit duplicate null-padded rows
  * for unmatched left rows (see `Relational.eventsWithRecentOrders`).
  *
- * Time columns must be timestamp-typed (TIMESTAMP or TIMESTAMP_NTZ — the
- * binning runs `timestampdiff` against an anchor of the column's own
- * type); null times on either side never match (the residual BETWEEN is
- * NULL).
+ * Time columns must be timestamp-typed (TIMESTAMP or TIMESTAMP_NTZ) and
+ * MUST share one type: with mixed types (e.g. NTZ left vs instant right)
+ * the two bin axes are anchored in different clocks, so in a DST session
+ * timezone they can disagree by the DST offset and a qualifying pair near
+ * a bin edge would silently drop — and the residual BETWEEN would compare
+ * across clocks too. Callers with mixed types cast one side explicitly,
+ * choosing the semantics. Null times on either side never match (the
+ * residual BETWEEN is NULL).
  */
 object RangeJoin {
 
@@ -38,6 +42,11 @@ object RangeJoin {
             leftTime: String, rightTime: String,
             windowSeconds: Long): DataFrame = {
     require(windowSeconds > 0, s"window must be positive, got $windowSeconds")
+    val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+    require(lt == rt,
+      s"RangeJoin time columns must share one timestamp type so the bin axes " +
+        s"align; got $leftTime: ${lt.sql} vs $rightTime: ${rt.sql} — cast one " +
+        s"side first to pick instant or wall-clock semantics")
     // Bin seconds come from timestampdiff against a fixed same-type anchor,
     // NOT unix_timestamp: unix_timestamp interprets TIMESTAMP_NTZ in the
     // session timezone, and a DST transition inside the window would make

@@ -29,6 +29,51 @@ class ExtSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not pulled in
   }
 
+  test("minhash LSH skew cap bounds a degenerate bucket without losing genuine pairs") {
+    // 300 IDENTICAL boilerplate docs: one mega bucket in every band, the
+    // quadratic hazard the cap exists for. Two genuine near-dups (the
+    // fixture texts, known to share a band) sit in a small bucket.
+    val boiler = (100L until 400L)
+      .map(i => (i, "the same boilerplate footer text repeated on every page", "en"))
+    val planted = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away now", "en"))
+    val skewed = (boiler ++ planted).toDF("doc_id", "text", "lang")
+    // uncapped: the mega bucket alone yields C(300,2) = 44850 pairs
+    assert(Dedup.minhashCandidatePairs(skewed).count() >= 44850L)
+    val capped = Dedup.minhashCandidatePairs(skewed, maxBucketSize = Some(100))
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every over-cap bucket dropped: no boilerplate pair survives...
+    assert(!capped.exists(_._1 >= 100L))
+    // ...while the small-bucket genuine pair is untouched
+    assert(capped.contains((0L, 1L)))
+  }
+
+  test("k-means sharded fold: bounded state, same means as the flat fold on skewed clusters") {
+    import org.apache.spark.sql.functions.col
+    // deliberately skewed assignment: 37 of 40 vectors cluster near seed 0
+    val emb = spark.range(0, 40).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        """CASE WHEN id = 1 OR id = 2 OR id = 39
+          |  THEN array(CAST(10.0 + id AS FLOAT), CAST(-9.0 AS FLOAT))
+          |  ELSE array(CAST(0.5 + id / 100.0 AS FLOAT), CAST(1.0 AS FLOAT)) END""".stripMargin)
+        .as("embedding"))
+    val base = Similarity.withNorms(emb).persist()
+    // span 8 → the dominant cluster folds as 5 bounded shard groups
+    val sharded = Similarity.kmeansFromBase(base, numCentroids = 2, iters = 2, shardSpan = 8)
+      .orderBy("cent_id").collect()
+    val flat = Similarity.kmeansFromBase(base, numCentroids = 2, iters = 2,
+      shardSpan = Long.MaxValue).orderBy("cent_id").collect()
+    assert(sharded.length === flat.length && sharded.nonEmpty)
+    // two-level double folds reassociate additions, so compare to tolerance
+    sharded.zip(flat).foreach { case (s, f) =>
+      assert(s.getAs[Long]("cent_id") === f.getAs[Long]("cent_id"))
+      s.getSeq[Float](1).zip(f.getSeq[Float](1)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-4f, s"mean diverged: $a vs $b")
+      }
+    }
+  }
+
   test("exact jaccard on candidates: identical docs -> 1.0") {
     val j = Dedup.ngramJaccardOnCandidates(docs).collect()
       .find(r => r.getAs[Long]("doc1") == 0L && r.getAs[Long]("doc2") == 3L).get

@@ -81,6 +81,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_cms coerces integral literal weights (no explicit BIGINT cast needed)") {
+    withExtSession { s2 =>
+      val h = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+      val intLit = s2.sql(s"SELECT graft_cms($h, 2) AS c FROM VALUES ('k1') t(x)")
+        .collect().head.getSeq[Long](0)
+      val longLit = s2.sql(s"SELECT graft_cms($h, CAST(2 AS BIGINT)) AS c FROM VALUES ('k1') t(x)")
+        .collect().head.getSeq[Long](0)
+      assert(intLit === longLit)
+    }
+  }
+
+  test("graft_lsh_bands is bit-identical to the HOF hyperplane formulation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = graft.ext.Similarity.withLshBands(emb)
+      .withColumn("hof_bands", graft.ext.Similarity.lshBandsHofColumn(64))
+      .select("vec_id", "bands", "hof_bands")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"band mismatch at vec_id ${r.getLong(0)}")
+    }
+    // sanity: keys spread across buckets (not all-zero degenerate)
+    assert(both.flatMap(_.getSeq[Int](1)).distinct.length > 1)
+  }
+
   test("sketch functions tolerate null array elements (SQL callers can pass any array<string>)") {
     withExtSession { s2 =>
       // token hash: null element propagates as a null hash (transform parity)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.TopK
+import graft.ext.{TextAnalysis, TopK}
 
 /** Scale-pattern evidence: bounded-state heavy hitters and bucketed
   * (shuffle-free) joins. */
@@ -15,6 +15,29 @@ class ScaleSpec extends SparkSpec {
     val want = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .sortBy { case (key, c) => (-c, key) }.take(5)
     assert(got === want)
+  }
+
+  test("sequence packing shards the per-lang running sum (no single-reducer window)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // one dominant lang, 40 docs: with shardSpan=8 the doc-row window runs
+    // over 5 (lang, shard) partitions, yet offsets must equal the
+    // unsharded (single-prefix-sum) layout exactly
+    val counted = spark.range(0, 40)
+      .select(col("id").as("doc_id"), lit("en").as("lang"),
+        (col("id") % 7 + 1).as("n_tokens"))
+    val packed = TextAnalysis.packCounts(counted, budgetTokens = 16, shardSpan = 8)
+    val single = TextAnalysis.packCounts(counted, budgetTokens = 16, shardSpan = Long.MaxValue)
+    assert(packed.orderBy("doc_id").collect().toSeq ===
+      single.orderBy("doc_id").collect().toSeq)
+    // the document-grain window partitions by (lang, _shard), never lang
+    // alone — the 100 TB guarantee that no stratum is one reducer
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("_shard"), plan.take(800))
+    // spot-check one straddling doc against the hand prefix sum
+    val cum = packed.orderBy("doc_id").collect().map(_.getAs[Long]("cum_before"))
+    val want = Array.iterate((0L, 0L), 40) { case (c, i) => (c + i % 7 + 1, i + 1) }
+      .map(_._1)
+    assert(cum.toSeq === want.toSeq)
   }
 
   test("hive-style partitioned layout: a stratum filter prunes partitions at the scan") {
