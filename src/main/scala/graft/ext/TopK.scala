@@ -6,60 +6,106 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /**
+ * Bounded counter state for [[SpaceSavingTopK]]: a key→count map mirrored
+ * by an ordered (count, key) set that tracks the minimum — the
+ * Stream-Summary idea (Metwally et al. '05) with the count-bucket list
+ * collapsed into one ordered mirror. Increment, insert, and evict-min are
+ * all O(log capacity) instead of the O(capacity) min scan the naive map
+ * pays per eviction — the difference between O(n log c) and O(n·c) on
+ * mostly-unique streams, where every arrival evicts. (A literal linked
+ * Stream-Summary reaches amortized O(1) but must evict an ARBITRARY member
+ * of the min bucket; this engine pins deterministic (min count, min key)
+ * eviction — reproducible results beat the last log factor.)
+ *
+ * The mirror is @transient and rebuilt lazily after deserialization —
+ * partial-aggregate shipping serializes only the map.
+ */
+final class TopKState extends Serializable {
+  val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+  @transient private var orderOrNull: mutable.TreeSet[(Long, String)] = _
+
+  private def order: mutable.TreeSet[(Long, String)] = {
+    if (orderOrNull == null) {
+      orderOrNull = mutable.TreeSet.empty[(Long, String)]
+      counts.foreach { case (k, c) => orderOrNull.add((c, k)) }
+    }
+    orderOrNull
+  }
+
+  /** Space-saving arrival: count a hit, or admit under capacity, or evict
+    * the (min count, min key) entry and inherit its count + 1. */
+  def offer(item: String, capacity: Int): Unit = counts.get(item) match {
+    case Some(c) =>
+      counts.update(item, c + 1)
+      order.remove((c, item))
+      order.add((c + 1, item))
+    case None if counts.size < capacity =>
+      counts.update(item, 1L)
+      order.add((1L, item))
+    case None =>
+      val min @ (minCount, minKey) = order.head
+      order.remove(min)
+      counts.remove(minKey)
+      counts.update(item, minCount + 1)
+      order.add((minCount + 1, item))
+  }
+
+  /** Merge another state's counters in (sum) and re-truncate to the
+    * `capacity` largest by (count desc, key asc) — infrequent (one per
+    * partial-aggregate pair), so the O(c log c) rebuild is fine. */
+  def absorb(other: TopKState, capacity: Int): Unit = {
+    other.counts.foreach { case (key, c) =>
+      counts.update(key, counts.getOrElse(key, 0L) + c)
+    }
+    if (counts.size > capacity) {
+      val keep = counts.toSeq.sortBy { case (key, c) => (-c, key) }.take(capacity)
+      counts.clear()
+      keep.foreach { case (key, c) => counts.update(key, c) }
+    }
+    orderOrNull = null // counts changed wholesale; rebuild on next offer
+  }
+
+  def top(k: Int): Seq[(String, Long)] =
+    counts.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
+}
+
+/**
  * Space-saving heavy hitters (Metwally et al. '05) as a typed
  * [[Aggregator]] — the custom-aggregate path for streaming/batch top-k
  * without materializing the full key distribution.
  *
- * State is a bounded counter map of `capacity` entries: a new key evicts
- * the minimum counter and inherits its count + 1 (the classic
- * overestimate-bounded scheme). With skewed data and capacity ≥ the number
- * of distinct hot keys the result is exact; in general each reported count
- * overestimates by at most the evicted minimum. `merge` sums counters and
- * re-truncates — associative within the same error bound.
+ * State is a bounded counter structure of `capacity` entries ([[TopKState]]):
+ * a new key evicts the minimum counter and inherits its count + 1 (the
+ * classic overestimate-bounded scheme). With skewed data and capacity ≥ the
+ * number of distinct hot keys the result is exact; in general each reported
+ * count overestimates by at most the evicted minimum. `merge` sums counters
+ * and re-truncates — associative within the same error bound.
  *
  * At 100 TB this is the shape that replaces `groupBy(key).count + sort` for
  * "top items" on unbounded key domains: fixed-size partial state per task,
  * one final merge, no full shuffle of the key distribution.
- *
- * Complexity note: eviction does an O(capacity) min scan, so mostly-unique
- * streams pay O(n·capacity); the classic Stream-Summary (min-tracked bucket
- * list) brings that to O(1) amortized and is the planned upgrade if this
- * aggregator lands on such workloads (ROADMAP).
  */
 class SpaceSavingTopK(k: Int, capacity: Int)
-    extends Aggregator[String, mutable.Map[String, Long], Seq[(String, Long)]] {
+    extends Aggregator[String, TopKState, Seq[(String, Long)]] {
 
   def this(k: Int) = this(k, k * 8)
 
-  override def zero: mutable.Map[String, Long] = mutable.Map.empty
+  override def zero: TopKState = new TopKState
 
-  override def reduce(buf: mutable.Map[String, Long], item: String): mutable.Map[String, Long] = {
-    buf.get(item) match {
-      case Some(c) => buf.update(item, c + 1)
-      case None if buf.size < capacity => buf.update(item, 1L)
-      case None =>
-        val (minKey, minCount) = buf.minBy { case (key, c) => (c, key) }
-        buf.remove(minKey)
-        buf.update(item, minCount + 1)
-    }
+  override def reduce(buf: TopKState, item: String): TopKState = {
+    buf.offer(item, capacity)
     buf
   }
 
-  override def merge(b1: mutable.Map[String, Long], b2: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-    b2.foreach { case (key, c) => b1.update(key, b1.getOrElse(key, 0L) + c) }
-    if (b1.size > capacity) {
-      val keep = b1.toSeq.sortBy { case (key, c) => (-c, key) }.take(capacity)
-      b1.clear()
-      keep.foreach { case (key, c) => b1.update(key, c) }
-    }
+  override def merge(b1: TopKState, b2: TopKState): TopKState = {
+    b1.absorb(b2, capacity)
     b1
   }
 
-  override def finish(buf: mutable.Map[String, Long]): Seq[(String, Long)] =
-    buf.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
+  override def finish(buf: TopKState): Seq[(String, Long)] = buf.top(k)
 
-  override def bufferEncoder: Encoder[mutable.Map[String, Long]] =
-    Encoders.kryo[mutable.Map[String, Long]]
+  override def bufferEncoder: Encoder[TopKState] = Encoders.kryo[TopKState]
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }

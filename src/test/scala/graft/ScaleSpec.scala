@@ -17,6 +17,33 @@ class ScaleSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("space-saving eviction is min-tracked: deterministic tiebreak, fast on mostly-unique streams") {
+    import graft.ext.TopKState
+    // deterministic (min count, min key) eviction: at capacity 2, the third
+    // key evicts "a" (not "b") and inherits its count + 1
+    val small = new TopKState
+    Seq("b", "a", "c").foreach(small.offer(_, capacity = 2))
+    assert(small.counts.toMap === Map("b" -> 1L, "c" -> 2L))
+    // the mirror survives serialization (rebuilt lazily on the other side)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(small)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[TopKState]
+    back.offer("d", capacity = 2) // evicts (1, "b")
+    assert(back.counts.toMap === Map("c" -> 2L, "d" -> 2L))
+    // worst case for space-saving: every arrival unique → every arrival
+    // evicts. 200k arrivals at capacity 4096 is ~800M comparisons under the
+    // old O(capacity) min scan; the ordered mirror does it in O(n log c)
+    val st = new TopKState
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000) { st.offer("u" + i, 4096); i += 1 }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(st.counts.size === 4096)
+    assert(elapsedMs < 5000.0, s"mostly-unique eviction path too slow: $elapsedMs ms")
+  }
+
   test("sequence packing shards the per-lang running sum (no single-reducer window)") {
     import org.apache.spark.sql.functions.{col, lit}
     // one dominant lang, 40 docs: with shardSpan=8 the doc-row window runs
