@@ -141,6 +141,12 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d), 512)),
     "q_corpus_prep" -> ((s, d) => TextAnalysis.corpusPrep(Tables.documents(s, d), 512)),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // -- LLM-pipeline round 3: decontamination, datamix, manifests, gates --
+    "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(Tables.documents(s, d))),
+    "q_datamix" -> ((s, d) => TextAnalysis.datamixWeights(Tables.documents(s, d))),
+    "q_pack_manifest" -> ((s, d) => TextAnalysis.packManifest(Tables.documents(s, d), 512)),
+    "q_length_filter" -> ((s, d) => TextAnalysis.lengthBoundsFilter(Tables.documents(s, d))),
+    "q_customer_quartiles" -> ((s, d) => Relational.customerQuartiles(s, d)),
   )
 
   // ---------------------------------------------------------------------------
@@ -709,6 +715,60 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
         |  FROM sc
         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
+    // eval slice = doc_id % 97 = 0; per-doc shingles are distinct and the
+    // eval shingle set is dedup'd, so count(*) == distinct overlap count
+    "q_decontaminate" -> (SH +
+      """, ev AS (
+        |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+        |), tr AS (
+        |  SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle FROM tr
+        |), ov AS (
+        |  SELECT ex.doc_id, count(*) AS n_overlap
+        |  FROM ex JOIN ev USING (shingle) GROUP BY ex.doc_id
+        |) SELECT tr.doc_id, CAST(len(tr.shingles) AS INTEGER) AS n_shingles,
+        |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+        |FROM tr LEFT JOIN ov ON tr.doc_id = ov.doc_id""".stripMargin),
+    "q_datamix" -> (TOK +
+      """, pl AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM pl
+        |) SELECT lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS actual_share,
+        |  CAST(CASE WHEN lang = 'en' THEN 40 ELSE 15 END AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS target_share,
+        |  (CAST(CASE WHEN lang = 'en' THEN 40 ELSE 15 END AS DOUBLE)
+        |    / CAST(100 AS DOUBLE))
+        |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS weight
+        |FROM pl, t""".stripMargin),
+    "q_pack_manifest" -> (TOK +
+      """, tk AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens FROM tok
+        |), cb AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM tk
+        |) SELECT lang, cum_before // 512 AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(n_tokens) AS DOUBLE) / CAST(512 AS DOUBLE) AS fill
+        |FROM cb GROUP BY lang, cum_before // 512""".stripMargin),
+    "q_length_filter" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(n_chars, 0.01) AS lo, quantile_cont(n_chars, 0.99) AS hi
+        |  FROM documents
+        |) SELECT doc_id, n_chars FROM documents, b
+        |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin,
+    "q_customer_quartiles" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        |FROM customer""".stripMargin,
     "q_pack_sequences" -> (TOK +
       """, tk AS (
         |  SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens FROM tok

@@ -343,6 +343,106 @@ object TextAnalysis {
   }
 
   /**
+   * Benchmark decontamination: flag training documents that share word
+   * n-gram shingles with an evaluation set — the overlap check every
+   * training-corpus pipeline runs before a model sees the data (eval
+   * questions leaking into pretraining invalidate the benchmark). The eval
+   * set here is the deterministic `doc_id % evalMod == 0` slice standing in
+   * for an external benchmark table; a real run substitutes its own frame
+   * with the same (doc_id, shingles) shape.
+   *
+   * Scale shape: the eval side is SMALL by definition (benchmarks are
+   * thousands of documents, the corpus is billions), so its distinct
+   * shingle set broadcasts; the corpus explodes its shingles once and
+   * hash-joins against the broadcast — per-row work proportional to
+   * shingles that actually overlap, no shuffle of the corpus. Per-doc
+   * shingles are already distinct and the eval set is dedup'd, so a plain
+   * count is the distinct-overlap count.
+   */
+  def decontaminate(docs: DataFrame, evalMod: Int = 97, shingleSize: Int = 3,
+                    minOverlap: Int = 2): DataFrame = {
+    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles"))
+    val train = sh.filter(col("doc_id") % evalMod =!= 0)
+    val evalShingles = sh.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val overlaps = train
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    train
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
+  /**
+   * Data-mixture weighting: per-stratum token counts, actual corpus share,
+   * and the resampling weight (`target_share / actual_share`) that
+   * rebalances the mixture to a target composition — the "datamix" table a
+   * training pipeline derives before sampling shards. One aggregation to
+   * stratum grain plus a 1-row total broadcast; all shares are single IEEE
+   * divisions of exact long sums, so every engine reproduces them bitwise.
+   */
+  def datamixWeights(docs: DataFrame,
+                     targetPct: Map[String, Int] = Map("en" -> 40),
+                     defaultPct: Int = 15): DataFrame = {
+    val target = targetPct.foldLeft(lit(defaultPct)) { case (acc, (lang, p)) =>
+      when(col("lang") === lang, lit(p)).otherwise(acc)
+    }
+    val perLang = withTokens(docs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("tot_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("actual_share",
+        col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("target_share", target.cast("double") / lit(100).cast("double"))
+      .withColumn("weight", col("target_share") / col("actual_share"))
+      .select("lang", "n_docs", "n_tokens", "actual_share", "target_share", "weight")
+  }
+
+  /**
+   * Shard manifest over [[packSequences]]: one row per (lang, pack) with
+   * document count, token fill, and the doc_id range — the index a trainer
+   * reads to locate shards without scanning them. `fill` < 1.0 marks the
+   * tail pack of each stratum (and straddle slack under the streaming-
+   * chunking semantics). Pure rollup of the packing layout: the per-doc
+   * grain never leaves the cluster.
+   */
+  def packManifest(docs: DataFrame, budgetTokens: Int = 8192): DataFrame =
+    packSequences(docs, budgetTokens)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill",
+        col("pack_tokens").cast("double") / lit(budgetTokens).cast("double"))
+
+  /**
+   * Quantile length gate: keep documents whose `n_chars` lies inside the
+   * corpus's [pLow, pHigh] percentile band — the distribution-relative
+   * outlier filter (truncated boilerplate at one end, concatenation
+   * artifacts at the other) that a fixed threshold can't express. The
+   * bounds are ONE exact-percentile aggregate broadcast back over the
+   * scan; at 100 TB swap `percentile` for `approx_percentile` behind the
+   * same shape (exact here for oracle parity).
+   */
+  def lengthBoundsFilter(docs: DataFrame, pLow: Double = 0.01,
+                         pHigh: Double = 0.99): DataFrame = {
+    val bounds = docs.agg(
+      expr(s"percentile(n_chars, CAST($pLow AS DOUBLE))").as("lo"),
+      expr(s"percentile(n_chars, CAST($pHigh AS DOUBLE))").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /**
    * PII/noise scrubbing: mask email-like tokens, long digit runs, and
    * URL-like tokens — the regexp_replace cleaning layer of corpus prep.
    * Patterns kept to the regex subset with identical semantics across

@@ -83,6 +83,17 @@ object Relational {
         col("drev").cast("double").as("revenue"), col("rank"))
   }
 
+  /** Account-balance quartiles within each market segment (ntile window,
+    * deterministic (balance, key) ordering) — the equal-frequency binning
+    * primitive; partitioned by segment so no stratum is one reducer. */
+  def customerQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+  }
+
   /** Orders with at least one lineitem, counted per priority (semi join). */
   def orderPriorityWithLineitems(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

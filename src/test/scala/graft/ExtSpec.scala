@@ -29,6 +29,52 @@ class ExtSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not pulled in
   }
 
+  test("decontamination flags docs sharing shingles with the eval slice") {
+    // eval slice = doc_id % 97 == 0 → doc 0. Doc 3 is its exact dup (full
+    // overlap), doc 1 a near dup (most shingles), doc 2 unrelated (zero).
+    val out = TextAnalysis.decontaminate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // eval doc itself excluded
+    assert(out(3L)._1 === 12L && out(3L)._2)  // 14 tokens → 12 shingles, all shared
+    assert(out(1L)._2)                        // near dup crosses minOverlap=2
+    assert(out(2L) === ((0L, false)))         // unrelated doc untouched
+  }
+
+  test("datamix weight rebalances a stratum toward its target share") {
+    val mix = TextAnalysis.datamixWeights(
+      docs, targetPct = Map("en" -> 40), defaultPct = 15).collect()
+    assert(mix.length === 1) // fixture is all-en
+    val r = mix.head
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Double]("actual_share") === 1.0)
+    assert(r.getAs[Double]("weight") === 0.4) // 0.4 target / 1.0 actual
+  }
+
+  test("pack manifest rolls the packing layout up to shard grain") {
+    // 52 fixture tokens, budget 16 → packs 0 (docs 0+1), 1 (doc 2),
+    // 2 (doc 3) under the streaming-chunking running-offset semantics
+    val m = TextAnalysis.packManifest(docs, budgetTokens = 16)
+      .orderBy("pack_id").collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum === 4L)
+    assert(m.map(_.getAs[Long]("pack_tokens")).sum === 52L)
+    val first = m.head
+    assert(first.getAs[Long]("pack_id") === 0L)
+    assert(first.getAs[Long]("first_doc") === 0L)
+    assert(first.getAs[Double]("fill") === first.getAs[Long]("pack_tokens") / 16.0)
+  }
+
+  test("quantile length gate drops distribution-relative outliers") {
+    import org.apache.spark.sql.functions.col
+    val sized = Seq((0L, 10L), (1L, 50L), (2L, 55L), (3L, 1000L))
+      .toDF("doc_id", "n_chars").withColumn("n_chars", col("n_chars"))
+    // p01 of [10,50,55,1000] = 11.2, p99 = 971.65 → both extremes drop
+    val kept = TextAnalysis.lengthBoundsFilter(sized).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq === Seq(1L, 2L))
+  }
+
   test("minhash LSH skew cap bounds a degenerate bucket without losing genuine pairs") {
     // 300 IDENTICAL boilerplate docs: one mega bucket in every band, the
     // quadratic hazard the cap exists for. Two genuine near-dups (the
