@@ -147,6 +147,7 @@ object SparkEntry {
     "q_pack_manifest" -> ((s, d) => TextAnalysis.packManifest(Tables.documents(s, d), 512)),
     "q_length_filter" -> ((s, d) => TextAnalysis.lengthBoundsFilter(Tables.documents(s, d))),
     "q_customer_quartiles" -> ((s, d) => Relational.customerQuartiles(s, d)),
+    "q_source_reputation" -> ((s, d) => TextAnalysis.sourceReputation(Tables.documents(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -769,6 +770,26 @@ object SparkEntry {
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
         |FROM customer""".stripMargin,
+    // quality predicate mirrors q_quality; int/int division is true
+    // division (→ DOUBLE) in both engines
+    "q_source_reputation" ->
+      """WITH tq AS (
+        |  SELECT doc_id, source, n_chars, md5(text) AS content_hash,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS INTEGER) AS n_unique
+        |  FROM documents
+        |), cp AS (
+        |  SELECT content_hash, count(*) AS n_copies FROM tq GROUP BY content_hash
+        |) SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate,
+        |  CAST(sum(CASE WHEN n_tokens >= 10 AND n_unique / n_tokens > 0.2
+        |           THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS quality_rate,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM tq JOIN cp USING (content_hash)
+        |GROUP BY source""".stripMargin,
     "q_pack_sequences" -> (TOK +
       """, tk AS (
         |  SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens FROM tok

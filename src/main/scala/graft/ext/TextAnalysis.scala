@@ -288,7 +288,13 @@ object TextAnalysis {
                  shardSpan: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardSpan > 0, s"shardSpan must be positive, got $shardSpan")
-    val sharded = counted.withColumn("_shard", expr(s"doc_id DIV ${shardSpan}L"))
+    // project to the 4 needed columns and persist: the shard-total branch
+    // below re-derives this frame's lineage, which for packSequences /
+    // corpusPrep means a second full tokenize of the corpus
+    val sharded = counted
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .withColumn("_shard", expr(s"doc_id DIV ${shardSpan}L"))
+      .persist()
     val wIn = Window.partitionBy(col("lang"), col("_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // shard totals are one row per (lang, shard): the base-offset window
@@ -391,10 +397,14 @@ object TextAnalysis {
     val target = targetPct.foldLeft(lit(defaultPct)) { case (acc, (lang, p)) =>
       when(col("lang") === lang, lit(p)).otherwise(acc)
     }
+    // persist the stratum-grain frame (a handful of rows): `total` re-derives
+    // from its lineage, which would otherwise re-scan + re-tokenize the
+    // whole corpus for one number
     val perLang = withTokens(docs)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("n_tokens"))
+      .persist()
     val total = perLang.agg(sum(col("n_tokens")).as("tot_tokens"))
     perLang.crossJoin(broadcast(total))
       .withColumn("actual_share",
@@ -440,6 +450,41 @@ object TextAnalysis {
     docs.crossJoin(broadcast(bounds))
       .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
       .select(col("doc_id"), col("n_chars"))
+  }
+
+  /**
+   * Source-reputation rollup: per crawl source (the `source` column —
+   * domain, feed, dump shard), document count, exact-duplicate rate,
+   * quality-gate pass rate, and mean length — the governance table that
+   * decides which sources to throttle or drop before they pollute a
+   * training mix. Duplicate membership comes from a self-aggregation on
+   * the content hash joined back (both shuffles key on high-cardinality
+   * columns — hash, then source — so the shape holds at corpus scale);
+   * the rates are single IEEE divisions of exact long counts.
+   */
+  def sourceReputation(docs: DataFrame): DataFrame = {
+    // compact (text dropped) and persisted: the copies branch re-derives
+    // this lineage, which would otherwise scan + hash the corpus twice
+    val hashed = withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_unique", size(array_distinct(col("toks"))))
+      .withColumn("content_hash", md5(col("text")))
+      .select("doc_id", "source", "n_chars", "content_hash", "n_tokens", "n_unique")
+      .persist()
+    val copies = hashed.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+    hashed.join(copies, "content_hash")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("n_tokens") >= 10 && col("n_unique") / col("n_tokens") > 0.2,
+          1L).otherwise(0L)).as("n_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double")).as("dup_rate"),
+        (col("n_quality").cast("double") / col("n_docs").cast("double")).as("quality_rate"),
+        (col("sum_chars").cast("double") / col("n_docs").cast("double")).as("avg_chars"))
   }
 
   /**

@@ -29,6 +29,22 @@ class ExtSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not pulled in
   }
 
+  test("source reputation: duplicate and quality rates roll up per source") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "srcA", 67L),
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "srcA", 67L),
+      (2L, "tiny doc", "en", "srcB", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = TextAnalysis.sourceReputation(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rep("srcA").getAs[Long]("n_dup_docs") === 2L) // both copies flagged
+    assert(rep("srcA").getAs[Double]("dup_rate") === 1.0)
+    assert(rep("srcA").getAs[Double]("quality_rate") === 1.0)
+    assert(rep("srcB").getAs[Long]("n_docs") === 1L)
+    assert(rep("srcB").getAs[Double]("quality_rate") === 0.0) // 2 tokens < 10
+    assert(rep("srcB").getAs[Double]("avg_chars") === 8.0)
+  }
+
   test("decontamination flags docs sharing shingles with the eval slice") {
     // eval slice = doc_id % 97 == 0 → doc 0. Doc 3 is its exact dup (full
     // overlap), doc 1 a near dup (most shingles), doc 2 unrelated (zero).
