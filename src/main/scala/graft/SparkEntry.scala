@@ -148,6 +148,8 @@ object SparkEntry {
     "q_length_filter" -> ((s, d) => TextAnalysis.lengthBoundsFilter(Tables.documents(s, d))),
     "q_customer_quartiles" -> ((s, d) => Relational.customerQuartiles(s, d)),
     "q_source_reputation" -> ((s, d) => TextAnalysis.sourceReputation(Tables.documents(s, d))),
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -770,6 +772,43 @@ object SparkEntry {
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
         |FROM customer""".stripMargin,
+    // same assignment CTEs as q_ann_topk_ivf; drop = larger id of any
+    // within-cluster pair clearing the cosine threshold (keep-min greedy)
+    "q_semantic_dedup" -> (EMB +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e WHERE vec_id < 8
+        |), ar AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(len(e.embedding)), i ->
+        |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
+        |      c.cent_id ASC) AS INTEGER) AS arank
+        |  FROM e, cents c
+        |), assign AS (
+        |  SELECT vec_id AS member_id, cent_id AS cluster FROM ar WHERE arank = 1
+        |), drops AS (
+        |  SELECT DISTINCT a2.member_id AS vec_id
+        |  FROM assign a1
+        |  JOIN assign a2 ON a1.cluster = a2.cluster AND a1.member_id < a2.member_id
+        |  JOIN e e1 ON a1.member_id = e1.vec_id
+        |  JOIN e e2 ON a2.member_id = e2.vec_id
+        |  WHERE list_sum(list_transform(range(len(e1.embedding)), i ->
+        |      CAST(e1.embedding[i+1] AS DOUBLE) * CAST(e2.embedding[i+1] AS DOUBLE)))
+        |    / (e1.nrm * e2.nrm) >= 0.35
+        |) SELECT a.member_id AS vec_id, a.cluster FROM assign a
+        |WHERE a.member_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
+    // DECIMAL-routed ln sums (order-proof) + 6 dp rounding (ln ulp drift)
+    "q_unigram_logprob" -> (TOK +
+      """, ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |v AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
+        |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM v),
+        |d AS (
+        |  SELECT ex.doc_id, count(*) AS n_tokens,
+        |    sum(CAST(ln(CAST(v.tf AS DOUBLE)) AS DECIMAL(28,12))) AS sum_ln_tf
+        |  FROM ex JOIN v USING (token) GROUP BY ex.doc_id
+        |) SELECT doc_id, n_tokens,
+        |  round(CAST(sum_ln_tf AS DOUBLE) / n_tokens - ln(CAST(tot AS DOUBLE)), 6) AS avg_logprob
+        |FROM d, t""".stripMargin),
     // quality predicate mirrors q_quality; int/int division is true
     // division (→ DOUBLE) in both engines
     "q_source_reputation" ->

@@ -300,6 +300,41 @@ object Similarity {
                |                  ELSE CAST(x AS DOUBLE) / (amax / 127) END) AS INT)))""".stripMargin)
           .as("qvec_str"))
 
+  /**
+   * Semantic deduplication (SemDeDup-shaped): assign every vector to its
+   * nearest coarse centroid, compare pairs ONLY within a cluster, and drop
+   * the larger vec_id of every pair whose cosine clears `threshold` —
+   * keep-min-id, the same greedy rule as `Dedup.dropNearDups`. Returns the
+   * survivors as (vec_id, cluster).
+   *
+   * This is the embedding-space answer to boilerplate that exact/minhash
+   * dedup can't see (paraphrases, translations, templated rewrites). Scale
+   * shape: assignment is one broadcast-codebook pass; the pair join is
+   * keyed on `cluster`, so work is Σ cluster² instead of n² — the
+   * clustering IS the blocking step, exactly like IVF search probes. With
+   * a real k-means codebook ([[kmeansCodebook]]) clusters are balanced;
+   * the seeded stand-in keeps the oracle deterministic.
+   */
+  def semanticDedup(embeddings: DataFrame, numCentroids: Int = 8,
+                    threshold: Double = 0.35): DataFrame = {
+    val base = withNorms(embeddings).persist()
+    val cents = initCentroids(base, numCentroids)
+    val assign = base.crossJoin(broadcast(cents))
+      .withColumn("arank", centRank).filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cluster"))
+      .persist()
+    val a1 = assign.select(col("cluster").as("cl1"), col("vec_id").as("id1"),
+      col("embedding").as("emb1"), col("nrm").as("nrm1"))
+    val a2 = assign.select(col("cluster").as("cl2"), col("vec_id").as("id2"),
+      col("embedding").as("emb2"), col("nrm").as("nrm2"))
+    val drops = a1.join(a2, col("cl1") === col("cl2") && col("id1") < col("id2"))
+      .withColumn("cosine", dot("emb1", "emb2") / (col("nrm1") * col("nrm2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    assign.select(col("vec_id"), col("cluster"))
+      .join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** Exact all-pairs near-dup baseline (correctness reference; O(n²) —
     * verification scale only, the LSH variant is the production path). */
   def bruteForceNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

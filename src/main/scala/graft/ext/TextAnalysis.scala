@@ -453,6 +453,34 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram log-probability scoring: each document's mean log corpus
+   * frequency of its tokens — the cheap proxy for "LM perplexity" quality
+   * filtering (rare-gibberish-heavy docs score low, natural text high).
+   * Two aggregations: corpus unigram counts, then a per-doc mean over the
+   * vocab join (vocabulary-sized side broadcasts when it fits, AQE falls
+   * back to a token-keyed SMJ — same policy as tf-idf). The per-doc ln sum
+   * routes through DECIMAL so accumulation order can't perturb bits, and
+   * the score rounds at 6 dp (ln may drift an ulp across engines — the
+   * q_bm25 policy).
+   */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    // persisted: vocab and the per-doc join both consume this explode —
+    // without the persist the corpus tokenizes twice
+    val ex = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token")).persist()
+    val vocab = ex.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val tot = vocab.agg(sum(col("tf")).as("tot"))
+    ex.join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("tf").cast("double")).cast("decimal(28,12)")).as("sum_ln_tf"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_ln_tf").cast("double") / col("n_tokens") -
+          log(col("tot").cast("double")), 6).as("avg_logprob"))
+  }
+
+  /**
    * Source-reputation rollup: per crawl source (the `source` column —
    * domain, feed, dump shard), document count, exact-duplicate rate,
    * quality-gate pass rate, and mean length — the governance table that

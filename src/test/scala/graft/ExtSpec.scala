@@ -29,6 +29,37 @@ class ExtSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not pulled in
   }
 
+  test("semantic dedup drops the larger id of a near-identical embedding pair, per cluster") {
+    import org.apache.spark.sql.functions.col
+    // vecs 0/1 are seed centroids pointing in opposite directions; 5 is a
+    // near-copy of 0 (same cluster, cosine ~1), 6 aligns with 1, unique
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(-1.0f, 0.1f)),
+      (5L, Array(0.99f, 0.01f)),
+      (6L, Array(-0.5f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, numCentroids = 2, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(!kept.contains(5L))          // near-dup of 0 dropped (larger id)
+    assert(kept.keySet === Set(0L, 1L, 6L))
+    assert(kept(0L) === 0L && kept(6L) === 1L) // blocking respected clusters
+  }
+
+  test("unigram log-prob matches the hand-computed corpus frequencies") {
+    val tiny = Seq((0L, "a a b", "en"), (1L, "c", "en")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.unigramLogProb(tiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob")))).toMap
+    // tf: a=2, b=1, c=1, tot=4. doc0 = (2ln2 + ln1)/3 - ln4; doc1 = -ln4
+    val d0 = BigDecimal(2 * math.log(2) / 3 - math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = BigDecimal(-math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) === ((3L, d0)))
+    assert(got(1L) === ((1L, d1)))
+  }
+
   test("source reputation: duplicate and quality rates roll up per source") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "srcA", 67L),
