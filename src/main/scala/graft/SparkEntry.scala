@@ -718,19 +718,22 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
         |  FROM sc
         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
-    // eval slice = doc_id % 97 = 0; per-doc shingles are distinct and the
-    // eval shingle set is dedup'd, so count(*) == distinct overlap count
+    // eval slice = doc_id % 97 = 0; overlap counted on the portable
+    // md5-uint32 shingle hashes (== graft_shingle_hash); per-doc shingles
+    // are distinct and the eval set is dedup'd, so count(*) == overlap
     "q_decontaminate" -> (SH +
-      """, ev AS (
-        |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+      s""", hsh AS (
+        |  SELECT doc_id, list_transform(shingles, s -> ${h32("s")}) AS hs FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT unnest(hs) AS shingle_hash FROM hsh WHERE doc_id % 97 = 0
         |), tr AS (
-        |  SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0
+        |  SELECT doc_id, hs FROM hsh WHERE doc_id % 97 <> 0
         |), ex AS (
-        |  SELECT doc_id, unnest(shingles) AS shingle FROM tr
+        |  SELECT doc_id, unnest(hs) AS shingle_hash FROM tr
         |), ov AS (
         |  SELECT ex.doc_id, count(*) AS n_overlap
-        |  FROM ex JOIN ev USING (shingle) GROUP BY ex.doc_id
-        |) SELECT tr.doc_id, CAST(len(tr.shingles) AS INTEGER) AS n_shingles,
+        |  FROM ex JOIN ev USING (shingle_hash) GROUP BY ex.doc_id
+        |) SELECT tr.doc_id, CAST(len(tr.hs) AS INTEGER) AS n_shingles,
         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  coalesce(ov.n_overlap, 0) >= 2 AS contaminated
         |FROM tr LEFT JOIN ov ON tr.doc_id = ov.doc_id""".stripMargin),
@@ -797,15 +800,17 @@ object SparkEntry {
         |    / (e1.nrm * e2.nrm) >= 0.35
         |) SELECT a.member_id AS vec_id, a.cluster FROM assign a
         |WHERE a.member_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
-    // DECIMAL-routed ln sums (order-proof) + 6 dp rounding (ln ulp drift)
+    // DECIMAL-routed tf-weighted ln sums (order-proof, == per-occurrence
+    // fold exactly) + 6 dp rounding (ln ulp drift)
     "q_unigram_logprob" -> (TOK +
       """, ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
-        |v AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
-        |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM v),
+        |tfr AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+        |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tfr GROUP BY token),
+        |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS tot FROM v),
         |d AS (
-        |  SELECT ex.doc_id, count(*) AS n_tokens,
-        |    sum(CAST(ln(CAST(v.tf AS DOUBLE)) AS DECIMAL(28,12))) AS sum_ln_tf
-        |  FROM ex JOIN v USING (token) GROUP BY ex.doc_id
+        |  SELECT tfr.doc_id, CAST(sum(tfr.tf) AS BIGINT) AS n_tokens,
+        |    sum(CAST(tfr.tf AS DECIMAL(6,0)) * CAST(ln(CAST(v.ctf AS DOUBLE)) AS DECIMAL(18,12))) AS sum_ln_tf
+        |  FROM tfr JOIN v USING (token) GROUP BY tfr.doc_id
         |) SELECT doc_id, n_tokens,
         |  round(CAST(sum_ln_tf AS DOUBLE) / n_tokens - ln(CAST(tot AS DOUBLE)), 6) AS avg_logprob
         |FROM d, t""".stripMargin),

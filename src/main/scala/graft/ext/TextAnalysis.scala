@@ -367,17 +367,24 @@ object TextAnalysis {
    */
   def decontaminate(docs: DataFrame, evalMod: Int = 97, shingleSize: Int = 3,
                     minOverlap: Int = 2): DataFrame = {
-    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles"))
-    val train = sh.filter(col("doc_id") % evalMod =!= 0)
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    // hashed shingles via the compiled expression (one pass, no interpreted
+    // concat_ws/transform lambdas) — overlap on the portable md5-uint32
+    // values, which the oracle reproduces exactly. The train frame is
+    // persisted compact (doc_id + long array): both its consumers (explode
+    // and n_shingles) would otherwise re-shingle the corpus.
+    val sh = withTokens(docs)
+      .select(col("doc_id"), expr(s"graft_shingle_hash(toks, $shingleSize)").as("hs"))
+    val train = sh.filter(col("doc_id") % evalMod =!= 0).persist()
     val evalShingles = sh.filter(col("doc_id") % evalMod === 0)
-      .select(explode(col("shingles")).as("shingle")).distinct()
+      .select(explode(col("hs")).as("shingle_hash")).distinct()
     val overlaps = train
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .join(broadcast(evalShingles), "shingle")
+      .select(col("doc_id"), explode(col("hs")).as("shingle_hash"))
+      .join(broadcast(evalShingles), "shingle_hash")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
     train
-      .select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"))
       .join(overlaps, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
@@ -464,16 +471,26 @@ object TextAnalysis {
    * q_bm25 policy).
    */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    // persisted: vocab and the per-doc join both consume this explode —
-    // without the persist the corpus tokenizes twice
-    val ex = withTokens(docs)
-      .select(col("doc_id"), explode(col("toks")).as("token")).persist()
-    val vocab = ex.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val tot = vocab.agg(sum(col("tf")).as("tot"))
-    ex.join(vocab, "token")
+    // aggregate the occurrence stream to (doc, token) grain FIRST — the
+    // vocab branch, the per-doc branch, and the persist then all work on
+    // the compact tf frame instead of the raw exploded stream. Adding k
+    // occurrences of a DECIMAL is exactly k × that DECIMAL, so the
+    // tf-weighted sum is bit-identical to the per-occurrence fold.
+    val ex = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("token"))
+    val tf = ex.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")).persist()
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
+    val tot = vocab.agg(sum(col("ctf")).as("tot"))
+    tf.join(vocab, "token")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(log(col("tf").cast("double")).cast("decimal(28,12)")).as("sum_ln_tf"))
+      // operand precisions sized so the product is decimal(25,12) — EXACT.
+      // A wider ln cast (e.g. 28,12) overflows precision 38 on multiply and
+      // Spark's allowPrecisionLoss silently drops the scale to 6, rounding
+      // every term at 1e-6 (observed as 17/500 oracle mismatches).
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("decimal(6,0)") *
+          log(col("ctf").cast("double")).cast("decimal(18,12)"))
+          .as("sum_ln_tf"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_ln_tf").cast("double") / col("n_tokens") -

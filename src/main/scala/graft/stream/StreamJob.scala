@@ -105,4 +105,24 @@ object StreamJob {
       .select(graft.ext.TextAnalysis.hash32(col(keyCol)).as("h"))
       .agg(expr("graft_cms(h)").as("cms"))
   }
+
+  /**
+   * Streaming heavy hitters: the space-saving typed Aggregator
+   * ([[graft.ext.SpaceSavingTopK]]) as a complete-mode global aggregate —
+   * per trigger, one row with the top-k (key, count) over the whole stream
+   * so far. State is the bounded `capacity`-entry counter structure no
+   * matter how many distinct keys flow past (contrast with a streaming
+   * `groupBy(key).count`, whose state grows with the key domain) — the
+   * exact-on-hot-keys complement to [[streamingCms]]'s estimate-everything
+   * sketch.
+   */
+  def streamingTopK(events: DataFrame, keyCol: String,
+                    k: Int = 5, capacity: Int = 64): DataFrame = {
+    import events.sparkSession.implicits._
+    // .name keeps the TypedColumn (an .as alias would untype it, and the
+    // typed Dataset.select rejects untyped columns)
+    events.select(col(keyCol).cast("string")).as[String]
+      .select(new graft.ext.SpaceSavingTopK(k, capacity).toColumn.name("topk"))
+      .toDF()
+  }
 }

@@ -72,6 +72,23 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map("i1" -> 9.99, "i2" -> 5.0, "i3" -> null)) // left join keeps unmatched
   }
 
+  test("streaming top-k: bounded space-saving state spans micro-batches (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamJob.streamingTopK(ms.toDF(), "itemid", k = 2, capacity = 8)
+      .writeStream.outputMode("complete").format("memory").queryName("topk_stream").start()
+    try {
+      ms.addData(Ev("u1", ts(10), "view", "hot"), Ev("u1", ts(20), "view", "hot"))
+      q.processAllAvailable()
+      ms.addData(Ev("u2", ts(30), "view", "hot"), Ev("u2", ts(40), "view", "cold"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = spark.table("topk_stream").collect().head.getSeq[Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    // counts span both batches: the aggregator state merged, not reset
+    assert(top === Seq(("hot", 3L), ("cold", 1L)))
+  }
+
   test("streaming CMS: sketch state merges across micro-batches (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
