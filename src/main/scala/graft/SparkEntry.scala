@@ -809,7 +809,7 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS tot FROM v),
         |d AS (
         |  SELECT tfr.doc_id, CAST(sum(tfr.tf) AS BIGINT) AS n_tokens,
-        |    sum(CAST(tfr.tf AS DECIMAL(6,0)) * CAST(ln(CAST(v.ctf AS DOUBLE)) AS DECIMAL(18,12))) AS sum_ln_tf
+        |    sum(CAST(tfr.tf AS DECIMAL(12,0)) * CAST(ln(CAST(v.ctf AS DOUBLE)) AS DECIMAL(16,12))) AS sum_ln_tf
         |  FROM tfr JOIN v USING (token) GROUP BY tfr.doc_id
         |) SELECT doc_id, n_tokens,
         |  round(CAST(sum_ln_tf AS DOUBLE) / n_tokens - ln(CAST(tot AS DOUBLE)), 6) AS avg_logprob

@@ -48,7 +48,10 @@ object Dedup {
   /** Recommended band-bucket cap for corpus-scale runs: 10k members ≈ 50M
     * candidate pairs per degenerate bucket, the most a single skew-split
     * partition should absorb. See the skew-guard note in
-    * [[minhashCandidatePairs]]; exercised by ExtSpec's skew-cap test. */
+    * [[minhashCandidatePairs]]. The cap MECHANISM is pinned by ExtSpec's
+    * planted-mega-bucket test; this default is additionally asserted to
+    * leave ordinary buckets untouched (it only ever cuts buckets that
+    * exact dedup should have collapsed first). */
   val ProductionMaxBucketSize: Option[Int] = Some(10000)
 
   /**

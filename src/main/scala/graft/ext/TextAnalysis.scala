@@ -68,6 +68,13 @@ object TextAnalysis {
   /** English stopwords present in this corpus domain + common function words. */
   val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** THE quality acceptance rule — long enough, not all repetition — shared
+    * by [[qualityScore]], [[corpusPrep]], and [[sourceReputation]] (and
+    * mirrored by each of their oracles): one definition, so the gate can't
+    * drift between the standalone score and the pipelines that apply it. */
+  def passesQuality(nTokens: Column, nUnique: Column): Column =
+    nTokens >= 10 && nUnique / nTokens > 0.2
+
   /**
    * Quality scoring: length, stopword ratio, uniqueness ratio — the standard
    * cheap pre-filters of web-scale corpus cleaning (heuristics in the spirit
@@ -84,9 +91,7 @@ object TextAnalysis {
         col("n_tokens"),
         (col("n_stop") / col("n_tokens")).as("stopword_ratio"),
         (col("n_unique") / col("n_tokens")).as("unique_ratio"),
-        // simple acceptance rule: long enough, not all repetition
-        (col("n_tokens") >= 10 && col("n_unique") / col("n_tokens") > 0.2)
-          .as("passes_quality"))
+        passesQuality(col("n_tokens"), col("n_unique")).as("passes_quality"))
   }
 
   /** Tiny per-language function-word dictionaries for the heuristic
@@ -339,7 +344,7 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_unique", size(array_distinct(col("toks"))))
       // quality gate (== qualityScore.passes_quality)
-      .filter(col("n_tokens") >= 10 && col("n_unique") / col("n_tokens") > 0.2)
+      .filter(passesQuality(col("n_tokens"), col("n_unique")))
       // stratified sample (== stratifiedSample's hash gate)
       .filter(pmod(hash32(col("text")), lit(100)) < rate)
       // exact-dedup keep-min, decided over ALL documents
@@ -483,13 +488,15 @@ object TextAnalysis {
     val tot = vocab.agg(sum(col("ctf")).as("tot"))
     tf.join(vocab, "token")
       .groupBy(col("doc_id"))
-      // operand precisions sized so the product is decimal(25,12) — EXACT.
+      // operand precisions sized so the product is decimal(29,12) — EXACT.
       // A wider ln cast (e.g. 28,12) overflows precision 38 on multiply and
       // Spark's allowPrecisionLoss silently drops the scale to 6, rounding
-      // every term at 1e-6 (observed as 17/500 oracle mismatches).
+      // every term at 1e-6 (observed as 17/500 oracle mismatches). tf fits
+      // decimal(12,0) for any physical document (non-ANSI cast overflow
+      // would silently NULL the term); ln(ctf) < 10^4 fits (16,12).
       .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf").cast("decimal(6,0)") *
-          log(col("ctf").cast("double")).cast("decimal(18,12)"))
+        sum(col("tf").cast("decimal(12,0)") *
+          log(col("ctf").cast("double")).cast("decimal(16,12)"))
           .as("sum_ln_tf"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tokens"),
@@ -523,8 +530,8 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
-        sum(when(col("n_tokens") >= 10 && col("n_unique") / col("n_tokens") > 0.2,
-          1L).otherwise(0L)).as("n_quality"),
+        sum(when(passesQuality(col("n_tokens"), col("n_unique")), 1L)
+          .otherwise(0L)).as("n_quality"),
         sum(col("n_chars")).as("sum_chars"))
       .select(col("source"), col("n_docs"), col("n_dup_docs"),
         (col("n_dup_docs").cast("double") / col("n_docs").cast("double")).as("dup_rate"),

@@ -135,7 +135,11 @@ case class LshBands(child: Expression, dim: Int, numBands: Int, planesPerBand: I
         var key = 0
         var p = 0
         while (p < planesPerBand) {
-          if (dots(b * planesPerBand + p) >= 0) key |= (1 << p)
+          // !(d < 0), not (d >= 0): Spark SQL's nan-safe compare orders NaN
+          // above every number, so the HOF `IF(dot >= 0, …)` SETS the bit
+          // for a NaN dot — Java's `NaN >= 0` is false and would clear it,
+          // silently moving NaN vectors to different buckets than the spec
+          if (!(dots(b * planesPerBand + p) < 0)) key |= (1 << p)
           p += 1
         }
         keys(b) = key

@@ -119,9 +119,12 @@ object StreamJob {
   def streamingTopK(events: DataFrame, keyCol: String,
                     k: Int = 5, capacity: Int = 64): DataFrame = {
     import events.sparkSession.implicits._
-    // .name keeps the TypedColumn (an .as alias would untype it, and the
-    // typed Dataset.select rejects untyped columns)
-    events.select(col(keyCol).cast("string")).as[String]
+    // null keys are dropped BEFORE the typed boundary: TopKState's ordered
+    // (count, key) mirror cannot order null keys (tuple compare would NPE
+    // on a count tie inside an executor). .name keeps the TypedColumn (an
+    // .as alias would untype it, and typed Dataset.select rejects that).
+    events.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).as[String]
       .select(new graft.ext.SpaceSavingTopK(k, capacity).toColumn.name("topk"))
       .toDF()
   }

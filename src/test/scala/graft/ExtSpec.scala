@@ -142,6 +142,14 @@ class ExtSpec extends SparkSpec {
     assert(capped.contains((0L, 1L)))
   }
 
+  test("production bucket cap (10k) leaves ordinary corpora untouched") {
+    val uncapped = Dedup.minhashCandidatePairs(docs)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = Dedup.minhashCandidatePairs(docs, maxBucketSize = Dedup.ProductionMaxBucketSize)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prod === uncapped) // the default only ever cuts degenerate mega-buckets
+  }
+
   test("k-means sharded fold: bounded state, same means as the flat fold on skewed clusters") {
     import org.apache.spark.sql.functions.col
     // deliberately skewed assignment: 37 of 40 vectors cluster near seed 0

@@ -80,7 +80,10 @@ class StreamingSpec extends SparkSpec {
     try {
       ms.addData(Ev("u1", ts(10), "view", "hot"), Ev("u1", ts(20), "view", "hot"))
       q.processAllAvailable()
-      ms.addData(Ev("u2", ts(30), "view", "hot"), Ev("u2", ts(40), "view", "cold"))
+      // null key must be dropped before the typed aggregate (the ordered
+      // state mirror cannot compare null keys on a count tie)
+      ms.addData(Ev("u2", ts(30), "view", "hot"), Ev("u2", ts(40), "view", "cold"),
+        Ev("u3", ts(50), "view", null))
       q.processAllAvailable()
     } finally q.stop()
     val top = spark.table("topk_stream").collect().head.getSeq[Row](0)
