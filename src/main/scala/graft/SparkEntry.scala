@@ -150,6 +150,8 @@ object SparkEntry {
     "q_source_reputation" -> ((s, d) => TextAnalysis.sourceReputation(Tables.documents(s, d))),
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "q_orders_grouping_sets" -> ((s, d) => Relational.ordersGroupingSets(s, d)),
+    "q_customer_standing" -> ((s, d) => Relational.customerBalanceStanding(s, d)),
   )
 
   // ---------------------------------------------------------------------------
@@ -774,6 +776,21 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        |FROM customer""".stripMargin,
+    "q_orders_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_customer_standing" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS cume
         |FROM customer""".stripMargin,
     // same assignment CTEs as q_ann_topk_ivf; drop = larger id of any
     // within-cluster pair clearing the cosine threshold (keep-min greedy)

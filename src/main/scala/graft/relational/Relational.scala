@@ -94,6 +94,34 @@ object Relational {
       .withColumn("quartile", ntile(4).over(w))
   }
 
+  /** Explicit GROUPING SETS (status-only, priority-only, grand total) with
+    * per-column grouping flags — the census entry for the grouping-sets
+    * surface beyond rollup/cube (flags instead of grouping_id: bit-order
+    * is engine-specific, per-column flags are portable). */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** percent_rank + cume_dist of account balance within each market
+    * segment — the relative-standing window census entry (exact integer
+    * ratios, deterministic (balance, key) ordering). */
+  def customerBalanceStanding(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+  }
+
   /** Orders with at least one lineitem, counted per priority (semi join). */
   def orderPriorityWithLineitems(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
