@@ -152,6 +152,21 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "q_orders_grouping_sets" -> ((s, d) => Relational.ordersGroupingSets(s, d)),
     "q_customer_standing" -> ((s, d) => Relational.customerBalanceStanding(s, d)),
+    // the bounded-state heavy-hitter Aggregator, oracle-gated: capacity
+    // (4096) >> corpus vocabulary, so no eviction ever fires and the
+    // space-saving result is EXACTLY the groupBy-count top-k the SQL
+    // oracle computes (the bounded-memory property itself is pinned by
+    // ScaleSpec's eviction tests)
+    "q_spacesaving_topk" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.withTokens(Tables.documents(s, d))
+        .select(expr("explode(toks)").as("token")).as[String]
+        .select(new graft.ext.SpaceSavingTopK(10, 4096).toColumn.name("topk"))
+        .toDF()
+        .select(expr("posexplode(topk)"))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("col._1").as("token"), col("col._2").as("cnt"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -792,6 +807,14 @@ object SparkEntry {
         |  cume_dist() OVER (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal, c_custkey) AS cume
         |FROM customer""".stripMargin,
+    // exact because the aggregator's capacity exceeds the vocabulary —
+    // the (-count, token) output order matches the window's tiebreak
+    "q_spacesaving_topk" -> (TOK +
+      """, ex AS (SELECT unnest(toks) AS token FROM tok),
+        |c AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+        |  token, cnt
+        |FROM c ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
     // same assignment CTEs as q_ann_topk_ivf; drop = larger id of any
     // within-cluster pair clearing the cosine threshold (keep-min greedy)
     "q_semantic_dedup" -> (EMB +

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CountMinSketchAgg, DotProductFloat, HashedShingles, HashedTokens, MinHashSignature, RepetitionStats, SimHash32}
+import graft.functions.{CountMinSketchAgg, DotProductFloat, HashedShingles, HashedTokens, LshBands, MinHashSignature, RepetitionStats, SimHash32}
 
 /**
  * The 100 TB switch for exact distincts (SURVEY.md §7.4): an optimizer rule
@@ -86,5 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_cms"),
       info("graft_cms", classOf[CountMinSketchAgg]),
       (exprs: Seq[Expression]) => CountMinSketchAgg.fromExprs(exprs)))
+    e.injectFunction((FunctionIdentifier("graft_lsh_bands"),
+      info("graft_lsh_bands", classOf[LshBands]),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(emb, Literal(dim: Int, IntegerType), Literal(nb: Int, IntegerType),
+            Literal(ppb: Int, IntegerType)) => LshBands(emb, dim, nb, ppb)
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_bands(embedding, <dim>, <bands>, <planes/band> literals) — got $other")
+      }))
   }
 }

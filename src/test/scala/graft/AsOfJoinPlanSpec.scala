@@ -25,6 +25,16 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(got === Array("cross-bin", "exact-lower", "exact-upper"))
   }
 
+  test("range join rejects mixed time types (misaligned bin axes) with a clear error") {
+    val left = Seq(("u1", ts(250), "e1")).toDF("k", "t", "ev")
+    val right = Seq(("u1", ts(150), "r1")).toDF("rk", "rt", "what")
+      .withColumn("rt", $"rt".cast("timestamp_ntz")) // NTZ vs left's instant
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin(left, right, "k", "rk", "t", "rt", windowSeconds = 100)
+    }
+    assert(e.getMessage.contains("share one timestamp type"))
+  }
+
   private def frames() = {
     val left = Seq(
       ("u1", ts(100), "e1"), ("u1", ts(300), "e2"), ("u1", ts(500), "e3"),

@@ -92,6 +92,15 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh_bands: null element yields all-zero band keys (HOF IF(null>=0) parity)") {
+    withExtSession { s2 =>
+      val keys = s2.sql(
+        "SELECT graft_lsh_bands(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), 64, 4, 4) AS b")
+        .collect().head.getSeq[Int](0)
+      assert(keys === Seq(0, 0, 0, 0))
+    }
+  }
+
   test("graft_lsh_bands is bit-identical to the HOF hyperplane formulation") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val both = graft.ext.Similarity.withLshBands(emb)
