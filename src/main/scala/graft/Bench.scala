@@ -43,7 +43,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The r3 artifact was truncated: the driver tails stdout and the ~2 KB
+    // JSON line lost its front to the tail window. Persist the line to a
+    // file FIRST (survives any console truncation), then print it on a
+    // flushed stream as the one-line stdout contract.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+    try java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

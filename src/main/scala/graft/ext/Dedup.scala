@@ -101,16 +101,7 @@ object Dedup {
     // definition a boilerplate cluster whose members exact-dedup (or a
     // plain groupBy on the full signature) handles better than 10^12
     // candidate pairs would.
-    val bands = maxBucketSize match {
-      case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        allBands
-          .withColumn("_bucket_n",
-            count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
-          .filter(col("_bucket_n") <= cap)
-          .drop("_bucket_n")
-      case None => allBands
-    }
+    val bands = capBuckets(allBands, maxBucketSize)
     val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
       col("doc_id").as("doc1"))
     val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),
@@ -159,6 +150,24 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Skew guard shared by every banded candidate generator (minhash,
+    * simhash, sign-LSH): drop (band, band_key) buckets larger than `cap`
+    * before the pair self-join. The window count is O(bucket) work on the
+    * same shuffle key the join would use anyway — it never materializes a
+    * bucket², which is exactly what it exists to prevent. Expects columns
+    * `band` and `band_key`. */
+  private[ext] def capBuckets(bands: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
+        import org.apache.spark.sql.expressions.Window
+        bands
+          .withColumn("_bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+          .filter(col("_bucket_n") <= c)
+          .drop("_bucket_n")
+      case None => bands
+    }
+
   // -- SimHash ----------------------------------------------------------------
 
   /**
@@ -175,17 +184,39 @@ object Dedup {
       .select(col("doc_id"), expr("graft_simhash32(graft_token_hash(toks))").as("simhash"))
   }
 
+  /** Band width (bits per slice) for corpus-scale SimHash runs: 16-bit
+    * slices give 2 bands × 65 536 buckets instead of the default 4 × 256,
+    * so bucket occupancy — and with it the candidate join's per-bucket
+    * quadratic cost — shrinks 256×. The tradeoff is recall: a pair must
+    * now agree on a full 16-bit half to become a candidate (catches
+    * hamming ≤ 1 for sure instead of hamming ≤ 3). Combine with
+    * [[ProductionMaxBucketSize]]; both are pinned by ScaleSpec. */
+  val ProductionSimhashBitsPerBand = 16
+
   /**
-   * SimHash candidate pairs: banded on 4 × 8-bit slices (pairs agreeing on
-   * any slice), then filtered by Hamming distance ≤ `maxHamming`.
+   * SimHash candidate pairs: banded on `32 / bitsPerBand` slices of
+   * `bitsPerBand` bits (pairs agreeing on any slice), then filtered by
+   * Hamming distance ≤ `maxHamming`. The default 4 × 8-bit layout is the
+   * oracle-pinned test configuration; corpus-scale runs should pass
+   * `bitsPerBand = ProductionSimhashBitsPerBand` and
+   * `maxBucketSize = ProductionMaxBucketSize` — with 8-bit slices the band
+   * key space is only 256 buckets, so bucket occupancy grows O(n/256) and
+   * the candidate self-join goes quadratic on a large corpus.
    */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 10): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 10,
+                   bitsPerBand: Int = 8,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    require(bitsPerBand > 0 && 32 % bitsPerBand == 0,
+      s"bitsPerBand must divide 32, got $bitsPerBand")
+    val numBands = 32 / bitsPerBand
     val sh = simhash(docs).persist()
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    val allBands = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b*8) % 256)")))
+        s"""transform(sequence(0, ${numBands - 1}), b ->
+           |  shiftright(simhash, b*$bitsPerBand) % ${1 << bitsPerBand})""".stripMargin)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+    val bands = capBuckets(allBands, maxBucketSize)
     val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
       col("doc_id").as("doc1"), col("simhash").as("sh1"))
     val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),

@@ -57,10 +57,22 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
   }
 
-  /** Number of LSH hyperplanes and band layout (4 bands × 4 planes). */
+  /** Default LSH hyperplane count and band layout (4 bands × 4 planes) —
+    * the oracle-pinned test configuration. */
   val NumPlanes = 16
   val NumBands = 4
   val PlanesPerBand: Int = NumPlanes / NumBands
+
+  /** Corpus-scale band layout: 16 planes/band ⇒ 2^16 = 65 536 buckets per
+    * band instead of the default 2^4 = 16, so bucket occupancy (and the
+    * per-bucket quadratic candidate cost) shrinks 4096×. The recall/cost
+    * curve: P(candidate) = 1 − (1 − s^r)^b for cosine-similarity-derived
+    * collision prob s and r planes/band, b bands — more planes per band
+    * sharpens the threshold (fewer false candidates, lower recall for
+    * mid-similarity pairs); more bands buys recall back linearly in cost.
+    * At 100 TB pick r so expected bucket size n/2^r stays O(10³–10⁴) and
+    * cap stragglers with [[graft.ext.Dedup.ProductionMaxBucketSize]]. */
+  val ProductionPlanesPerBand = 16
 
   /**
    * Seeded ±1 hyperplane component for plane `j`, dimension `i`, as a SQL
@@ -78,19 +90,26 @@ object Similarity {
    * compiled pass per vector instead of `NumPlanes` interpreted lambda
    * folds; bit-identical to [[lshBandsHofColumn]] (pinned by test).
    */
-  def withLshBands(embeddings: DataFrame, dim: Int = 64): DataFrame =
+  def withLshBands(embeddings: DataFrame, dim: Int = 64,
+                   numBands: Int = NumBands,
+                   planesPerBand: Int = PlanesPerBand): DataFrame = {
+    require(numBands > 0 && planesPerBand > 0 && planesPerBand <= 30,
+      s"band layout out of range: $numBands bands × $planesPerBand planes")
     withNorms(embeddings).withColumn("bands",
-      expr(s"graft_lsh_bands(embedding, $dim, $NumBands, $PlanesPerBand)"))
+      expr(s"graft_lsh_bands(embedding, $dim, $numBands, $planesPerBand)"))
+  }
 
   /** The reference HOF formulation of the band keys — kept as the
     * spec/oracle-shaped definition the compiled expression must match
     * (ExtensionsSpec asserts bit-parity against it). */
-  private[graft] def lshBandsHofColumn(dim: Int): Column =
+  private[graft] def lshBandsHofColumn(dim: Int,
+                                       numBands: Int = NumBands,
+                                       planesPerBand: Int = PlanesPerBand): Column =
     expr(
-      s"""transform(sequence(0, ${NumBands - 1}), b ->
-         |  aggregate(sequence(0, ${PlanesPerBand - 1}), 0, (acc, p) ->
+      s"""transform(sequence(0, ${numBands - 1}), b ->
+         |  aggregate(sequence(0, ${planesPerBand - 1}), 0, (acc, p) ->
          |    acc + IF(aggregate(transform(embedding, (x, i) ->
-         |                CAST(x AS DOUBLE) * ${planeSign(s"(b*$PlanesPerBand + p)", "i", dim)}),
+         |                CAST(x AS DOUBLE) * ${planeSign(s"(b*$planesPerBand + p)", "i", dim)}),
          |              CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0,
          |            shiftleft(1, p), 0)))""".stripMargin)
 
@@ -100,10 +119,15 @@ object Similarity {
    * all-pairs similarity — bucket-local joins instead of n².
    */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
-                      dim: Int = 64): DataFrame = {
-    val sig = withLshBands(embeddings, dim).persist()
-    val bands = sig.select(col("vec_id"), posexplode(col("bands")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+                      dim: Int = 64,
+                      numBands: Int = NumBands,
+                      planesPerBand: Int = PlanesPerBand,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
+    val sig = withLshBands(embeddings, dim, numBands, planesPerBand).persist()
+    val bands = Dedup.capBuckets(
+      sig.select(col("vec_id"), posexplode(col("bands")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),
+      maxBucketSize)
     val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
       col("vec_id").as("id1"))
     val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),
@@ -126,11 +150,19 @@ object Similarity {
    * path (recall < 1 by design; queries may return < k rows).
    */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-              dim: Int = 64): DataFrame = {
-    val sig = withLshBands(embeddings, dim).persist()
-    val bands = sig.select(col("vec_id"), posexplode(col("bands")))
+              dim: Int = 64,
+              numBands: Int = NumBands,
+              planesPerBand: Int = PlanesPerBand,
+              maxBucketSize: Option[Int] = None): DataFrame = {
+    val sig = withLshBands(embeddings, dim, numBands, planesPerBand).persist()
+    val allBands = sig.select(col("vec_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val qb = bands.filter(col("vec_id") < numQueries)
+    // probes come from the uncapped rows (a query always knows its own
+    // band keys); the cap only bounds the corpus side it joins against —
+    // an over-cap bucket is a degenerate near-constant region whose
+    // members a top-k over it would rank near-identically anyway
+    val bands = Dedup.capBuckets(allBands, maxBucketSize)
+    val qb = allBands.filter(col("vec_id") < numQueries)
       .select(col("band").as("q_band"), col("band_key").as("q_key"), col("vec_id").as("q_id"))
     val cand = qb.join(bands,
         col("q_band") === col("band") && col("q_key") === col("band_key") &&

@@ -50,6 +50,44 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("approx-distinct rewrite: relative error within 3·rsd on a known-cardinality frame") {
+    withExtSession { s2 =>
+      // 100k distinct ids — enough cardinality that the HLL estimator is in
+      // its asymptotic regime and the 3·rsd bound is a real statement
+      val n = 100000L
+      s2.range(n).createOrReplaceTempView("known_card")
+      try {
+        s2.conf.set("spark.graft.approxDistinct.enabled", "true")
+        for (rsd <- Seq(0.05, 0.02)) {
+          s2.conf.set("spark.graft.approxDistinct.rsd", rsd.toString)
+          val est = s2.sql("SELECT count(DISTINCT id) AS d FROM known_card")
+            .collect().head.getLong(0)
+          val relErr = math.abs(est - n).toDouble / n
+          assert(relErr <= 3 * rsd,
+            s"rsd=$rsd: estimate $est vs exact $n (relative error $relErr)")
+        }
+      } finally {
+        s2.conf.set("spark.graft.approxDistinct.enabled", "false")
+        s2.conf.unset("spark.graft.approxDistinct.rsd")
+      }
+    }
+  }
+
+  test("graft_lsh_bands parameterized layout (2 bands × 8 planes) matches the HOF formulation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = graft.ext.Similarity.withLshBands(emb, 64, numBands = 2, planesPerBand = 8)
+      .withColumn("hof_bands", graft.ext.Similarity.lshBandsHofColumn(64, 2, 8))
+      .select("vec_id", "bands", "hof_bands")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"band mismatch at vec_id ${r.getLong(0)}")
+    }
+    // 8-bit keys actually use the widened space (some key above the 4-bit max)
+    assert(both.flatMap(_.getSeq[Int](1)).max > 15)
+  }
+
   test("extension-registered sketch functions resolve in plain SQL") {
     withExtSession { s2 =>
       val one = s2.sql(

@@ -34,14 +34,17 @@ class ScaleSpec extends SparkSpec {
     assert(back.counts.toMap === Map("c" -> 2L, "d" -> 2L))
     // worst case for space-saving: every arrival unique → every arrival
     // evicts. 200k arrivals at capacity 4096 is ~800M comparisons under the
-    // old O(capacity) min scan; the ordered mirror does it in O(n log c)
+    // old O(capacity) min scan; the ordered mirror does it in O(n log c).
+    // The bound is a generous SMOKE check (the O(capacity) scan took >60 s
+    // here) — loose enough that a loaded CI host can't flake it, tight
+    // enough that an accidental O(n·c) regression still trips it.
     val st = new TopKState
     val t0 = System.nanoTime()
     var i = 0
     while (i < 200000) { st.offer("u" + i, 4096); i += 1 }
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(st.counts.size === 4096)
-    assert(elapsedMs < 5000.0, s"mostly-unique eviction path too slow: $elapsedMs ms")
+    assert(elapsedMs < 30000.0, s"mostly-unique eviction smoke check too slow: $elapsedMs ms")
   }
 
   test("sequence packing shards the per-lang running sum (no single-reducer window)") {
