@@ -40,7 +40,30 @@ object RangeJoin {
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTime: String, rightTime: String,
-            windowSeconds: Long): DataFrame = {
+            windowSeconds: Long): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, windowSeconds,
+      joinType = "inner")
+
+  /**
+   * Left-outer form fused for aggregation: every left row appears as its
+   * (exactly two) bin replicas, null-padded where a replica matched
+   * nothing. Callers MUST aggregate by a left-row key — with null-ignoring
+   * aggregates (count(rightCol), max, ...) the two replicas collapse to
+   * the correct left-outer aggregate in ONE pass, with no second scan of
+   * the left table to restore unmatched rows (the plain left-outer
+   * formulation would emit duplicate null-padded rows instead).
+   */
+  def leftJoinReplicated(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         windowSeconds: Long): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, windowSeconds,
+      joinType = "left")
+
+  private def join(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   windowSeconds: Long, joinType: String): DataFrame = {
     require(windowSeconds > 0, s"window must be positive, got $windowSeconds")
     val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
     require(lt == rt,
@@ -71,7 +94,8 @@ object RangeJoin {
     l.join(r,
         l(leftKey) === r(rightKey) && l("_bin") === r("_bin") &&
           r(rightTime) <= l(leftTime) &&
-          r(rightTime) >= l(leftTime) - expr(s"INTERVAL $windowSeconds SECONDS"))
+          r(rightTime) >= l(leftTime) - expr(s"INTERVAL $windowSeconds SECONDS"),
+        joinType)
       .drop("_bin")
   }
 }

@@ -210,10 +210,13 @@ object Relational {
 
   /** Range-join enrichment (the binned interval join,
     * [[graft.operators.RangeJoin]]): per event, how many orders — and the
-    * latest — the visitor placed in the 7 days ending at the event. Pairs
-    * come from the equi-join-on-(key, bucket) decomposition, then the
-    * left-outer semantics are restored by aggregating the pairs and joining
-    * back onto events (events with no recent order keep n=0 / null key). */
+    * latest — the visitor placed in the 7 days ending at the event.
+    * Left-outer semantics come fused from the replicated left side: each
+    * event's two bin replicas left-join the binned orders and the
+    * null-ignoring aggregates collapse them to one row per event — events
+    * with no recent order keep n=0 / null key, and the events table is
+    * scanned exactly once (the r3 plan joined it a second time to restore
+    * unmatched rows). */
   def eventsWithRecentOrders(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(
       col("event_id"),
@@ -221,17 +224,15 @@ object Relational {
       expr(Tables.eventTimeExpr).as("event_time"))
     val o = Tables.orders(spark, dir).select(
       col("o_custkey").cast("string").as("ck"), col("o_orderdate"), col("o_orderkey"))
-    val pairs = graft.operators.RangeJoin(e, o,
-      leftKey = "visitorid", rightKey = "ck",
-      leftTime = "event_time", rightTime = "o_orderdate",
-      windowSeconds = 7L * 86400L)
-    val agg = pairs.groupBy(col("event_id"))
+    graft.operators.RangeJoin.leftJoinReplicated(e, o,
+        leftKey = "visitorid", rightKey = "ck",
+        leftTime = "event_time", rightTime = "o_orderdate",
+        windowSeconds = 7L * 86400L)
+      .groupBy(col("event_id"), col("visitorid"), col("event_time"))
       .agg(count(col("o_orderkey")).as("n_recent_orders"),
         max(col("o_orderkey")).as("last_recent_key"))
-    e.join(agg, Seq("event_id"), "left")
       .select(col("event_id"), col("visitorid"), col("event_time"),
-        coalesce(col("n_recent_orders"), lit(0L)).as("n_recent_orders"),
-        col("last_recent_key"))
+        col("n_recent_orders"), col("last_recent_key"))
   }
 
   /** Cross-table temporal relation: ship delay (days between order date and

@@ -25,6 +25,29 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(got === Array("cross-bin", "exact-lower", "exact-upper"))
   }
 
+  test("range join left-outer fused aggregation: replicas collapse, unmatched rows keep n=0") {
+    import org.apache.spark.sql.functions.{count, max}
+    val left = Seq(("u1", ts(250), "e1"), ("u3", ts(999), "e2")).toDF("k", "t", "ev")
+    val right = Seq(("u1", ts(200), 7L), ("u1", ts(240), 9L)).toDF("rk", "rt", "okey")
+    val got = RangeJoin.leftJoinReplicated(left, right, "k", "rk", "t", "rt",
+        windowSeconds = 100)
+      .groupBy($"ev").agg(count($"okey").as("n"), max($"okey").as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    // e1 matched both orders exactly once despite its two bin replicas;
+    // e2 (no right rows at all) still surfaces, with a zero count
+    assert(got === Map("e1" -> ((2L, 9L)), "e2" -> ((0L, -1L))))
+  }
+
+  test("fused range-join query scans the events table exactly once") {
+    val df = graft.relational.Relational.eventsWithRecentOrders(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val eventScans = plan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("events"))
+    assert(eventScans === 1, plan.take(2000))
+  }
+
   test("range join rejects mixed time types (misaligned bin axes) with a clear error") {
     val left = Seq(("u1", ts(250), "e1")).toDF("k", "t", "ev")
     val right = Seq(("u1", ts(150), "r1")).toDF("rk", "rt", "what")
