@@ -258,9 +258,14 @@ object Similarity {
    * one O(cluster) `collect_list`. When every vec_id fits one shard (true
    * at all test SFs with the 2^16 default) the two levels collapse to the
    * flat fold bit for bit — which is what the DuckDB oracle mirrors.
+   *
+   * Degeneracy handling: a cluster that loses every member re-seeds to its
+   * PREVIOUS centroid (the codebook never shrinks; the cluster can
+   * re-acquire members on a later iteration). Deterministic, and the
+   * oracle mirrors it as a LEFT JOIN + COALESCE per iteration.
    */
   def kmeansCodebook(embeddings: DataFrame, numCentroids: Int = 8,
-                     iters: Int = 1): DataFrame =
+                     iters: Int = 2): DataFrame =
     kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
 
   /** Lloyd's iterations over an already-normed (and ideally persisted)
@@ -294,22 +299,71 @@ object Similarity {
             .as("sm"),
           sum(col("shard_cnt")).as("cnt"))
         .withColumn("m", (col("sm") / col("cnt")).cast("float"))
-      cents = dimMeans
+      val newMeans = dimMeans
         .groupBy(col("cluster"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("cent_emb"))
-        .select(col("cluster").as("cent_id"), col("cent_emb"),
-          norm("cent_emb").as("cent_nrm"))
+          .as("new_emb"))
+        .select(col("cluster").as("cent_id"), col("new_emb"))
+      // empty-cluster re-seed: a cluster with no members keeps its previous
+      // centroid (left join finds no new mean). The codebook is k rows, so
+      // this join is a broadcast no-op at any corpus size.
+      cents = cents
+        .select(col("cent_id"), col("cent_emb").as("prev_emb"))
+        .join(broadcast(newMeans), Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_emb"), col("prev_emb")).as("cent_emb"))
+        .withColumn("cent_nrm", norm("cent_emb"))
     }
     cents
   }
 
+  /** Codebook training-semantics version — part of the materialized-cache
+    * key so a cached codebook trained under older semantics can never be
+    * silently reused after the trainer changes. */
+  val CodebookFormatVersion = 2
+
+  /**
+   * Train-once/reuse codebook: if `cacheDir` is set and holds a codebook
+   * for this (version, numCentroids, iters, datasetTag) key, read it (a
+   * k-row parquet — negligible IO); otherwise train and persist it. This
+   * is the production shape — the codebook amortizes over every search
+   * against the same corpus snapshot, instead of retraining per query.
+   * `datasetTag` MUST identify the corpus snapshot (e.g. its path);
+   * training is deterministic, so cache hit vs retrain is bit-identical.
+   */
+  def trainedCodebook(embeddings: DataFrame, numCentroids: Int = 8,
+                      iters: Int = 2, cacheDir: Option[String] = None,
+                      datasetTag: String = ""): DataFrame = {
+    val spark = embeddings.sparkSession
+    def train() = kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
+    cacheDir match {
+      case Some(dir) =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(datasetTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        val path = s"$dir/codebook_v${CodebookFormatVersion}_c${numCentroids}_i${iters}_$tag"
+        try spark.read.parquet(path)
+        catch { case _: Throwable =>
+          train().write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        }
+      case None => train()
+    }
+  }
+
   /** [[ivfTopK]] with a k-means-trained codebook instead of the seed one —
-    * training and search share one persisted normed corpus. */
+    * training and search share one persisted normed corpus. With
+    * `cacheDir` set the codebook is trained once and reused
+    * ([[trainedCodebook]]), so repeated searches pay only probe+rank cost. */
   def ivfTopKTrained(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-                     numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 1): DataFrame = {
+                     numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 2,
+                     cacheDir: Option[String] = None,
+                     datasetTag: String = ""): DataFrame = {
     val base = withNorms(embeddings).persist()
-    ivfSearch(base, kmeansFromBase(base, numCentroids, iters), numQueries, k, nprobe)
+    val cents = cacheDir match {
+      case Some(_) => trainedCodebook(embeddings, numCentroids, iters, cacheDir, datasetTag)
+      case None => kmeansFromBase(base, numCentroids, iters)
+    }
+    ivfSearch(base, cents, numQueries, k, nprobe)
   }
 
   /**

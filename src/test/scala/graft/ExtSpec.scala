@@ -175,6 +175,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("k-means empty cluster re-seeds to its previous centroid (codebook never shrinks)") {
+    import org.apache.spark.sql.functions.col
+    // vec 1 duplicates seed 0, so the cosine tiebreak (lower cent_id) sends
+    // it — and everything else, all near [1,0] — to cluster 0: cluster 1
+    // finishes iteration 1 with zero members
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansCodebook(emb, numCentroids = 2, iters = 2)
+      .orderBy(col("cent_id")).collect()
+    assert(cb.length === 2) // the empty cluster did not drop out
+    assert(cb(1).getAs[Long]("cent_id") === 1L)
+    assert(cb(1).getSeq[Float](1) === Seq(1.0f, 0.0f)) // kept its seed centroid
+  }
+
   test("exact jaccard on candidates: identical docs -> 1.0") {
     val j = Dedup.ngramJaccardOnCandidates(docs).collect()
       .find(r => r.getAs[Long]("doc1") == 0L && r.getAs[Long]("doc2") == 3L).get
