@@ -122,6 +122,7 @@ object SparkEntry {
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
+    "q_neardup_components" -> ((s, d) => Dedup.nearDupComponents(Tables.documents(s, d))),
     "q_ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // -- session_window cross-validation (independent impl vs window-fn oracle) --
@@ -722,6 +723,24 @@ object SparkEntry {
         |  FROM pr JOIN sg s1 ON pr.doc1 = s1.doc_id JOIN sg s2 ON pr.doc2 = s2.doc_id
         |) SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM est WHERE est.doc2 = d.doc_id AND est.ej >= 0.5)""".stripMargin),
+    // connected components over the thresholded candidate edges: the
+    // recursive CTE floods every reachable label, min() per doc is then
+    // exactly the min-label-propagation fixpoint the Spark side iterates to
+    "q_neardup_components" -> (MINHASH_PAIRS
+      .replaceFirst("WITH tok", "WITH RECURSIVE tok") +
+      """, est AS (
+        |  SELECT pr.doc1, pr.doc2,
+        |    len(list_filter(range(16), i -> s1.sig[i+1] = s2.sig[i+1])) / 16 AS ej
+        |  FROM pr JOIN sg s1 ON pr.doc1 = s1.doc_id JOIN sg s2 ON pr.doc2 = s2.doc_id
+        |), edges AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM est WHERE ej >= 0.5
+        |  UNION ALL
+        |  SELECT doc2 AS a, doc1 AS b FROM est WHERE ej >= 0.5
+        |), reach AS (
+        |  SELECT doc_id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON e.b = r.doc_id
+        |) SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id""".stripMargin),
     "q_ann_topk_lsh" -> (EMB + LSH_SIG +
       """, bnd AS (
         |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key

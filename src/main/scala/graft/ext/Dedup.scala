@@ -168,6 +168,66 @@ object Dedup {
       case None => bands
     }
 
+  /**
+   * Connected-components near-dup labeling: every document gets the
+   * MINIMUM doc_id of its near-dup component, with thresholded minhash
+   * candidate pairs as the edges — the upgrade over the greedy
+   * [[dropNearDups]] rule (chains A–B, B–C now collapse into one
+   * component even when A and C are not directly near).
+   *
+   * Algorithm: iterated min-label propagation (the BSP "HashToMin" shape).
+   * Each round is one edge⋈label shuffle keyed on doc_id plus a min
+   * aggregate — labels only ever decrease, so the per-round label SUM is a
+   * monotone convergence witness (one cheap scalar action per round, no
+   * row-level diff join). Rounds needed = component diameter; near-dup
+   * clusters are shallow in practice, and `maxRounds` bounds adversarial
+   * chains. At cluster scale each round is a pair of shuffles over the
+   * edge list only — the corpus itself is never re-shuffled.
+   */
+  def nearDupComponents(docs: DataFrame, threshold: Double = 0.5,
+                        shingleSize: Int = 3, maxRounds: Int = 10): DataFrame = {
+    val edges = minhashCandidatePairs(docs, shingleSize)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"))
+    componentsFromEdges(docs.select(col("doc_id")), edges, maxRounds)
+  }
+
+  /** Min-label propagation over an explicit (doc1, doc2) edge list —
+    * the iterative core of [[nearDupComponents]], factored out so the
+    * convergence behavior is testable on hand-made graphs. */
+  private[graft] def componentsFromEdges(ids: DataFrame, edges: DataFrame,
+                                         maxRounds: Int): DataFrame = {
+    require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
+    val e = edges.persist()
+    val sym = e.union(e.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty frame
+    }
+    var labels = ids.select(col("doc_id"), col("doc_id").as("component")).persist()
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val prop = sym.join(labels.select(col("doc_id").as("nbr"), col("component")),
+          col("doc2") === col("nbr"))
+        .groupBy(col("doc1")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(prop, labels("doc_id") === prop("doc1"), "left")
+        .select(labels("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      if (s == prevSum) converged = true
+      prevSum = s
+      round += 1
+    }
+    e.unpersist()
+    labels
+  }
+
   // -- SimHash ----------------------------------------------------------------
 
   /**

@@ -175,6 +175,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("min-label propagation collapses chains into components; isolated nodes self-label") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L to 6L).toDF("doc_id")
+    // chain 0-1-2 (0 and 2 NOT directly adjacent), pair 4-5, isolated 3 & 6;
+    // edge (5,4) is deliberately reversed to exercise the symmetric union
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 4L)).toDF("doc1", "doc2")
+    val got = Dedup.componentsFromEdges(ids, edges, maxRounds = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // a long path needs diameter rounds: maxRounds=1 must NOT fully converge
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val partial = Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path, maxRounds = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(partial(5L) === 4L) // one round: each node adopts its neighbor min only
+    val full = Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path, maxRounds = 10)
+      .collect().map(r => r.getAs[Long]("component")).toSet
+    assert(full === Set(0L)) // enough rounds: the whole path is one component
+  }
+
   test("k-means empty cluster re-seeds to its previous centroid (codebook never shrinks)") {
     import org.apache.spark.sql.functions.col
     // vec 1 duplicates seed 0, so the cosine tiebreak (lower cent_id) sends
