@@ -138,9 +138,20 @@ object SparkEntry {
     "q_cms_counts" -> ((s, d) => TextAnalysis.cmsTokenCounts(Tables.documents(s, d))),
     // codebook is trained once per (dataset, config) and materialized as a
     // k-row parquet — repeat runs (and the bench) pay search cost only
-    "q_ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfTopKTrained(Tables.embeddings(s, d),
-      cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
-      datasetTag = d)),
+    "q_ann_topk_ivf_trained" -> ((s, d) => {
+      // the k-means two-level fold collapses to the oracle's flat fold bit
+      // for bit only while every vec_id fits one 2^16 range shard; fail
+      // with a pointer instead of a bare hash mismatch on a bigger SF
+      val emb = Tables.embeddings(s, d)
+      val maxId = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head.getLong(0)
+      require(maxId < (1L << 16),
+        s"max vec_id $maxId >= 2^16: the sharded k-means fold no longer " +
+          "bit-matches the flat DuckDB oracle fold — re-derive the oracle " +
+          "with sharded sums or raise shardSpan")
+      Similarity.ivfTopKTrained(emb,
+        cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
+        datasetTag = d)
+    }),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // small budget so sf0.01's short docs still spread over multiple packs
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d), 512)),
@@ -166,7 +177,9 @@ object SparkEntry {
       import s.implicits._
       TextAnalysis.withTokens(Tables.documents(s, d))
         .select(expr("explode(toks)").as("token")).as[String]
-        .select(new graft.ext.SpaceSavingTopK(10, 4096).toColumn.name("topk"))
+        // strict: if a bigger SF ever pushes the vocabulary past capacity,
+        // fail with the capacity diagnostic instead of a bare hash mismatch
+        .select(new graft.ext.SpaceSavingTopK(10, 4096, strict = true).toColumn.name("topk"))
         .toDF()
         .select(expr("posexplode(topk)"))
         .select((col("pos") + 1).cast("int").as("rank"),

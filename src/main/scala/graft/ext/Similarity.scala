@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
  * `zip_with` higher-order expressions) — deterministic and reproducible by
  * the DuckDB oracle, and codegen'd (no UDF).
  *
+ * Cache lifetime: several operators persist intermediate frames (normed
+ * corpus, assignments) that the returned lazy DataFrame still references,
+ * so they cannot unpersist before the caller's terminal action — the
+ * SESSION owns their lifetime. Batch drivers (Verify, Bench) call
+ * `spark.catalog.clearCache()` between queries; long-lived sessions
+ * should do the same or rely on LRU eviction.
+ *
  * Scale design (100 TB): brute force is O(|Q|·N) — fine for small query
  * sets, never for all-pairs. The LSH variant buckets vectors by hyperplane
  * sign bands; candidate generation joins bucket-local rows only. The

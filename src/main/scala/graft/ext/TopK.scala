@@ -23,6 +23,13 @@ import org.apache.spark.sql.expressions.Aggregator
 final class TopKState extends Serializable {
   val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
+  /** True once any arrival evicted a counter or a merge truncated: counts
+    * may overestimate from then on. Serialized with the state (not
+    * transient), so the flag survives partial-aggregate shipping — the
+    * exactness witness for oracle-gated uses ([[SpaceSavingTopK]] strict
+    * mode). */
+  var approximated: Boolean = false
+
   @transient private var orderOrNull: mutable.TreeSet[(Long, String)] = _
 
   private def order: mutable.TreeSet[(Long, String)] = {
@@ -44,6 +51,7 @@ final class TopKState extends Serializable {
       counts.update(item, 1L)
       order.add((1L, item))
     case None =>
+      approximated = true
       val min @ (minCount, minKey) = order.head
       order.remove(min)
       counts.remove(minKey)
@@ -55,10 +63,12 @@ final class TopKState extends Serializable {
     * `capacity` largest by (count desc, key asc) — infrequent (one per
     * partial-aggregate pair), so the O(c log c) rebuild is fine. */
   def absorb(other: TopKState, capacity: Int): Unit = {
+    approximated ||= other.approximated
     other.counts.foreach { case (key, c) =>
       counts.update(key, counts.getOrElse(key, 0L) + c)
     }
     if (counts.size > capacity) {
+      approximated = true
       val keep = counts.toSeq.sortBy { case (key, c) => (-c, key) }.take(capacity)
       counts.clear()
       keep.foreach { case (key, c) => counts.update(key, c) }
@@ -86,7 +96,7 @@ final class TopKState extends Serializable {
  * "top items" on unbounded key domains: fixed-size partial state per task,
  * one final merge, no full shuffle of the key distribution.
  */
-class SpaceSavingTopK(k: Int, capacity: Int)
+class SpaceSavingTopK(k: Int, capacity: Int, strict: Boolean = false)
     extends Aggregator[String, TopKState, Seq[(String, Long)]] {
 
   def this(k: Int) = this(k, k * 8)
@@ -103,7 +113,17 @@ class SpaceSavingTopK(k: Int, capacity: Int)
     b1
   }
 
-  override def finish(buf: TopKState): Seq[(String, Long)] = buf.top(k)
+  /** In `strict` mode, fail loud the moment the exact regime breaks: an
+    * oracle that assumes capacity ≥ distinct keys (q_spacesaving_topk)
+    * would otherwise surface a data-dependent capacity overflow as a bare
+    * hash mismatch with no pointer to the cause. */
+  override def finish(buf: TopKState): Seq[(String, Long)] = {
+    if (strict && buf.approximated) throw new IllegalStateException(
+      s"space-saving capacity $capacity overflowed (distinct keys exceed it): " +
+        "counts are now approximate and the exact-regime oracle gate no longer " +
+        "holds — raise capacity or drop strict mode")
+    buf.top(k)
+  }
 
   override def bufferEncoder: Encoder[TopKState] = Encoders.kryo[TopKState]
   override def outputEncoder: Encoder[Seq[(String, Long)]] =

@@ -66,10 +66,13 @@ object RangeJoin {
                    windowSeconds: Long, joinType: String): DataFrame = {
     require(windowSeconds > 0, s"window must be positive, got $windowSeconds")
     val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
-    require(lt == rt,
-      s"RangeJoin time columns must share one timestamp type so the bin axes " +
-        s"align; got $leftTime: ${lt.sql} vs $rightTime: ${rt.sql} — cast one " +
-        s"side first to pick instant or wall-clock semantics")
+    require(lt == rt &&
+        (lt == org.apache.spark.sql.types.TimestampType ||
+          lt == org.apache.spark.sql.types.TimestampNTZType),
+      s"RangeJoin time columns must share one timestamp type (TIMESTAMP or " +
+        s"TIMESTAMP_NTZ) so the bin axes align; got $leftTime: ${lt.sql} vs " +
+        s"$rightTime: ${rt.sql} — cast one side first to pick instant or " +
+        s"wall-clock semantics")
     // Bin seconds come from timestampdiff against a fixed same-type anchor,
     // NOT unix_timestamp: unix_timestamp interprets TIMESTAMP_NTZ in the
     // session timezone, and a DST transition inside the window would make
