@@ -212,6 +212,25 @@ class ExtSpec extends SparkSpec {
     assert(cb(1).getSeq[Float](1) === Seq(1.0f, 0.0f)) // kept its seed centroid
   }
 
+  test("trained codebook cache: first call writes the parquet, second call reproduces it") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cb").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("cent_id")).collect().map(r =>
+        (r.getAs[Long]("cent_id"), r.getSeq[Float](1))).toSeq
+    val first = rows(Similarity.trainedCodebook(emb, cacheDir = Some(dir), datasetTag = "t"))
+    // the k-row parquet landed under the versioned cache key
+    val cached = new java.io.File(dir).listFiles().filter(_.getName.startsWith("codebook_v"))
+    assert(cached.length === 1)
+    // cache hit is bit-identical to the trained result (training is
+    // deterministic, so this pins the read path, not luck)
+    val second = rows(Similarity.trainedCodebook(emb, cacheDir = Some(dir), datasetTag = "t"))
+    assert(second === first)
+    val uncached = rows(Similarity.trainedCodebook(emb))
+    assert(uncached === first)
+  }
+
   test("exact jaccard on candidates: identical docs -> 1.0") {
     val j = Dedup.ngramJaccardOnCandidates(docs).collect()
       .find(r => r.getAs[Long]("doc1") == 0L && r.getAs[Long]("doc2") == 3L).get
