@@ -195,6 +195,29 @@ class ExtSpec extends SparkSpec {
     assert(full === Set(0L)) // enough rounds: the whole path is one component
   }
 
+  test("min-label propagation matches brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val es = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // union-by-min-root: the root of every set is its minimum member, so
+      // find(i) IS the expected component label
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.componentsFromEdges(
+          (0L until n.toLong).toDF("doc_id"), es.toDF("doc1", "doc2"), maxRounds = 50)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+      assert(got === want)
+    }
+  }
+
   test("k-means empty cluster re-seeds to its previous centroid (codebook never shrinks)") {
     import org.apache.spark.sql.functions.col
     // vec 1 duplicates seed 0, so the cosine tiebreak (lower cent_id) sends
