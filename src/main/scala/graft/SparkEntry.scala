@@ -92,6 +92,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.bruteForceNearDupPairs(Tables.embeddings(s, d))),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d))),
+    "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d))),
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
     "q_frame_sample" -> ((s, d) =>
@@ -630,6 +631,30 @@ object SparkEntry {
         |      CAST(e1.embedding[i+1] AS DOUBLE) * CAST(e2.embedding[i+1] AS DOUBLE))) / (e1.nrm * e2.nrm) AS cosine
         |  FROM pr JOIN e e1 ON pr.id1 = e1.vec_id JOIN e e2 ON pr.id2 = e2.vec_id
         |) SELECT id1, id2, cosine FROM cand WHERE cosine >= 0.35""".stripMargin),
+    // embedding-space connected components: same LSH candidate CTEs, then
+    // the recursive flood + min() — mirrors Similarity.embeddingComponents
+    "q_embed_components" -> ((EMB + LSH_SIG +
+      """, bnd AS (
+        |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
+        |  FROM sig, (SELECT unnest(range(4)) AS b) t
+        |), pr AS (
+        |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.band_key = c.band_key AND a.vec_id < c.vec_id
+        |), cand AS (
+        |  SELECT id1, id2,
+        |    list_sum(list_transform(range(len(e1.embedding)), i ->
+        |      CAST(e1.embedding[i+1] AS DOUBLE) * CAST(e2.embedding[i+1] AS DOUBLE))) / (e1.nrm * e2.nrm) AS cosine
+        |  FROM pr JOIN e e1 ON pr.id1 = e1.vec_id JOIN e e2 ON pr.id2 = e2.vec_id
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM cand WHERE cosine >= 0.35
+        |  UNION ALL
+        |  SELECT id2 AS a, id1 AS b FROM cand WHERE cosine >= 0.35
+        |), reach AS (
+        |  SELECT vec_id, vec_id AS lbl FROM embeddings
+        |  UNION
+        |  SELECT g.a AS vec_id, r.lbl FROM edges g JOIN reach r ON g.b = r.vec_id
+        |) SELECT vec_id, min(lbl) AS component FROM reach GROUP BY vec_id""".stripMargin)
+      .replaceFirst("WITH e AS", "WITH RECURSIVE e AS")),
     // DuckDB's substring can't slice BLOBs, so the oracle frames the VARCHAR
     // by characters — equivalent to the engine's byte frames because the
     // synthetic corpus is pure ASCII (verified: octet_length == length for

@@ -428,6 +428,24 @@ object Similarity {
       .join(drops, Seq("vec_id"), "left_anti")
   }
 
+  /**
+   * Connected components over the sign-LSH near-dup graph — the
+   * embedding-space twin of [[graft.ext.Dedup.nearDupComponents]]
+   * (paraphrase/translation clusters instead of shingle clusters): every
+   * vector is labeled with the minimum vec_id of its near-dup component,
+   * so chains A–B, B–C collapse even when A and C never shared a bucket.
+   * Same min-label propagation core, same scale shape: per round one
+   * edge⋈label shuffle over the candidate-pair list only.
+   */
+  def embeddingComponents(embeddings: DataFrame, threshold: Double = 0.35,
+                          dim: Int = 64, maxRounds: Int = 10): DataFrame = {
+    val edges = lshNearDupPairs(embeddings, threshold, dim)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    Dedup.componentsFromEdges(
+        embeddings.select(col("vec_id").as("doc_id")), edges, maxRounds)
+      .select(col("doc_id").as("vec_id"), col("component"))
+  }
+
   /** Exact all-pairs near-dup baseline (correctness reference; O(n²) —
     * verification scale only, the LSH variant is the production path). */
   def bruteForceNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
