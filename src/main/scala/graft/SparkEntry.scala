@@ -144,14 +144,17 @@ object SparkEntry {
       // for bit only while every vec_id fits one 2^16 range shard; fail
       // with a pointer instead of a bare hash mismatch on a bigger SF
       val emb = Tables.embeddings(s, d)
-      val maxId = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head.getLong(0)
+      val maxRow = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head
+      val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0) // null = empty table
       require(maxId < (1L << 16),
         s"max vec_id $maxId >= 2^16: the sharded k-means fold no longer " +
           "bit-matches the flat DuckDB oracle fold — re-derive the oracle " +
           "with sharded sums or raise shardSpan")
+      // tag = file metadata fingerprint, NOT the bare path: regenerated
+      // testdata at the same path must retrain, not reuse a stale codebook
       Similarity.ivfTopKTrained(emb,
         cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
-        datasetTag = d)
+        datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))
     }),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // small budget so sf0.01's short docs still spread over multiple packs
@@ -236,6 +239,43 @@ object SparkEntry {
       |)""".stripMargin
 
   /** + minhash signatures and LSH band keys (== Dedup.minhash*). */
+  /** One Lloyd-iteration CTE block for the q_ann_topk_ivf_trained oracle:
+    * assign every vector to its nearest `prev` centroid (cosine desc,
+    * cent_id tiebreak), fold per-dimension means as sequential doubles in
+    * vec_id order, round to float, and keep the previous centroid for
+    * clusters that lost every member — the exact mirror of ONE pass of
+    * `Similarity.kmeansFromBase`'s loop. Emitted per iteration so the
+    * iterations are structurally identical by construction. */
+  private def lloydIterSql(i: Int, prev: String, out: String): String =
+    s""", ar$i AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(range(len(e.embedding)), i ->
+       |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
+       |      c.cent_id ASC) AS INTEGER) AS arank
+       |  FROM e, $prev c
+       |), asg$i AS (
+       |  SELECT vec_id, cent_id AS cluster FROM ar$i WHERE arank = 1
+       |), contrib$i AS (
+       |  SELECT a.cluster, e.vec_id,
+       |    generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
+       |  FROM asg$i a JOIN e ON a.vec_id = e.vec_id
+       |), dimsum$i AS (
+       |  SELECT cluster, pos,
+       |    list_sum(array_agg(CAST(x AS DOUBLE) ORDER BY vec_id)) AS sm,
+       |    count(*) AS cnt
+       |  FROM contrib$i GROUP BY cluster, pos
+       |), means${i + 1} AS (
+       |  SELECT cluster AS cent_id,
+       |    array_agg(CAST(sm / cnt AS FLOAT) ORDER BY pos) AS new_emb
+       |  FROM dimsum$i GROUP BY cluster
+       |), $out AS (
+       |  SELECT p.cent_id, COALESCE(m.new_emb, p.cent_emb) AS cent_emb,
+       |    sqrt(list_sum(list_transform(COALESCE(m.new_emb, p.cent_emb),
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cent_nrm
+       |  FROM $prev p LEFT JOIN means${i + 1} m ON p.cent_id = m.cent_id
+       |)""".stripMargin
+
   private val MINHASH_PAIRS = SH +
     s""", sg AS (
       |  SELECT doc_id, shingles,
@@ -1041,66 +1081,17 @@ object SparkEntry {
     // two Lloyd iterations from the seed codebook (ids < 8): sequential
     // per-dimension double folds in vec_id order, mean rounded to float,
     // empty clusters keeping their previous centroid (LEFT JOIN+COALESCE) —
-    // bit-identical to Similarity.kmeansCodebook — then the standard IVF
+    // bit-identical to Similarity.kmeansCodebook (both iterations come
+    // from ONE emitter, lloydIterSql, mirroring the Scala loop body so
+    // the iterations can never drift apart) — then the standard IVF
     // probe/search over the trained centroids
     "q_ann_topk_ivf_trained" -> (EMB +
       """, cents0 AS (
         |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e WHERE vec_id < 8
-        |), ar0 AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(len(e.embedding)), i ->
-        |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
-        |      c.cent_id ASC) AS INTEGER) AS arank
-        |  FROM e, cents0 c
-        |), asg0 AS (
-        |  SELECT vec_id, cent_id AS cluster FROM ar0 WHERE arank = 1
-        |), contrib0 AS (
-        |  SELECT a.cluster, e.vec_id,
-        |    generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
-        |  FROM asg0 a JOIN e ON a.vec_id = e.vec_id
-        |), dimsum0 AS (
-        |  SELECT cluster, pos,
-        |    list_sum(array_agg(CAST(x AS DOUBLE) ORDER BY vec_id)) AS sm,
-        |    count(*) AS cnt
-        |  FROM contrib0 GROUP BY cluster, pos
-        |), means1 AS (
-        |  SELECT cluster AS cent_id,
-        |    array_agg(CAST(sm / cnt AS FLOAT) ORDER BY pos) AS new_emb
-        |  FROM dimsum0 GROUP BY cluster
-        |), cents1 AS (
-        |  SELECT p.cent_id, COALESCE(m.new_emb, p.cent_emb) AS cent_emb,
-        |    sqrt(list_sum(list_transform(COALESCE(m.new_emb, p.cent_emb),
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cent_nrm
-        |  FROM cents0 p LEFT JOIN means1 m ON p.cent_id = m.cent_id
-        |), ar1 AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(len(e.embedding)), i ->
-        |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
-        |      c.cent_id ASC) AS INTEGER) AS arank
-        |  FROM e, cents1 c
-        |), asg1 AS (
-        |  SELECT vec_id, cent_id AS cluster FROM ar1 WHERE arank = 1
-        |), contrib1 AS (
-        |  SELECT a.cluster, e.vec_id,
-        |    generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
-        |  FROM asg1 a JOIN e ON a.vec_id = e.vec_id
-        |), dimsum1 AS (
-        |  SELECT cluster, pos,
-        |    list_sum(array_agg(CAST(x AS DOUBLE) ORDER BY vec_id)) AS sm,
-        |    count(*) AS cnt
-        |  FROM contrib1 GROUP BY cluster, pos
-        |), means2 AS (
-        |  SELECT cluster AS cent_id,
-        |    array_agg(CAST(sm / cnt AS FLOAT) ORDER BY pos) AS new_emb
-        |  FROM dimsum1 GROUP BY cluster
-        |), cents AS (
-        |  SELECT p.cent_id, COALESCE(m.new_emb, p.cent_emb) AS cent_emb,
-        |    sqrt(list_sum(list_transform(COALESCE(m.new_emb, p.cent_emb),
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cent_nrm
-        |  FROM cents1 p LEFT JOIN means2 m ON p.cent_id = m.cent_id
-        |), ar AS (
+        |)""".stripMargin +
+      lloydIterSql(0, prev = "cents0", out = "cents1") +
+      lloydIterSql(1, prev = "cents1", out = "cents") +
+      """, ar AS (
         |  SELECT e.vec_id, c.cent_id,
         |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |      list_sum(list_transform(range(len(e.embedding)), i ->

@@ -194,9 +194,15 @@ object Dedup {
 
   /** Min-label propagation over an explicit (doc1, doc2) edge list —
     * the iterative core of [[nearDupComponents]], factored out so the
-    * convergence behavior is testable on hand-made graphs. */
+    * convergence behavior is testable on hand-made graphs. By default a
+    * graph whose diameter exceeds `maxRounds` FAILS instead of silently
+    * returning partially-propagated labels (the oracle computes the exact
+    * fixpoint, so unconverged labels would surface as a bare hash
+    * mismatch); pass `failOnNonConverged = false` to get the partial
+    * labels (diagnostics, incremental runs). */
   private[graft] def componentsFromEdges(ids: DataFrame, edges: DataFrame,
-                                         maxRounds: Int): DataFrame = {
+                                         maxRounds: Int,
+                                         failOnNonConverged: Boolean = true): DataFrame = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     val e = edges.persist()
     val sym = e.union(e.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
@@ -225,6 +231,11 @@ object Dedup {
       round += 1
     }
     e.unpersist()
+    if (failOnNonConverged && !converged) throw new IllegalStateException(
+      s"min-label propagation did not converge within $maxRounds rounds: a " +
+        "near-dup component's diameter exceeds the bound — raise maxRounds " +
+        "(labels would otherwise be silently partial and hash-diverge from " +
+        "the fixpoint oracle)")
     labels
   }
 
@@ -266,8 +277,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 10,
                    bitsPerBand: Int = 8,
                    maxBucketSize: Option[Int] = None): DataFrame = {
-    require(bitsPerBand > 0 && 32 % bitsPerBand == 0,
-      s"bitsPerBand must divide 32, got $bitsPerBand")
+    // < 32: `1 << 32` wraps to 1 in Scala, which would collapse the key
+    // space to a single bucket — the exact blowup this parameter prevents
+    require(bitsPerBand > 0 && bitsPerBand < 32 && 32 % bitsPerBand == 0,
+      s"bitsPerBand must be a proper divisor of 32, got $bitsPerBand")
     val numBands = 32 / bitsPerBand
     val sh = simhash(docs).persist()
     val allBands = sh.select(col("doc_id"), col("simhash"),

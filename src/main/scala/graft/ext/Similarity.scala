@@ -348,12 +348,45 @@ object Similarity {
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(datasetTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
         val path = s"$dir/codebook_v${CodebookFormatVersion}_c${numCentroids}_i${iters}_$tag"
-        try spark.read.parquet(path)
-        catch { case _: Throwable =>
-          train().write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
+        val target = java.nio.file.Paths.get(path)
+        // writers only ever ATOMIC_MOVE a fully-written directory into the
+        // final path, so existence implies completeness — no partial reads,
+        // and genuine IO errors propagate instead of masquerading as misses
+        if (!java.nio.file.Files.exists(target)) {
+          val tmp = s"$path.tmp_${System.nanoTime()}"
+          train().write.mode("overwrite").parquet(tmp)
+          try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException =>
+              // a concurrent trainer won the race: training is
+              // deterministic, so its codebook equals ours — drop ours
+              java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.delete(p))
+          }
         }
+        spark.read.parquet(path)
       case None => train()
+    }
+  }
+
+  /** Filesystem fingerprint of a dataset path (file or directory): folds
+    * every file's (name, length, mtime) — metadata only, no data scan.
+    * The cache-key ingredient that makes [[trainedCodebook]] retrain when
+    * a corpus file is REGENERATED at the same path (same-path-different-
+    * bytes is exactly the stale-cache hazard a path-only tag misses). */
+  def fileFingerprint(path: String): String = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) s"$path:absent"
+    else {
+      val parts = new scala.collection.mutable.ArrayBuffer[String]
+      java.nio.file.Files.walk(root).sorted().forEach { p =>
+        val f = p.toFile
+        if (f.isFile) parts += s"${root.relativize(p)}:${f.length}:${f.lastModified}"
+      }
+      s"$path|${parts.mkString(",")}"
     }
   }
 

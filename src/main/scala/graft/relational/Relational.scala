@@ -228,6 +228,11 @@ object Relational {
         leftKey = "visitorid", rightKey = "ck",
         leftTime = "event_time", rightTime = "o_orderdate",
         windowSeconds = 7L * 86400L)
+      // grain contract: event_id is the events table's primary key, so the
+      // groupBy emits exactly one row per event row. Duplicated event_ids
+      // (not representable in this dataset) would collapse here while the
+      // oracle's join-back preserves them — callers re-joining user data
+      // through this pattern must aggregate by a genuinely unique row key.
       .groupBy(col("event_id"), col("visitorid"), col("event_time"))
       .agg(count(col("o_orderkey")).as("n_recent_orders"),
         max(col("o_orderkey")).as("last_recent_key"))

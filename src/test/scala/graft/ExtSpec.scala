@@ -185,9 +185,15 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
       4L -> 4L, 5L -> 4L, 6L -> 6L))
-    // a long path needs diameter rounds: maxRounds=1 must NOT fully converge
+    // a long path needs diameter rounds: maxRounds=1 must NOT fully
+    // converge — the default fails loud, the opt-out returns partials
     val path = (0L until 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
-    val partial = Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path, maxRounds = 1)
+    val e = intercept[IllegalStateException] {
+      Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val partial = Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path,
+        maxRounds = 1, failOnNonConverged = false)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
     assert(partial(5L) === 4L) // one round: each node adopts its neighbor min only
     val full = Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path, maxRounds = 10)
