@@ -175,17 +175,21 @@ object Dedup {
    * [[dropNearDups]] rule (chains A–B, B–C now collapse into one
    * component even when A and C are not directly near).
    *
-   * Algorithm: iterated min-label propagation (the BSP "HashToMin" shape).
-   * Each round is one edge⋈label shuffle keyed on doc_id plus a min
-   * aggregate — labels only ever decrease, so the per-round label SUM is a
-   * monotone convergence witness (one cheap scalar action per round, no
-   * row-level diff join). Rounds needed = component diameter; near-dup
-   * clusters are shallow in practice, and `maxRounds` bounds adversarial
-   * chains. At cluster scale each round is a pair of shuffles over the
-   * edge list only — the corpus itself is never re-shuffled.
+   * Algorithm: iterated min-label propagation with pointer jumping. Each
+   * round takes the min over neighbors' labels (one edge⋈label shuffle +
+   * min aggregate) and then compresses paths by one label-table
+   * self-join (`component ← label(component)` — labels are always valid
+   * doc_ids, so the join is total). The compression doubles how far a
+   * minimum has travelled, so rounds needed drop from O(diameter) to
+   * O(log diameter) — at 100 TB that is the difference between ~40 and
+   * ~6 shuffles on a chain-shaped cluster. Labels only ever decrease, so
+   * the per-round label SUM is a monotone convergence witness (one cheap
+   * scalar action per round, no row-level diff join); `maxRounds` bounds
+   * adversarial graphs. The corpus itself is never re-shuffled — every
+   * round touches the edge list and the (doc_id, component) table only.
    */
   def nearDupComponents(docs: DataFrame, threshold: Double = 0.5,
-                        shingleSize: Int = 3, maxRounds: Int = 10): DataFrame = {
+                        shingleSize: Int = 3, maxRounds: Int = 20): DataFrame = {
     val edges = minhashCandidatePairs(docs, shingleSize)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc1"), col("doc2"))
@@ -204,13 +208,23 @@ object Dedup {
                                          maxRounds: Int,
                                          failOnNonConverged: Boolean = true): DataFrame = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
-    val e = edges.persist()
+    // localCheckpoint (eager), NOT persist: each round's plan references the
+    // previous round's labels TWICE (the propagation join and the keep-min
+    // merge), so with lazy lineage the logical plan doubles per round —
+    // 2^rounds copies of the full candidate-generation lineage blew the
+    // driver heap during analysis at sf0.1. Checkpointing truncates the
+    // plan to the materialized blocks; ContextCleaner reclaims dropped
+    // rounds. (On a cluster, executor loss invalidates localCheckpoint
+    // blocks — a reliability-sensitive run would use checkpoint() with a
+    // checkpoint dir instead; the round structure is identical.)
+    val e = edges.localCheckpoint(true)
     val sym = e.union(e.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("component"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty frame
     }
-    var labels = ids.select(col("doc_id"), col("doc_id").as("component")).persist()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
@@ -218,19 +232,26 @@ object Dedup {
       val prop = sym.join(labels.select(col("doc_id").as("nbr"), col("component")),
           col("doc2") === col("nbr"))
         .groupBy(col("doc1")).agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(prop, labels("doc_id") === prop("doc1"), "left")
+      val merged = labels.join(prop, labels("doc_id") === prop("doc1"), "left")
         .select(labels("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist()
+      // pointer jumping: follow one hop of the label table itself
+      // (component ← label(component)). Every label IS a doc_id (labels
+      // start as self and only ever adopt other rows' labels), so the
+      // equi-join is total and the fixpoint is unchanged — it is reached
+      // in O(log diameter) rounds instead of O(diameter).
+      val next = merged.as("m")
+        .join(merged.select(col("doc_id").as("t_id"), col("component").as("t_comp")),
+          col("component") === col("t_id"))
+        .select(col("doc_id"), col("t_comp").as("component"))
+        .localCheckpoint(true)
       val s = labelSum(next)
-      labels.unpersist()
       labels = next
       if (s == prevSum) converged = true
       prevSum = s
       round += 1
     }
-    e.unpersist()
     if (failOnNonConverged && !converged) throw new IllegalStateException(
       s"min-label propagation did not converge within $maxRounds rounds: a " +
         "near-dup component's diameter exceeds the bound — raise maxRounds " +

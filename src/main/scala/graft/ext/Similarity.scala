@@ -471,7 +471,7 @@ object Similarity {
    * edge⋈label shuffle over the candidate-pair list only.
    */
   def embeddingComponents(embeddings: DataFrame, threshold: Double = 0.35,
-                          dim: Int = 64, maxRounds: Int = 10): DataFrame = {
+                          dim: Int = 64, maxRounds: Int = 20): DataFrame = {
     val edges = lshNearDupPairs(embeddings, threshold, dim)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
     Dedup.componentsFromEdges(

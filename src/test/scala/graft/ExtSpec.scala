@@ -195,7 +195,8 @@ class ExtSpec extends SparkSpec {
     val partial = Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path,
         maxRounds = 1, failOnNonConverged = false)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
-    assert(partial(5L) === 4L) // one round: each node adopts its neighbor min only
+    // one round: neighbor-min (5→4) then one pointer jump (4's label is 3)
+    assert(partial(5L) === 3L)
     val full = Dedup.componentsFromEdges((0L to 5L).toDF("doc_id"), path, maxRounds = 10)
       .collect().map(r => r.getAs[Long]("component")).toSet
     assert(full === Set(0L)) // enough rounds: the whole path is one component
