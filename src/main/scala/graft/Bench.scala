@@ -48,8 +48,12 @@ object Bench {
     // JSON line lost its front to the tail window. Persist the line to a
     // file FIRST (survives any console truncation), then print it on a
     // flushed stream as the one-line stdout contract.
+    // resolve + log the absolute destination so an unexpected CWD (and the
+    // overwrite of any pre-existing bench.json there) is visible, not silent
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")).toAbsolutePath
+    System.err.println(s"[bench] writing result JSON to $out" +
+      (if (java.nio.file.Files.exists(out)) " (overwriting existing file)" else ""))
     try java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(json)

@@ -219,16 +219,15 @@ object Dedup {
     // checkpoint dir instead; the round structure is identical.)
     val e = edges.localCheckpoint(true)
     val sym = e.union(e.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("component"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty frame
+    // decimal(38,0) sum: labels are monotone non-increasing per row, so the
+    // sum strictly decreases until the fixpoint — a Long sum could in
+    // principle alias under 2^64 wraparound at extreme id scales; the
+    // decimal sum is exact and cannot
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var labels = ids.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint(true)
-    var prevSum = labelSum(labels)
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
+    def step(labels: DataFrame): DataFrame = {
       val prop = sym.join(labels.select(col("doc_id").as("nbr"), col("component")),
           col("doc2") === col("nbr"))
         .groupBy(col("doc1")).agg(min(col("component")).as("nbr_min"))
@@ -241,16 +240,31 @@ object Dedup {
       // start as self and only ever adopt other rows' labels), so the
       // equi-join is total and the fixpoint is unchanged — it is reached
       // in O(log diameter) rounds instead of O(diameter).
-      val next = merged.as("m")
+      merged.as("m")
         .join(merged.select(col("doc_id").as("t_id"), col("component").as("t_comp")),
           col("component") === col("t_id"))
         .select(col("doc_id"), col("t_comp").as("component"))
-        .localCheckpoint(true)
+    }
+    var labels = ids.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = step(labels).localCheckpoint(true)
       val s = labelSum(next)
       labels = next
       if (s == prevSum) converged = true
       prevSum = s
       round += 1
+    }
+    if (!converged) {
+      // the fixpoint may have been reached EXACTLY at round maxRounds (the
+      // loop only certifies convergence via an extra unchanged round): one
+      // sum-only confirmation pass distinguishes that from genuine
+      // non-convergence before throwing. Not checkpointed — its result is
+      // discarded either way.
+      if (labelSum(step(labels)) == prevSum) converged = true
     }
     if (failOnNonConverged && !converged) throw new IllegalStateException(
       s"min-label propagation did not converge within $maxRounds rounds: a " +

@@ -341,6 +341,11 @@ object Similarity {
   def trainedCodebook(embeddings: DataFrame, numCentroids: Int = 8,
                       iters: Int = 2, cacheDir: Option[String] = None,
                       datasetTag: String = ""): DataFrame = {
+    require(cacheDir.isEmpty || datasetTag.nonEmpty,
+      "trainedCodebook: datasetTag must identify the corpus snapshot when " +
+        "cacheDir is set (e.g. Similarity.fileFingerprint of the dataset " +
+        "path) — an empty tag would silently share one codebook across " +
+        "different corpora in the same cacheDir")
     val spark = embeddings.sparkSession
     def train() = kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
     cacheDir match {
@@ -362,9 +367,11 @@ object Similarity {
                  _: java.nio.file.DirectoryNotEmptyException =>
               // a concurrent trainer won the race: training is
               // deterministic, so its codebook equals ours — drop ours
-              java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-                .sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => java.nio.file.Files.delete(p))
+              scala.util.Using.resource(
+                  java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))) { s =>
+                s.sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => java.nio.file.Files.delete(p))
+              }
           }
         }
         spark.read.parquet(path)
@@ -382,9 +389,11 @@ object Similarity {
     if (!java.nio.file.Files.exists(root)) s"$path:absent"
     else {
       val parts = new scala.collection.mutable.ArrayBuffer[String]
-      java.nio.file.Files.walk(root).sorted().forEach { p =>
-        val f = p.toFile
-        if (f.isFile) parts += s"${root.relativize(p)}:${f.length}:${f.lastModified}"
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+        s.sorted().forEach { p =>
+          val f = p.toFile
+          if (f.isFile) parts += s"${root.relativize(p)}:${f.length}:${f.lastModified}"
+        }
       }
       s"$path|${parts.mkString(",")}"
     }

@@ -202,6 +202,16 @@ class ExtSpec extends SparkSpec {
     assert(full === Set(0L)) // enough rounds: the whole path is one component
   }
 
+  test("fixpoint reached exactly at maxRounds converges via the confirmation pass") {
+    // a single edge reaches the fixpoint in round 1, but the loop can only
+    // certify convergence with an extra unchanged round — maxRounds=1 must
+    // still succeed (sum-only confirmation pass), not throw
+    val got = Dedup.componentsFromEdges(
+        (0L to 1L).toDF("doc_id"), Seq((0L, 1L)).toDF("doc1", "doc2"), maxRounds = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("min-label propagation matches brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {
