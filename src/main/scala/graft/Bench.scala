@@ -40,21 +40,42 @@ object Bench {
       // failures are reported as -1, never as a plausible-looking timing
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The r3 artifact was truncated: the driver tails stdout and the ~2 KB
-    // JSON line lost its front to the tail window. Persist the line to a
-    // file FIRST (survives any console truncation), then print it on a
-    // flushed stream as the one-line stdout contract.
-    // resolve + log the absolute destination so an unexpected CWD (and the
-    // overwrite of any pre-existing bench.json there) is visible, not silent
+    val fullQs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    // The full per-query dict (84+ entries, ~2.2 KB) no longer fits the
+    // consumer's 2000-char stdout tail window (r1/r3/r4 artifacts all came
+    // back "parsed": null with the line's FRONT cut off). The stdout line
+    // must therefore be SELF-LIMITING: keep the contract fields and as many
+    // per-query entries as fit a conservative budget, most expensive first
+    // (the perf signal), and say how many were omitted. The complete
+    // full-precision JSON goes to bench.json (path env-overridable).
+    val budget = 1700 // tail window 2000 − sbt epilogue − safety margin
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.endsWith("0") && s.contains('.')) s.dropRight(1) else s
+    }
+    val byCost = results.sortBy(-_._2)
+    val frame = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"omitted":00,"full":"bench.json","sf":"$sfDir"}"""
+    var used = frame.length
+    val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    byCost.foreach { case (k, v) =>
+      val cost = k.length + 4 + fmt(v).length + (if (kept.nonEmpty) 1 else 0)
+      if (used + cost <= budget) { kept += ((k, v)); used += cost }
+    }
+    val keptSorted = kept.sortBy(_._1) // stable name order for round-over-round diffs
+    val qs = keptSorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val json = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":${results.size - kept.size},"full":"bench.json","sf":"$sfDir"}"""
+    // Persist the complete line to a file FIRST (survives any console
+    // truncation); resolve + log the absolute destination so an unexpected
+    // CWD (and the overwrite of a pre-existing bench.json) is visible
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")).toAbsolutePath
-    System.err.println(s"[bench] writing result JSON to $out" +
+    System.err.println(s"[bench] writing full result JSON to $out" +
       (if (java.nio.file.Files.exists(out)) " (overwriting existing file)" else ""))
-    try java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    try java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(json)
     System.out.flush()

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_ship_delay" -> (Relational.shipDelayByPriority _),
     "q_event_pivot" -> (Relational.eventPivot _),
     "q_viewers_no_purchase" -> (Relational.viewersWithoutPurchase _),
+    "q_bloom_semi" -> (Relational.urgentLineitemsBloom _),
     // -- LLM-pipeline: text analysis over documents --
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -481,6 +482,14 @@ object SparkEntry {
         |    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
         |    CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
         |FROM orders""".stripMargin,
+    // Bloom prefilter is exact-by-construction (verify semi join eats the
+    // false positives), so the oracle is the plain IN-subquery semi join
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
     "q_props_sum" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

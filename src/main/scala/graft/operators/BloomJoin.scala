@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+
+import graft.functions.BloomMightContain
+
+/**
+ * Bloom-prefiltered semi join: EXACT `left_semi` results, with a
+ * Bloom-filter runtime prefilter that drops non-matching fact rows at scan
+ * speed — BEFORE the join shuffle ever sees them.
+ *
+ * Shape (the same one Spark's own `InjectRuntimeFilter` builds for
+ * shuffle-join stages it can see through, expressed here as an explicit
+ * operator so it applies across any plan boundary we choose):
+ *
+ *  1. build: aggregate the small side's join keys into an
+ *     `org.apache.spark.util.sketch.BloomFilter` (distributed aggregation,
+ *     a few hundred KB sketch collected to the driver — the same
+ *     build-collect-rebroadcast cycle as a broadcast-hash join's relation,
+ *     but O(bits) instead of O(rows));
+ *  2. probe: filter the big side with the codegen'd
+ *     [[graft.functions.BloomMightContain]] over `xxhash64(key)` — no
+ *     shuffle, whole-stage codegen, false-positive rate `fpp`;
+ *  3. verify: exact `left_semi` join of the survivors against the small
+ *     side. False positives die here, so the result is bit-identical to a
+ *     plain semi join — the Bloom pass only changes WHERE rows die.
+ *
+ * 100 TB: with a selective small side (say 1% of fact keys match), step 2
+ * eliminates ~99% of the 100 TB scan's rows for the cost of one hash +
+ * O(numHashFunctions) bit probes per row; the semi-join shuffle then moves
+ * ~1 TB instead of 100 TB. `expectedItems`/`fpp` size the sketch
+ * (n=1e8 keys at 1% fpp ≈ 120 MB — at that point raise fpp or range-
+ * partition the build side; the verify join keeps results exact under any
+ * fpp). Keys are always probed as `xxhash64(key)` so any key type works
+ * and build/probe hashing agree by construction.
+ */
+object BloomJoin {
+
+  /** Exact semi join of `big` on `bigKey` against `small`'s `smallKey`,
+    * Bloom-prefiltered. Result equals
+    * `big.join(small, big(bigKey) === small(smallKey), "left_semi")`. */
+  def semiJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = small.stat.bloomFilter(xxhash64(col(smallKey)), expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe: Column =
+      Shim.column(BloomMightContain(Shim.expression(xxhash64(col(bigKey))), bytes))
+    big.filter(probe)
+      .join(small.select(col(smallKey)).distinct(),
+        col(bigKey) === col(smallKey), "left_semi")
+  }
+}

@@ -297,6 +297,27 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
 
+  /** Bloom-prefiltered exact semi join ([[graft.operators.BloomJoin]]):
+    * lineitems of URGENT orders, summarized per return flag. The Bloom
+    * probe kills non-matching lineitem rows at scan speed; the exact semi
+    * join then only shuffles survivors — identical results to a plain
+    * `IN (subquery)`, which is what the oracle runs. `expectedItems` is
+    * sized for the largest test SF (sf0.1 ≈ 30k urgent orders); at real
+    * scale it comes from table stats. */
+  def urgentLineitemsBloom(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 1 << 18)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(dec("l_quantity")).as("dq"))
+      .select(col("l_returnflag"), col("n_lines"),
+        col("dq").cast("double").as("sum_qty"))
+  }
+
   /** Numeric stats of the events `value` column per type (decimal-exact). */
   def valueStatsByType(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

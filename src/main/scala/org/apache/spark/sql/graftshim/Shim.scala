@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object Shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Column ⇄ catalyst Expression bridges (`ExpressionUtils` is
+    * `private[sql]`): lets graft operators wrap a custom Expression as a
+    * usable Column without registering a SQL function. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
