@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, concat_ws, expr, md5, round}
 
 import graft.analytics._
 import graft.clean.CleanStage
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.relational.Relational
 import graft.schema.Schemas
 
@@ -76,6 +76,7 @@ object SparkEntry {
     "q_event_pivot" -> (Relational.eventPivot _),
     "q_viewers_no_purchase" -> (Relational.viewersWithoutPurchase _),
     "q_bloom_semi" -> (Relational.urgentLineitemsBloom _),
+    "q_zorder" -> (Layout.zorderEvents _),
     // -- LLM-pipeline: text analysis over documents --
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -490,6 +491,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
+    // the Morton mask chain below interpolates graft.functions.ZOrder2's
+    // constants so the oracle can never drift from the Spark expression
+    "q_zorder" -> {
+      import graft.functions.ZOrder2.{M16, M8, M4, M2, M1}
+      def step(n: Int, prev: String, shift: Int, mask: Long) =
+        s"z$n AS (SELECT event_id, (x | (x << $shift)) & $mask AS x, " +
+          s"(y | (y << $shift)) & $mask AS y FROM $prev)"
+      s"""WITH z0 AS (SELECT event_id,
+         |  CAST(user_id AS BIGINT) & 2147483647 AS x,
+         |  (epoch_us(ts)//1000000) & 2147483647 AS y FROM events),
+         |${step(1, "z0", 16, M16)},
+         |${step(2, "z1", 8, M8)},
+         |${step(3, "z2", 4, M4)},
+         |${step(4, "z3", 2, M2)},
+         |${step(5, "z4", 1, M1)}
+         |SELECT event_id, (x | (y << 1)) AS zval FROM z5""".stripMargin
+    },
     "q_props_sum" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

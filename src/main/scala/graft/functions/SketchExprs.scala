@@ -55,6 +55,8 @@ object SketchExprs {
       case other => throw new IllegalArgumentException(
         "graft_lsh_bands(embedding, <dim literal>, <bands literal>, <planes/band literal>) — got " + other)
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_zorder",
+      exprs => ZOrder2(exprs.head, exprs(1)), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction in Complete mode
     reg.createOrReplaceTempFunction("graft_cms",
       CountMinSketchAgg.fromExprs, "built-in")
