@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, concat_ws, expr, md5, round}
 
 import graft.analytics._
 import graft.clean.CleanStage
-import graft.ext.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bucketing, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.relational.Relational
 import graft.schema.Schemas
 
@@ -77,6 +77,7 @@ object SparkEntry {
     "q_viewers_no_purchase" -> (Relational.viewersWithoutPurchase _),
     "q_bloom_semi" -> (Relational.urgentLineitemsBloom _),
     "q_zorder" -> (Layout.zorderEvents _),
+    "q_bucketed_join" -> (Bucketing.bucketedJoinRevenue _),
     // -- LLM-pipeline: text analysis over documents --
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -491,6 +492,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
+    // bucketing changes the physical layout, never the answer: the oracle
+    // is the plain join over the original parquet
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     // the Morton mask chain below interpolates graft.functions.ZOrder2's
     // constants so the oracle can never drift from the Spark expression
     "q_zorder" -> {

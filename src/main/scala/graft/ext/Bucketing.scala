@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Bucketed-table co-located join: the shuffle-free fact⋈fact join the
+ * scale notes throughout this repo point at ("at cluster scale these
+ * tables would be bucketed by orderkey"), demonstrated for real.
+ *
+ * Writing both join sides bucketed (`bucketBy(n, key)` + `sortBy(key)`)
+ * hash-partitions rows into the SAME bucket layout on disk; a later
+ * equi-join on the bucket key reads both sides already co-partitioned
+ * AND pre-sorted, so the SortMergeJoin needs NO Exchange and NO Sort —
+ * the two most expensive operators of a 100 TB fact join disappear from
+ * every query that joins on the bucket key, in exchange for one bucketed
+ * write at ingest time. BucketingSpec pins exactly that plan shape.
+ *
+ * Tables are written once per session (external tables under the JVM
+ * tmpdir, keyed by dataset fingerprint so a regenerated corpus can't
+ * serve stale buckets) and reused by every subsequent query in the
+ * session — the ingest-once / join-many lifecycle.
+ */
+object Bucketing {
+
+  val NumBuckets = 8
+
+  /** Bucketed external-table copy of `dir/name.parquet`, bucketed+sorted
+    * by `key`. Returns the catalog table name; writes only if this
+    * session hasn't already. */
+  def bucketedTable(spark: SparkSession, dir: String, name: String, key: String,
+                    numBuckets: Int = NumBuckets): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(Similarity.fileFingerprint(s"$dir/$name.parquet").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val tbl = s"graft_bkt_${name}_${key}_${numBuckets}_$tag"
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$tbl"
+      Tables.table(spark, dir, name).write
+        .bucketBy(numBuckets, key).sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** Revenue per order priority off a bucketed lineitem⋈orders join.
+    * The merge hint keeps the join a SortMergeJoin at any SF (a broadcast
+    * would hide the co-location the demo is about); the plan carries zero
+    * Exchange/Sort below the join. */
+  def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.table(bucketedTable(spark, dir, "lineitem", "l_orderkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = spark.table(bucketedTable(spark, dir, "orders", "o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.hint("merge")
+      .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("dr"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_orderpriority"), col("dr").cast("double").as("revenue"),
+        col("n_lines"))
+  }
+}
