@@ -132,6 +132,12 @@ object SparkEntry {
     // -- session_window cross-validation (independent impl vs window-fn oracle) --
     "q_global_sessions" -> ((s, d) =>
       graft.stream.GlobalSessions.sessionWindow(cs(s, d), streaming = false)),
+    "q_view_purchase" -> ((s, d) => {
+      val c = cs(s, d)
+      graft.stream.StreamJob.viewPurchaseAttribution(
+        c.filter(col("event") === "view"),
+        c.filter(col("event") === "purchase"), streaming = false)
+    }),
     // -- LLM-pipeline round 3: ranking stats, CMS sketch, trained IVF --
     "q_tfidf" -> ((s, d) => TextAnalysis.termDocFreq(Tables.documents(s, d))),
     // score rounded to 6dp: the double chain off integer inputs is
@@ -1164,5 +1170,14 @@ object SparkEntry {
         |  max(event_time) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS events_in_session
         |FROM gsess GROUP BY visitorid, snum""".stripMargin),
+    // batch form of the stream-stream interval join (same function, same
+    // condition — streaming only adds watermarks/state eviction)
+    "q_view_purchase" -> (CS +
+      """ SELECT v.visitorid, v.itemid AS view_item, v.event_time AS view_time,
+        |  p.itemid AS purchase_item, p.event_time AS purchase_time
+        |FROM cs v JOIN cs p ON v.visitorid = p.visitorid
+        | AND v.event = 'view' AND p.event = 'purchase'
+        | AND p.event_time >= v.event_time
+        | AND p.event_time <= v.event_time + INTERVAL 30 MINUTE""".stripMargin),
   )
 }

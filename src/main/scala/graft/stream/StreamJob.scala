@@ -92,6 +92,44 @@ object StreamJob {
     stream.join(broadcast(dim), Seq(key), joinType)
 
   /**
+   * Stream-stream interval join: view→purchase attribution. Each view of
+   * a visitor joins every purchase the SAME visitor makes inside
+   * `[view_time, view_time + horizon]`.
+   *
+   * Both sides carry watermarks and the join condition bounds
+   * `purchase_time` by `view_time` from BOTH directions, so Structured
+   * Streaming can compute how long each side's rows can still match and
+   * evict state: a view older than `watermark + horizon` and a purchase
+   * older than `watermark` are dropped — state stays proportional to the
+   * event rate × horizon, never to stream length. That bounded-state
+   * range condition is the difference between a stream-stream join that
+   * survives a year of uptime and one that OOMs; without it Spark rejects
+   * the append-mode join outright.
+   *
+   * The same function applied to batch frames is the identical relational
+   * join — q_view_purchase oracles exactly that against DuckDB.
+   */
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
+                              horizon: String = "30 minutes",
+                              watermark: String = "10 minutes",
+                              streaming: Boolean = true): DataFrame = {
+    val v0 = views.select(col("visitorid"), col("event_time").as("view_time"),
+      col("itemid").as("view_item"))
+    val p0 = purchases.select(col("visitorid").as("p_visitorid"),
+      col("event_time").as("purchase_time"), col("itemid").as("purchase_item"))
+    val (v, p) =
+      if (streaming) (v0.withWatermark("view_time", watermark),
+        p0.withWatermark("purchase_time", watermark))
+      else (v0, p0)
+    v.join(p,
+        col("visitorid") === col("p_visitorid") &&
+          col("purchase_time") >= col("view_time") &&
+          col("purchase_time") <= col("view_time") + expr(s"INTERVAL '$horizon'"))
+      .select(col("visitorid"), col("view_item"), col("view_time"),
+        col("purchase_item"), col("purchase_time"))
+  }
+
+  /**
    * Streaming count-min sketch over a key column
    * ([[graft.functions.CountMinSketchAgg]]): per-trigger the sketch row
    * holds estimated counts over the WHOLE stream so far (complete/update

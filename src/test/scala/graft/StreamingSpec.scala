@@ -121,6 +121,35 @@ class StreamingSpec extends SparkSpec {
     assert(est("cold") === 1L)
   }
 
+  test("stream-stream interval join: purchase attributes to views within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val src = ms.toDF()
+    val q = StreamJob.viewPurchaseAttribution(
+        src.filter($"event" === "view"), src.filter($"event" === "purchase"),
+        horizon = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      // view at t=100000; matching purchase 600 s later (inside horizon);
+      // a view whose purchase arrives NEXT batch — the join's buffered
+      // state must carry it across the batch boundary. (Timestamps sit
+      // well above epoch 0: the initial watermark is epoch 0 and rows AT
+      // it never emit.)
+      ms.addData(
+        Ev("u1", ts(100000), "view", "i1"), Ev("u1", ts(100600), "purchase", "i9"),
+        Ev("u2", ts(105000), "view", "i2"),
+        Ev("u1", ts(102000), "purchase", "i8")) // 2000 s after the view > horizon → NO match
+      q.processAllAvailable()
+      ms.addData(Ev("u2", ts(106000), "purchase", "i7"), // 1000 s after u2's view → match
+        Ev("u3", ts(106100), "purchase", "i6"))          // no view at all → no row
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getAs[String]("visitorid"), r.getAs[String]("view_item"),
+        r.getAs[String]("purchase_item"))).toSet
+    assert(got === Set(("u1", "i1", "i9"), ("u2", "i2", "i7")))
+  }
+
   test("exact-gap boundary: session_window MERGES two events exactly 1800.000000s apart") {
     // pins the inclusivity rule the q_global_sessions oracle depends on:
     // session_window extends a session through an event at exactly
