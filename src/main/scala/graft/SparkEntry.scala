@@ -123,6 +123,7 @@ object SparkEntry {
     "q_scrub" -> ((s, d) => TextAnalysis.scrub(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => TextAnalysis.splitAssign(Tables.documents(s, d))),
+    "q_priority_sample" -> ((s, d) => TextAnalysis.prioritySample(Tables.documents(s, d))),
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
@@ -826,6 +827,19 @@ object SparkEntry {
         |  CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 95
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    // priority = (u+1)/w: one int→double cast + one IEEE division, both
+    // correctly rounded → bit-identical ranks in both engines (ln/pow
+    // based sampling keys would not be)
+    "q_priority_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(('0x'||substr(md5(text),1,8))::BIGINT + 1 AS DOUBLE)
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS pkey
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY pkey ASC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM p
+        |) SELECT doc_id, lang, n_chars, pkey, rank FROM r WHERE rank <= 20""".stripMargin,
     "q_length_histogram" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_start,
         |  count(*) AS n_docs

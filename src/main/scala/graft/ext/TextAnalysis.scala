@@ -584,6 +584,34 @@ object TextAnalysis {
       when(hash32(col("text")) % 100 < lit(100 - valPercent), lit("train"))
         .otherwise(lit("val")).as("split"))
 
+  /** Weight-proportional sampling per language stratum — priority
+    * sampling (Duffield–Lund–Thorup): every doc gets priority
+    * `u / w` with `u` the md5-uniform integer in [1, 2³²] and `w` its
+    * weight (n_chars, clamped ≥ 1); the k SMALLEST priorities per lang
+    * are the sample. P(selected) rises with weight, and the k-smallest
+    * rule makes the sample usable for unbiased subset-sum estimation.
+    *
+    * Determinism across engines is the design constraint: the priority is
+    * one integer-to-double cast + one IEEE division — both correctly
+    * rounded, bit-identical in Spark and DuckDB — where the classic A-ES
+    * key `ln(u)/w` would inherit libm's ulp drift and could flip
+    * neighboring ranks. Ties (same priority) break on doc_id.
+    *
+    * Scale: one shuffle on `lang`, then a per-stratum sort for the
+    * row_number — same shape as the windowed top-k family
+    * (q_top_customers_per_segment). For a 100 TB corpus with few langs,
+    * refine to two-phase top-k (per-shard k-smallest, union, final
+    * k-smallest) exactly like the packing offsets decomposition. */
+  def prioritySample(docs: DataFrame, kPerLang: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pkey").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        ((hash32(col("text")) + lit(1L)).cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double")).as("pkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPerLang)
+  }
+
   /** Document-length histogram in fixed-width buckets. */
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 100): DataFrame =
     docs.groupBy((floor(col("n_chars") / bucketWidth) * bucketWidth).as("bucket_start"))

@@ -202,6 +202,39 @@ class ExtSpec extends SparkSpec {
     assert(full === Set(0L)) // enough rounds: the whole path is one component
   }
 
+  test("priority sample: k smallest (u+1)/n_chars per lang, deterministic, weight-biased") {
+    val docs = (0L until 300L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      // long docs (weight 5000) vs short (weight 50): heavy docs should
+      // dominate the sample despite being the minority
+      val n = if (i % 10 == 0) 5000L else 50L
+      (i, s"doc body $i", lang, n)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextAnalysis.prioritySample(docs, kPerLang = 10).collect()
+    assert(got.length === 20) // 10 per lang
+    assert(got.groupBy(_.getAs[String]("lang")).forall(_._2.length == 10))
+    // deterministic: second run identical
+    val again = TextAnalysis.prioritySample(docs, kPerLang = 10).collect()
+    assert(got.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // replays the exact selection rule: brute-force the k smallest per lang
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = (0L until 300L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      val n = if (i % 10 == 0) 5000L else 50L
+      (i, lang, (u32(s"doc body $i") + 1).toDouble / n.toDouble)
+    }.groupBy(_._2).flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(10)
+    }.map(r => (r._1, r._3)).toSet
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("pkey"))).toSet === want)
+    // weight bias: heavy docs are 10% of the corpus but most of the sample
+    val heavy = got.count(_.getAs[Long]("n_chars") == 5000L)
+    assert(heavy > 10, s"expected heavy docs to dominate, got $heavy/20")
+  }
+
   test("fixpoint reached exactly at maxRounds converges via the confirmation pass") {
     // a single edge reaches the fixpoint in round 1, but the loop can only
     // certify convergence with an extra unchanged round — maxRounds=1 must
