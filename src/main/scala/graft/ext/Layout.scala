@@ -34,6 +34,16 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
 
+  /** Hive-style partitioned write: one directory per `partitionCol` value.
+    * The third leg of the layout story next to [[clusterByZ]] and
+    * bucketing: a reader filtering on the partition column never opens
+    * non-matching directories at all (PartitionFilters in the scan, zero
+    * IO — stronger than min/max skipping). Use for the coarse,
+    * low-cardinality dimension (event date, lang, source); z-order/bucket
+    * WITHIN each partition for the fine dimensions. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Oracle-checked z-value computation over events: the (user, time)
     * pair — the canonical clickstream layout (point-lookups by user,
     * range scans by time, both pruned by one z-sorted layout). */

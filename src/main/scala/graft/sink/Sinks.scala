@@ -45,6 +45,36 @@ object Sinks {
     stamped.write.mode("append").jdbc(cfg.url, table, cfg.properties)
   }
 
+  /**
+   * Effectively-once under replay: delete any rows this batch id wrote
+   * before (a failed/duplicated foreachBatch attempt), then append the
+   * stamped rows. Structured Streaming replays a micro-batch with the
+   * SAME batch id and deterministic content, so delete-then-insert makes
+   * the sink idempotent — the standard exactly-once recipe for JDBC
+   * sinks, which only expose transactions per statement. The DELETE runs
+   * as one database-side statement (Spark's JDBC writer has no delete
+   * path by design); on a fresh table there is nothing to delete and the
+   * lookup short-circuits.
+   */
+  def jdbcBatchReplace(df: DataFrame, table: String, cfg: JdbcConfig, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
+    try {
+      // identifier case is dialect-specific (Derby/Postgres store unquoted
+      // names upper/lower respectively) — probe both forms
+      def exists(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      if (exists(table.toUpperCase) || exists(table.toLowerCase)) {
+        // Spark's JDBC writer quotes COLUMN identifiers at CREATE (the
+        // table name passes through raw), so the predicate must quote too
+        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+      }
+    } finally conn.close()
+    jdbcBatchStamped(df, table, cfg, batchId)
+  }
+
   /** Verification sink: one parquet dir per table. */
   def parquet(df: DataFrame, outDir: String, table: String): Unit =
     df.write.mode("overwrite").parquet(s"$outDir/$table")

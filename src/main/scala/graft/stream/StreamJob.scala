@@ -112,7 +112,8 @@ object StreamJob {
   def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
                               horizon: String = "30 minutes",
                               watermark: String = "10 minutes",
-                              streaming: Boolean = true): DataFrame = {
+                              streaming: Boolean = true,
+                              joinType: String = "inner"): DataFrame = {
     val v0 = views.select(col("visitorid"), col("event_time").as("view_time"),
       col("itemid").as("view_item"))
     val p0 = purchases.select(col("visitorid").as("p_visitorid"),
@@ -121,10 +122,15 @@ object StreamJob {
       if (streaming) (v0.withWatermark("view_time", watermark),
         p0.withWatermark("purchase_time", watermark))
       else (v0, p0)
+    // left_outer: inner matches still emit eagerly; an UNMATCHED view can
+    // only emit (with null purchase columns) once the watermark proves no
+    // future purchase can land inside its horizon — output latency is the
+    // price of a correct outer result on an unbounded stream
     v.join(p,
         col("visitorid") === col("p_visitorid") &&
           col("purchase_time") >= col("view_time") &&
-          col("purchase_time") <= col("view_time") + expr(s"INTERVAL '$horizon'"))
+          col("purchase_time") <= col("view_time") + expr(s"INTERVAL '$horizon'"),
+        joinType)
       .select(col("visitorid"), col("view_item"), col("view_time"),
         col("purchase_item"), col("purchase_time"))
   }

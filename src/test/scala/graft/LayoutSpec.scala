@@ -44,6 +44,34 @@ class LayoutSpec extends SparkSpec {
     assert(q00max < q11min)
   }
 
+  test("partitioned write prunes non-matching directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"lang${i % 4}", i * 1.5))
+      .toDF("id", "lang", "score")
+    Layout.writePartitioned(df, dir, "lang")
+    val read = spark.read.parquet(dir).filter(col("lang") === "lang2")
+    // collect() executes THIS Dataset's QueryExecution, so the scan node
+    // inspected below carries populated metrics (count() would build and
+    // run a separate plan, leaving these metrics at zero)
+    assert(read.collect().length === 250)
+    // the scan must carry the partition filter (directory pruning) and
+    // actually read only the matching partition's files — the numFiles
+    // metric counts post-pruning (Dataset.inputFiles would not: it lists
+    // the whole relation)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.toString.contains("PartitionFilters") &&
+      scan.toString.contains("lang2"), scan.toString)
+    val totalFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles > 0 && readFiles < totalFiles,
+      s"pruning read $readFiles of $totalFiles files")
+    val lang2Files = new java.io.File(s"$dir/lang=lang2").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(readFiles === lang2Files)
+  }
+
   test("clusterByZ range-partitions disjointly and sorts within partitions") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(2000)((rnd.nextInt(1 << 15).toLong, rnd.nextInt(1 << 15).toLong))

@@ -54,4 +54,22 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getAs[Long]("k") -> r.getAs[Long]("batch_id")).toMap
     assert(got === Map(1L -> 7L, 2L -> 9L))
   }
+
+  test("jdbcBatchReplace is idempotent: replaying a batch replaces, not duplicates") {
+    Sinks.jdbcBatchReplace(Seq((1L, "a")).toDF("k", "v"), "replace_t", cfg, batchId = 0L)
+    Sinks.jdbcBatchReplace(Seq((2L, "b")).toDF("k", "v"), "replace_t", cfg, batchId = 1L)
+    // replay batch 1 (as a foreachBatch retry would) with its deterministic
+    // content: row count must stay 2, batch 0 untouched
+    Sinks.jdbcBatchReplace(Seq((2L, "b")).toDF("k", "v"), "replace_t", cfg, batchId = 1L)
+    val got = readTable("replace_t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Long]("batch_id")))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 0L), (2L, "b", 1L)))
+    // a partial first attempt (extra rows) is also healed by the replay
+    Sinks.jdbcBatchReplace(Seq((3L, "x"), (4L, "y")).toDF("k", "v"), "replace_t", cfg, 2L)
+    Sinks.jdbcBatchReplace(Seq((3L, "z")).toDF("k", "v"), "replace_t", cfg, 2L)
+    val b2 = readTable("replace_t").filter($"batch_id" === 2L).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(b2.toSeq === Seq((3L, "z")))
+  }
 }

@@ -150,6 +150,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(("u1", "i1", "i9"), ("u2", "i2", "i7")))
   }
 
+  test("left-outer interval join: unmatched view emits nulls only after the watermark closes its horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val msv = MemoryStream[Ev]; val msp = MemoryStream[Ev]
+    val q = StreamJob.viewPurchaseAttribution(msv.toDF(), msp.toDF(),
+        horizon = "30 minutes", watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("attrib_outer").start()
+    def rows() = spark.table("attrib_outer").collect()
+      .map(r => (r.getAs[String]("visitorid"),
+        Option(r.getAs[String]("purchase_item")).orNull)).toSet
+    try {
+      msv.addData(Ev("u1", ts(100000), "view", "i1"))
+      msp.addData(Ev("u9", ts(100000), "purchase", "ix")) // advances purchase-side watermark only
+      q.processAllAvailable()
+      // horizon still open (watermark ~ t-600): the unmatched view must NOT have emitted
+      assert(rows() === Set.empty)
+      // push both watermarks past view_time + horizon + delay = 100000+1800+600
+      msv.addData(Ev("u8", ts(110000), "view", "iy"))
+      msp.addData(Ev("u9", ts(110000), "purchase", "iz"))
+      q.processAllAvailable()
+      // one more batch: outer results emit on the trigger AFTER the
+      // watermark advances (state eviction happens at batch start)
+      msv.addData(Ev("u8", ts(110001), "view", "iy"))
+      q.processAllAvailable()
+      assert(rows().contains(("u1", null)), s"got ${rows()}")
+    } finally q.stop()
+  }
+
   test("exact-gap boundary: session_window MERGES two events exactly 1800.000000s apart") {
     // pins the inclusivity rule the q_global_sessions oracle depends on:
     // session_window extends a session through an event at exactly
