@@ -177,6 +177,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: stateful streaming runs on the disk-backed provider") {
+    // the 100 TB-state path: HDFSBackedStateStore keeps every key in
+    // executor heap; RocksDB spills to local disk, so streaming state is
+    // bounded by disk not memory. Same query semantics, swapped provider.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamDedup.byIdWithinWatermark(ms.toDF(), "itemid", "event_time", "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("rocks_dedup").start()
+      try {
+        ms.addData(Ev("u1", ts(100000), "view", "a"), Ev("u2", ts(100010), "view", "a"))
+        q.processAllAvailable()
+        ms.addData(Ev("u3", ts(100020), "view", "a"), Ev("u4", ts(100030), "view", "b"))
+        q.processAllAvailable()
+        // duplicate drop works across batches on the RocksDB provider
+        val got = spark.table("rocks_dedup").collect().map(_.getAs[String]("itemid")).sorted
+        assert(got.toSeq === Seq("a", "b"))
+        // and the state operator really ran RocksDB (provider-specific metrics)
+        val so = q.lastProgress.stateOperators
+        assert(so.nonEmpty && so.head.customMetrics.keySet.toString.contains("rocksdb"),
+          s"expected rocksdb custom metrics, got ${so.headOption.map(_.customMetrics)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("exact-gap boundary: session_window MERGES two events exactly 1800.000000s apart") {
     // pins the inclusivity rule the q_global_sessions oracle depends on:
     // session_window extends a session through an event at exactly
