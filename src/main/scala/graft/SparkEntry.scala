@@ -124,6 +124,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => TextAnalysis.splitAssign(Tables.documents(s, d))),
     "q_priority_sample" -> ((s, d) => TextAnalysis.prioritySample(Tables.documents(s, d))),
+    "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
@@ -803,6 +804,16 @@ object SparkEntry {
         |rk AS (SELECT token, freq,
         |  CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank FROM fr)
         |SELECT token, freq, rank FROM rk WHERE rank <= 50""".stripMargin),
+    // adjacent pairs via 1-indexed list comprehension; range(1, len) stops
+    // at len-1, mirroring Spark's zip_with over the two slices
+    "q_bpe_pairs" -> (TOK +
+      """, pr AS (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS pair
+        |  FROM tok WHERE len(toks) >= 2
+        |), fr AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY pair),
+        |rk AS (SELECT pair, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INTEGER) AS rank FROM fr)
+        |SELECT pair, cnt, rank FROM rk WHERE rank <= 50""".stripMargin),
     "q_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

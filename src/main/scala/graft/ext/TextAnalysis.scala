@@ -147,6 +147,31 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
   }
 
+  /** Adjacent-token-pair frequencies — the merge-step kernel of BPE
+    * tokenizer training: each training iteration counts adjacent pairs
+    * over the corpus, merges the most frequent, repeats. One iteration is
+    * the whole distributed cost (count pairs = one explode + one shuffle
+    * on pair); the merge itself touches only the vocab. The top-k lands
+    * via orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    * global sort), rank stamped on the k survivors. The zip_with pair
+    * construction is an interpreted HOF lambda, but it runs once per
+    * token (string concat), not per signature permutation — not a
+    * SketchExprs-grade hot loop. */
+  def bpePairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withTokens(docs)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc)))
+  }
+
   /** Per-language document-length quantiles (exact, interpolated). */
   def doclenQuantiles(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))

@@ -202,6 +202,18 @@ class ExtSpec extends SparkSpec {
     assert(full === Set(0L)) // enough rounds: the whole path is one component
   }
 
+  test("bpe pairs: adjacent-pair counts with deterministic top-k ties") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // pairs: "a b"×2, "b c", "c a"
+      (2L, "b c"),          // "b c"
+      (3L, "solo"),         // <2 tokens → contributes nothing
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairs(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // "a b" and "b c" tie at 2 → lexicographic tiebreak fixes ranks
+    assert(got.toSeq === Seq(("a b", 2L, 1), ("b c", 2L, 2), ("c a", 1L, 3)))
+  }
+
   test("priority sample: k smallest (u+1)/n_chars per lang, deterministic, weight-biased") {
     val docs = (0L until 300L).map { i =>
       val lang = if (i % 3 == 0) "en" else "de"
