@@ -68,6 +68,24 @@ object StreamJob {
         timestamp_millis(col("unix_timestamp").cast("long")))
   }
 
+  /**
+   * File-backed envelope source: streams (key, value) JSONL dumps of the
+   * clean topic — the broker-less twin of [[readKafka]] for object-store
+   * backfill and replay (a topic archived to files re-enters the SAME
+   * parse → enrich → analyses pipeline; only the connector line differs).
+   * Also the piece that makes the full Kafka-shaped streaming DAG
+   * executable end-to-end in environments without a broker, which is how
+   * StreamingSpec exercises it.
+   */
+  def readEnvelopeFiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val kv = StructType(Seq(StructField("key", StringType), StructField("value", StringType)))
+    val raw = spark.readStream.schema(kv).json(dir)
+    CleanStage.parseKafkaEnvelope(raw)
+      .withColumn("event_time",
+        timestamp_millis(col("unix_timestamp").cast("long")))
+  }
+
   /** Start the foreachBatch pipeline over any streaming DataFrame. */
   def start(events: DataFrame, checkpointDir: String, steps: Seq[String])(
       sink: (DataFrame, String) => Unit): StreamingQuery =

@@ -177,6 +177,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-backed envelope source drives the full Kafka-shaped DAG end-to-end") {
+    // the broker-less twin of readKafka: (key, value) JSONL → envelope
+    // parse → event_time enrich → foreachBatch fan-out into all analyses.
+    // Everything the Kafka path runs except the connector line itself.
+    val dir = java.nio.file.Files.createTempDirectory("envelopes").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("env_ckpt").toString
+    def writeFile(name: String, rows: Seq[(String, String, String, Long)]): Unit = {
+      val lines = rows.map { case (vis, ev, item, ms) =>
+        val value = s"""{\\"timestamp\\":\\"t\\",\\"visitorid\\":\\"$vis\\",\\"event\\":\\"$ev\\",\\"itemid\\":\\"$item\\",\\"transactionid\\":null,\\"event_category\\":\\"c\\",\\"unix_timestamp\\":\\"$ms\\"}"""
+        s"""{"key":"$vis","value":"$value"}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    writeFile("b0.json", Seq(
+      ("u1", "view", "i1", 100000000L), ("u1", "click", "i2", 100060000L)))
+    val results = mutable.Map[String, mutable.Buffer[Row]]()
+    val q = StreamJob.start(
+      StreamJob.readEnvelopeFiles(spark, dir), ckpt, Schemas.testdataFunnelSteps) {
+      (df, table) => results.getOrElseUpdate(table, mutable.Buffer()) ++= df.collect()
+    }
+    try {
+      q.processAllAvailable()
+      writeFile("b1.json", Seq(("u1", "purchase", "i3", 100120000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamJob.tables.forall(results.contains))
+    // the parse really produced typed events: sessions carry the visitor id
+    val sessions = results("sessions")
+    assert(sessions.nonEmpty &&
+      sessions.forall(_.getAs[String]("session_id").startsWith("u1_")))
+    // two micro-batches flowed (one per file)
+    val batchIds = results("funnel_analysis").map(_.getAs[Long]("batch_id")).distinct.sorted
+    assert(batchIds === mutable.Buffer(0L, 1L))
+  }
+
   test("RocksDB state store: stateful streaming runs on the disk-backed provider") {
     // the 100 TB-state path: HDFSBackedStateStore keeps every key in
     // executor heap; RocksDB spills to local disk, so streaming state is
