@@ -28,8 +28,15 @@ object Bucketing {
   val NumBuckets = 8
 
   /** Bucketed external-table copy of `dir/name.parquet`, bucketed+sorted
-    * by `key`. Returns the catalog table name; writes only if this
-    * session hasn't already. */
+    * by `key`. Returns the catalog table name. The write happens at most
+    * once per DATASET, not per session: the in-memory catalog forgets
+    * tables between JVMs but the bucketed files persist, so a later
+    * session re-registers the existing layout with
+    * `CREATE TABLE … CLUSTERED BY … LOCATION` (bucket file naming is part
+    * of the layout, so the re-registered table keeps the shuffle-free
+    * join property). Ingest-once / join-forever — the same
+    * amortize-the-prep lifecycle as the IVF codebook cache, with the same
+    * fingerprint key so regenerated data can't serve stale buckets. */
   def bucketedTable(spark: SparkSession, dir: String, name: String, key: String,
                     numBuckets: Int = NumBuckets): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
@@ -38,11 +45,21 @@ object Bucketing {
     val tbl = s"graft_bkt_${name}_${key}_${numBuckets}_$tag"
     if (!spark.catalog.tableExists(tbl)) {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$tbl"
-      Tables.table(spark, dir, name).write
-        .bucketBy(numBuckets, key).sortBy(key)
-        .option("path", path)
-        .mode("overwrite")
-        .saveAsTable(tbl)
+      val df = Tables.table(spark, dir, name)
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+        // layout already on disk from an earlier session: register, don't rewrite
+        spark.sql(
+          s"""CREATE TABLE $tbl (${df.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      } else {
+        df.write
+          .bucketBy(numBuckets, key).sortBy(key)
+          .option("path", path)
+          .mode("overwrite")
+          .saveAsTable(tbl)
+      }
     }
     tbl
   }

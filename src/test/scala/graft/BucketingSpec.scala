@@ -36,6 +36,29 @@ class BucketingSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("existing bucketed files re-register without a rewrite and keep the no-shuffle join") {
+    val t = Bucketing.bucketedTable(spark, sf, "orders", "o_orderkey")
+    val path = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$t")
+    def newestMtime = path.listFiles().map(_.lastModified).max
+    val before = newestMtime
+    // a fresh session forgets the in-memory catalog entry but not the
+    // files; dropping the EXTERNAL table simulates that here
+    spark.sql(s"DROP TABLE $t")
+    assert(path.exists(), "external table drop must keep the data files")
+    val t2 = Bucketing.bucketedTable(spark, sf, "orders", "o_orderkey")
+    assert(t2 === t && spark.catalog.tableExists(t))
+    assert(newestMtime === before, "re-registration must not rewrite files")
+    // the DDL-registered table still carries the bucket spec: joining it
+    // against the bucketed lineitem stays Exchange-free
+    val li = spark.table(Bucketing.bucketedTable(spark, sf, "lineitem", "l_orderkey"))
+      .select(col("l_orderkey"))
+    val o = spark.table(t2).select(col("o_orderkey"), col("o_orderpriority"))
+    val plan = li.hint("merge").join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"), plan)
+  }
+
   test("bucketed tables are written once per session and fingerprint-keyed") {
     val t1 = Bucketing.bucketedTable(spark, sf, "orders", "o_orderkey")
     val t2 = Bucketing.bucketedTable(spark, sf, "orders", "o_orderkey")
