@@ -94,5 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_lsh_bands(embedding, <dim>, <bands>, <planes/band> literals) — got $other")
       }))
+    e.injectFunction((FunctionIdentifier("graft_zorder"),
+      info("graft_zorder", classOf[graft.functions.ZOrder2]),
+      (exprs: Seq[Expression]) => graft.functions.ZOrder2(exprs.head, exprs(1))))
   }
 }

@@ -98,6 +98,8 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT graft_minhash(graft_shingle_hash(array('a','b','c','d'), 3)) AS s")
         .collect().head.getSeq[Long](0)
       assert(sig.length === 16)
+      val z = s2.sql("SELECT graft_zorder(3L, 5L) AS z").collect().head.getLong(0)
+      assert(z === graft.functions.ZOrder2.interleave(3L, 5L))
     }
   }
 
