@@ -125,6 +125,7 @@ object SparkEntry {
     "q_split_assign" -> ((s, d) => TextAnalysis.splitAssign(Tables.documents(s, d))),
     "q_priority_sample" -> ((s, d) => TextAnalysis.prioritySample(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
+    "q_incremental_rollup" -> (graft.ext.Incremental.eventRollupIncremental _),
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
@@ -804,6 +805,15 @@ object SparkEntry {
         |rk AS (SELECT token, freq,
         |  CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank FROM fr)
         |SELECT token, freq, rank FROM rk WHERE rank <= 50""".stripMargin),
+    // the oracle is the ONE-PASS rollup: the Spark side computes it as
+    // merge(history, delta) split at an arbitrary cutoff — a hash match
+    // certifies the algebraic-state merge identity digit for digit
+    "q_incremental_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
     // adjacent pairs via 1-indexed list comprehension; range(1, len) stops
     // at len-1, mirroring Spark's zip_with over the two slices
     "q_bpe_pairs" -> (TOK +

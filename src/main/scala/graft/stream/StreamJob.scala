@@ -126,6 +126,13 @@ object StreamJob {
    *
    * The same function applied to batch frames is the identical relational
    * join — q_view_purchase oracles exactly that against DuckDB.
+   *
+   * Skew note (batch form at corpus scale): output is views×purchases per
+   * visitor inside the horizon, so a bot-grade hot visitor grows
+   * quadratically. The mitigations compose upstream: quality-gate bot
+   * visitors out, or decompose the time residual with the
+   * [[graft.operators.RangeJoin]] binning so each (visitor, time-bucket)
+   * pair bounds its match set.
    */
   def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
                               horizon: String = "30 minutes",

@@ -202,6 +202,24 @@ class ExtSpec extends SparkSpec {
     assert(full === Set(0L)) // enough rounds: the whole path is one component
   }
 
+  test("incremental rollup: merge of split states equals the one-pass rollup, any split") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Incremental
+    val rows = (0 until 500).map { i =>
+      (i.toLong, (1700000000L + i * 86400L / 10) * 1000000000L,
+        s"t${i % 3}", i * 1.25)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val full = Incremental.eventRollup(rows).orderBy("event_type", "day").collect()
+    // three-way split on an arbitrary, uneven boundary
+    val parts = Seq(
+      rows.filter(col("event_id") % 7 === 0),
+      rows.filter(col("event_id") % 7 === 1),
+      rows.filter(col("event_id") % 7 >= 2)).map(Incremental.eventRollup _)
+    val merged = Incremental.mergeRollups(parts: _*).orderBy("event_type", "day").collect()
+    assert(merged.length === full.length && merged.length > 0)
+    merged.zip(full).foreach { case (m, f) => assert(m === f) }
+  }
+
   test("bpe pairs: adjacent-pair counts with deterministic top-k ties") {
     val docs = Seq(
       (1L, "a b c a b"),   // pairs: "a b"×2, "b c", "c a"
