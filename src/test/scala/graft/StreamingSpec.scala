@@ -213,6 +213,36 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds === mutable.Buffer(0L, 1L))
   }
 
+  test("checkpoint restart: a relaunched query resumes offsets, no batch replays") {
+    // operational recovery semantics (S9): stop the query, start a NEW one
+    // on the same checkpoint — committed offsets must not reprocess, and
+    // the micro-batch counter must continue, not reset
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
+    val ms = MemoryStream[Ev]
+    val seen = mutable.Buffer[(Long, String)]()
+    def launch() = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.collect().foreach(r => seen.synchronized {
+          seen += ((id, r.getAs[String]("itemid")))
+        })
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = launch()
+    try {
+      ms.addData(Ev("u1", ts(10), "view", "i1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.toSeq === Seq((0L, "i1")))
+    val q2 = launch()
+    try {
+      ms.addData(Ev("u1", ts(20), "view", "i2"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // i1 not replayed; the new data arrived under the NEXT batch id
+    assert(seen.toSeq === Seq((0L, "i1"), (1L, "i2")))
+  }
+
   test("RocksDB state store: stateful streaming runs on the disk-backed provider") {
     // the 100 TB-state path: HDFSBackedStateStore keeps every key in
     // executor heap; RocksDB spills to local disk, so streaming state is
