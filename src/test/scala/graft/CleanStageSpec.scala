@@ -43,4 +43,24 @@ class CleanStageSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("session_key")))  // keyless clean topic
     assert(Schemas.clean.fieldNames.forall(f => out.schema.fieldNames.contains(f)))
   }
+
+  test("corrupt envelope values parse to all-null rows and die in validate, not the job") {
+    // a poison-pill message (truncated JSON, non-JSON bytes) must never
+    // kill the stream: from_json yields null fields, and the P4 validity
+    // filter drops the row — the standard dead-letter demarcation point
+    val kafka = Seq(
+      (Array[Byte](1), """{"visitorid":"257597","itemid":"355908"""".getBytes), // truncated
+      (Array[Byte](2), "not json at all".getBytes),
+      (Array[Byte](3),
+        """{"timestamp":"t","visitorid":"u1","event":"view","itemid":"i1",
+          |"transactionid":"","event_category":"c","unix_timestamp":"1"}"""
+          .stripMargin.replace("\n", "").getBytes))
+      .toDF("key", "value")
+    val parsed = CleanStage.parseKafkaEnvelope(kafka)
+    assert(parsed.count() === 3) // parse never drops — visibility for dead-lettering
+    val valid = CleanStage.validate(parsed).collect()
+    assert(valid.length === 1 && valid.head.getAs[String]("visitorid") === "u1")
+    val dead = CleanStage.invalid(parsed)
+    assert(dead.count() === 2)
+  }
 }
