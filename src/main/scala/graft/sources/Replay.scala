@@ -68,4 +68,16 @@ object Replay {
       .load()
       .select(col("key").cast("string"), col("value").cast("string"))
       .show(limit, truncate = false)
+
+  /** [[consoleDebug]]'s broker-less twin over a (key, value) JSONL topic
+    * dump (the same files `stream.StreamJob.readEnvelopeFiles` streams):
+    * returns the (key, value) frame it prints, so tests can execute the
+    * exact consumer projection end-to-end without a broker. */
+  def consoleDebugFiles(spark: SparkSession, dir: String, limit: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val kv = StructType(Seq(StructField("key", StringType), StructField("value", StringType)))
+    val frame = spark.read.schema(kv).json(dir).select(col("key"), col("value"))
+    frame.show(limit, truncate = false)
+    frame
+  }
 }

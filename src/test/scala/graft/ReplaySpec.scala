@@ -42,4 +42,15 @@ class ReplaySpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.toSeq === Seq("visitorid", "event_time", "event", "itemid"))
   }
+
+  test("file-backed debug consumer executes the consumer projection end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("debug_dump").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
+      Seq("""{"key":"u1","value":"{\"event\":\"view\"}"}""",
+        """{"key":"u2","value":"{\"event\":\"click\"}"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val got = Replay.consoleDebugFiles(spark, dir, limit = 5).collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(got.length === 2 && got.head === (("u1", """{"event":"view"}""")))
+  }
 }
