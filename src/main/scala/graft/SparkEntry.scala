@@ -126,6 +126,7 @@ object SparkEntry {
     "q_priority_sample" -> ((s, d) => TextAnalysis.prioritySample(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
     "q_incremental_rollup" -> (graft.ext.Incremental.eventRollupIncremental _),
+    "q_ohlc_resample" -> ((s, d) => MinuteStats.ohlcResample(Tables.events(s, d))),
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
@@ -805,6 +806,17 @@ object SparkEntry {
         |rk AS (SELECT token, freq,
         |  CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank FROM fr)
         |SELECT token, freq, rank FROM rk WHERE rank <= 50""".stripMargin),
+    // first/last via zero-padded composite string keys — ASCII ordering ==
+    // numeric ordering, and DuckDB's arg_min takes no struct keys
+    "q_ohlc_resample" ->
+      """SELECT event_type,
+        |  (epoch_us(ts)//1000000) // 300 * 300 AS bucket_start,
+        |  arg_min(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS open_value,
+        |  max(value) AS high_value, min(value) AS low_value,
+        |  arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS close_value,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // the oracle is the ONE-PASS rollup: the Spark side computes it as
     // merge(history, delta) split at an arbitrary cutoff — a hash match
     // certifies the algebraic-state merge identity digit for digit

@@ -74,4 +74,37 @@ object MinuteStats {
         sum(when(col("events") === 1, 1).otherwise(0)).as("bounces"),
         count(lit(1)).as("total_users"))
       .withColumn("bounce_rate", col("bounces") / col("total_users"))
+
+  /**
+   * Event-time resampling to OHLC-style bars: per (event_type, 5-minute
+   * bucket) the first/last `value` by event time plus high/low/volume —
+   * the downsampling primitive that turns a raw event stream into a
+   * fixed-grain series (monitoring rollups, feature windows).
+   *
+   * First/last are `min_by`/`max_by` over a zero-padded composite string
+   * key `(epoch_micros, event_id)`: ASCII-digit ordering equals numeric
+   * ordering on both engines (DuckDB's arg_min has no struct keys), and
+   * event_id uniqueness makes the selection total-ordered — no tie
+   * nondeterminism. One hash aggregate; map-side partial combine applies
+   * to every column including the min_by/max_by pairs.
+   *
+   * Takes the raw events table (needs `value`), not the clickstream view.
+   */
+  def ohlcResample(events: DataFrame, bucketSeconds: Int = 300): DataFrame = {
+    val key = format_string("%020d|%020d", expr("ts DIV 1000"), col("event_id"))
+    events
+      .groupBy(col("event_type"),
+        ((expr("ts DIV 1000000000") / bucketSeconds).cast("long") * bucketSeconds)
+          .as("bucket_start"))
+      .agg(
+        min_by(col("value"), key).as("open_value"),
+        max(col("value")).as("high_value"),
+        min(col("value")).as("low_value"),
+        max_by(col("value"), key).as("close_value"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(col("event_type"), col("bucket_start"), col("open_value"),
+        col("high_value"), col("low_value"), col("close_value"),
+        col("n_events"), col("sv").cast("double").as("sum_value"))
+  }
 }

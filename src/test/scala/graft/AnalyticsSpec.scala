@@ -73,4 +73,25 @@ class AnalyticsSpec extends SparkSpec {
     val out = Items.topItemsRanked(df, 2).orderBy("rank").collect()
     assert(out.map(_.getAs[String]("itemid")).toSeq === Seq("b", "a")) // count desc, then id asc
   }
+
+  test("ohlcResample: open/close by event time with event_id tiebreak, high/low/volume") {
+    import spark.implicits._
+    // bucket 0-300 s: three events, two at the SAME timestamp (tie broken
+    // by event_id); bucket 300-600 s: one event
+    val df = Seq(
+      (2L, 10L * 1000000000L, "view", 5.0),
+      (1L, 10L * 1000000000L, "view", 7.0),  // same ts, lower event_id → open
+      (3L, 250L * 1000000000L, "view", 1.0), // latest → close
+      (9L, 400L * 1000000000L, "view", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = MinuteStats.ohlcResample(df).orderBy("bucket_start").collect()
+    assert(out.length === 2)
+    val b0 = out.head
+    assert(b0.getAs[Long]("bucket_start") === 0L)
+    assert(b0.getAs[Double]("open_value") === 7.0)  // event_id 1 wins the ts tie
+    assert(b0.getAs[Double]("close_value") === 1.0)
+    assert(b0.getAs[Double]("high_value") === 7.0 && b0.getAs[Double]("low_value") === 1.0)
+    assert(b0.getAs[Long]("n_events") === 3L && b0.getAs[Double]("sum_value") === 13.0)
+    assert(out(1).getAs[Long]("bucket_start") === 300L)
+  }
 }
