@@ -127,6 +127,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
     "q_incremental_rollup" -> (graft.ext.Incremental.eventRollupIncremental _),
     "q_ohlc_resample" -> ((s, d) => MinuteStats.ohlcResample(Tables.events(s, d))),
+    "q_sliding_counts" -> ((s, d) => MinuteStats.slidingEventCounts(cs(s, d))),
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
@@ -806,6 +807,16 @@ object SparkEntry {
         |rk AS (SELECT token, freq,
         |  CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank FROM fr)
         |SELECT token, freq, rank FROM rk WHERE rank <= 50""".stripMargin),
+    // width = 2×slide ⇒ every event is in exactly the two windows starting
+    // at floor(t/300)*300 and that minus 300 — the unnest replicates what
+    // Spark's window() grouping does internally
+    "q_sliding_counts" -> (CS +
+      """ SELECT ws.window_start, event, count(*) AS n_events FROM (
+        |   SELECT event,
+        |     unnest([ (epoch_us(event_time)//1000000)//300*300 - 300,
+        |              (epoch_us(event_time)//1000000)//300*300 ]) AS window_start
+        |   FROM cs
+        | ) ws GROUP BY ws.window_start, event""".stripMargin),
     // first/last via zero-padded composite string keys — ASCII ordering ==
     // numeric ordering, and DuckDB's arg_min takes no struct keys
     "q_ohlc_resample" ->

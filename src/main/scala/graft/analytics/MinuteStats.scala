@@ -76,6 +76,22 @@ object MinuteStats {
       .withColumn("bounce_rate", col("bounces") / col("total_users"))
 
   /**
+   * Sliding-window counts: per (10-minute window sliding every 5, event)
+   * — Spark's native `window()` in batch mode. With width = 2×slide every
+   * event lands in EXACTLY two windows; the grouping replicates rows per
+   * covering window before the hash aggregate (map-side combine still
+   * applies), which is why slide ratios stay small at scale: state and
+   * shuffle grow with width/slide. Emits epoch-second window starts so
+   * the oracle compares integers, not timestamp encodings.
+   */
+  def slidingEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"), col("event"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event"), col("n_events"))
+
+  /**
    * Event-time resampling to OHLC-style bars: per (event_type, 5-minute
    * bucket) the first/last `value` by event time plus high/low/volume —
    * the downsampling primitive that turns a raw event stream into a
