@@ -213,6 +213,26 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds === mutable.Buffer(0L, 1L))
   }
 
+  test("AvailableNow backfill: the query drains existing envelope files and terminates itself") {
+    // the backfill mode for readEnvelopeFiles: process everything present,
+    // then stop — a bounded batch job driven through the streaming engine
+    // (same code path, same checkpoint semantics as the live stream)
+    val dir = java.nio.file.Files.createTempDirectory("backfill").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("backfill_ckpt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      ("""{"key":"u1","value":"{\"timestamp\":\"t\",\"visitorid\":\"u1\",\"event\":\"view\",""" +
+        """\"itemid\":\"i1\",\"transactionid\":null,\"event_category\":\"c\",\"unix_timestamp\":\"100000000\"}"}""")
+        .getBytes("UTF-8"))
+    val q = StreamJob.readEnvelopeFiles(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("backfill_t")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    val got = spark.table("backfill_t").collect()
+    assert(got.length === 1 && got.head.getAs[String]("visitorid") === "u1")
+  }
+
   test("checkpoint restart: a relaunched query resumes offsets, no batch replays") {
     // operational recovery semantics (S9): stop the query, start a NEW one
     // on the same checkpoint — committed offsets must not reprocess, and
