@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, concat_ws, expr, md5, round}
 
 import graft.analytics._
 import graft.clean.CleanStage
-import graft.ext.{Bucketing, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bucketing, Dedup, GraphRank, Layout, Multimodal, Similarity, SparseSim, TextAnalysis}
 import graft.relational.Relational
 import graft.schema.Schemas
 
@@ -203,6 +203,13 @@ object SparkEntry {
         .select((col("pos") + 1).cast("int").as("rank"),
           col("col._1").as("token"), col("col._2").as("cnt"))
     }),
+    // -- path mining over the sessionized stream --
+    "q_event_transitions" -> ((s, d) => Paths.eventTransitions(sess(s, d))),
+    "q_path_trigrams" -> ((s, d) => Paths.pathTrigrams(sess(s, d))),
+    // -- graph centrality over the near-dup candidate graph --
+    "q_doc_pagerank" -> ((s, d) => GraphRank.docCentrality(Tables.documents(s, d))),
+    // -- sparse term-vector cosine with rare-shingle blocking --
+    "q_sparse_cosine" -> ((s, d) => SparseSim.cosinePairs(Tables.documents(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -1237,5 +1244,98 @@ object SparkEntry {
         | AND v.event = 'view' AND p.event = 'purchase'
         | AND p.event_time >= v.event_time
         | AND p.event_time <= v.event_time + INTERVAL 30 MINUTE""".stripMargin),
+    // first-order Markov transitions: lead over the same deterministic
+    // in-session order as the sessionize family; prob is ONE IEEE division
+    // of two exact integers (bit-identical across engines)
+    "q_event_transitions" -> (SESS +
+      """, nxt AS (
+        |  SELECT event, lead(event) OVER (PARTITION BY visitorid, session_id ORDER BY event_time, itemid) AS next_event
+        |  FROM sid
+        |), tr AS (
+        |  SELECT event, next_event, count(*) AS transitions
+        |  FROM nxt WHERE next_event IS NOT NULL GROUP BY event, next_event
+        |) SELECT event, next_event, transitions,
+        |  CAST(transitions AS DOUBLE) / CAST(sum(transitions) OVER (PARTITION BY event) AS DOUBLE) AS prob
+        |FROM tr""".stripMargin),
+    // within-session event trigrams: the path array uses UserPaths' struct
+    // sort order (event_time, then event as tiebreak); DuckDB list indexing
+    // is 1-based so i+1..i+3 over range(len-2) mirrors Spark's sequence(1,
+    // len-2) with element_at i..i+2
+    "q_path_trigrams" -> (SESS +
+      """, paths AS (
+        |  SELECT visitorid, session_id,
+        |    array_agg(event ORDER BY event_time, event) AS user_path
+        |  FROM sid GROUP BY visitorid, session_id
+        |), tg AS (
+        |  SELECT unnest(CASE WHEN len(user_path) < 3 THEN []
+        |    ELSE list_transform(range(len(user_path)-2), i ->
+        |      user_path[i+1] || '>' || user_path[i+2] || '>' || user_path[i+3]) END) AS trigram
+        |  FROM paths
+        |) SELECT trigram, count(*) AS cnt FROM tg
+        |GROUP BY trigram ORDER BY cnt DESC, trigram LIMIT 20""".stripMargin),
+    // integer PageRank over the minhash candidate graph: every quantity is
+    // a positive BIGINT and every division a floor division, so a fixed
+    // iteration count is bit-identical across engines (same no-libm rule
+    // as q_priority_sample); iterations come from ONE emitter so the Scala
+    // loop body and the SQL can never drift apart
+    "q_doc_pagerank" -> (MINHASH_PAIRS +
+      """, sym AS (
+        |  SELECT doc1 AS src, doc2 AS dst FROM pr
+        |  UNION ALL SELECT doc2 AS src, doc1 AS dst FROM pr
+        |), deg AS (
+        |  SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY src
+        |), base AS (
+        |  SELECT node, outdeg, (SELECT count(*) FROM deg) AS n FROM deg
+        |), r0 AS (
+        |  SELECT node, outdeg, n, 1000000000000 // n AS rank FROM base
+        |)""".stripMargin +
+      pagerankIterSql(1) + pagerankIterSql(2) + pagerankIterSql(3) +
+      " SELECT node AS doc_id, outdeg AS degree, rank AS rank_int FROM r3"),
+    // rare-shingle-blocked exact cosine: dot products are exact integer
+    // sums; cos_sim = one multiply + one divide of correctly-rounded
+    // doubles — bit-identical
+    "q_sparse_cosine" -> (SH +
+      """, post AS (
+        |  SELECT doc_id, unnest(shingles) AS g FROM sh
+        |), rare AS (
+        |  SELECT g FROM post GROUP BY g HAVING count(*) BETWEEN 2 AND 3
+        |), rp AS (
+        |  SELECT p.doc_id, p.g FROM post p JOIN rare r ON p.g = r.g
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
+        |), tfl AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM tok
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS cnt FROM tfl GROUP BY doc_id, tok
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id
+        |), dots AS (
+        |  SELECT c.doc1, c.doc2, CAST(sum(t1.cnt * t2.cnt) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN tf t1 ON t1.doc_id = c.doc1
+        |  JOIN tf t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
+        |  GROUP BY c.doc1, c.doc2
+        |) SELECT d.doc1, d.doc2, d.dot,
+        |  CAST(d.dot AS DOUBLE) / (n1.nrm * n2.nrm) AS cos_sim
+        |FROM dots d
+        |JOIN nrm n1 ON n1.doc_id = d.doc1
+        |JOIN nrm n2 ON n2.doc_id = d.doc2
+        |WHERE CAST(d.dot AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.5""".stripMargin),
   )
+
+  /** One integer-PageRank iteration CTE block (== one pass of
+    * [[graft.ext.GraphRank.pagerankFromPairs]]'s loop: contributions =
+    * rank DIV outdeg, keyed-join + sum, damped floor-division update). */
+  private def pagerankIterSql(i: Int): String =
+    s""", c$i AS (
+       |  SELECT node AS src, rank // outdeg AS contrib FROM r${i - 1}
+       |), s$i AS (
+       |  SELECT sym.dst AS node, CAST(sum(c.contrib) AS BIGINT) AS insum
+       |  FROM sym JOIN c$i c ON sym.src = c.src GROUP BY sym.dst
+       |), r$i AS (
+       |  SELECT b.node, b.outdeg, b.n,
+       |    (15 * (1000000000000 // b.n)) // 100 + (85 * s.insum) // 100 AS rank
+       |  FROM base b JOIN s$i s ON b.node = s.node
+       |)""".stripMargin
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Paths
+import graft.ext.{GraphRank, SparseSim}
+
+/** Paths (Markov transitions, trigrams), GraphRank (integer PageRank),
+  * SparseSim (rare-shingle-blocked cosine) — hand-computed fixtures. */
+class PathMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A single 4-event session: view, view, addtocart, view. */
+  private def sessionized = Seq(
+    ("u1", "u1_1", 10L, "e1", "view"),
+    ("u1", "u1_1", 20L, "e2", "view"),
+    ("u1", "u1_1", 30L, "e3", "addtocart"),
+    ("u1", "u1_1", 40L, "e4", "view"),
+    // a 2-event session: one transition, no trigram
+    ("u2", "u2_1", 10L, "e5", "view"),
+    ("u2", "u2_1", 20L, "e6", "purchase")
+  ).map { case (v, sid, t, i, e) => (v, sid, ts(t), i, e) }
+    .toDF("visitorid", "session_id", "event_time", "itemid", "event")
+
+  test("eventTransitions: counts and conditional probabilities") {
+    val got = Paths.eventTransitions(sessionized)
+      .orderBy("event", "next_event").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq === Seq(
+      ("addtocart", "view", 1L, 1.0),
+      ("view", "addtocart", 1L, 1.0 / 3.0),
+      ("view", "purchase", 1L, 1.0 / 3.0),
+      ("view", "view", 1L, 1.0 / 3.0)))
+  }
+
+  test("pathTrigrams: sessions shorter than 3 events contribute nothing") {
+    val got = Paths.pathTrigrams(sessionized, 10).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(
+      ("view>addtocart>view", 1L),
+      ("view>view>addtocart", 1L)))
+  }
+
+  test("pagerankFromPairs: one iteration on the path graph a-b-c, exact integers") {
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("doc1", "doc2")
+    val got = GraphRank.pagerankFromPairs(pairs, iters = 1)
+      .orderBy("doc_id").collect()
+    // n=3, r0 = 10^12 DIV 3 = 333333333333 each;
+    // contrib a=c=333333333333, b=166666666666;
+    // insum a=c=166666666666, b=666666666666;
+    // teleport = (15*333333333333) DIV 100 = 49999999999
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq === Seq(
+      ("a", 1L, 49999999999L + 141666666666L),
+      ("b", 2L, 49999999999L + 566666666666L),
+      ("c", 1L, 49999999999L + 141666666666L)))
+  }
+
+  test("pagerankFromPairs: rank mass is conserved up to floor loss over iterations") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("b", "d"))
+      .toDF("doc1", "doc2")
+    val ranks = GraphRank.pagerankFromPairs(pairs, iters = 3)
+      .agg(sum("rank_int")).head.getLong(0)
+    // total mass stays within (damping-loss) floor drift of the scale
+    assert(ranks > GraphRank.Scale * 9 / 10 && ranks <= GraphRank.Scale)
+  }
+
+  test("cosinePairs: rare-shingle candidates get exact cosine; unblocked pairs drop") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma epsilon"),
+      (3L, "en", "zeta eta theta iota")
+    ).toDF("doc_id", "lang", "text")
+    val got = SparseSim.cosinePairs(docs).collect()
+    // only (1,2) share a rare shingle ("alpha beta gamma", df=2);
+    // tf vectors are all-ones over 4 tokens: dot=3, norms=2 → cos=0.75
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((1L, 2L, 3L, 0.75)))
+  }
+
+  test("rareShingleCandidates: df above maxDf is not a block key") {
+    // the same shingle in 4 docs exceeds maxDf=3 → no candidates at all
+    val docs = (1 to 4).map(i => (i.toLong, "en", "alpha beta gamma"))
+      .toDF("doc_id", "lang", "text")
+    assert(SparseSim.rareShingleCandidates(docs).count() === 0L)
+  }
+}
