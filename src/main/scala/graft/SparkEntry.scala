@@ -210,6 +210,10 @@ object SparkEntry {
     "q_doc_pagerank" -> ((s, d) => GraphRank.docCentrality(Tables.documents(s, d))),
     // -- sparse term-vector cosine with rare-shingle blocking --
     "q_sparse_cosine" -> ((s, d) => SparseSim.cosinePairs(Tables.documents(s, d))),
+    // -- monitoring / recsys / funnel-timing extensions --
+    "q_minute_anomaly" -> ((s, d) => MinuteStats.minuteAnomaly(cs(s, d))),
+    "q_item_cooccurrence" -> ((s, d) => Cooccur.itemCooccurrence(Tables.events(s, d))),
+    "q_conversion_latency" -> ((s, d) => Funnel.conversionLatency(cs(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -1322,6 +1326,62 @@ object SparkEntry {
         |JOIN nrm n1 ON n1.doc_id = d.doc1
         |JOIN nrm n2 ON n2.doc_id = d.doc2
         |WHERE CAST(d.dot AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.5""".stripMargin),
+  ) ++ NEW_ANALYTICS_ORACLES
+
+  private val NEW_ANALYTICS_ORACLES = Map(
+    // population z-score of per-minute counts: n/s/s2 are exact integers,
+    // every double step after them is one correctly-rounded IEEE op
+    "q_minute_anomaly" -> (CS +
+      """, pm AS (
+        |  SELECT date_trunc('minute', event_time) AS minute, count(*) AS events_count
+        |  FROM cs GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n, CAST(sum(events_count) AS BIGINT) AS s,
+        |    CAST(sum(events_count*events_count) AS BIGINT) AS s2
+        |  FROM pm
+        |), m AS (
+        |  SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS meansq FROM st
+        |), v AS (
+        |  SELECT mean, sqrt(GREATEST(meansq - mean*mean, 0.0)) AS stddev_pop FROM m
+        |) SELECT pm.minute, pm.events_count, v.mean, v.stddev_pop,
+        |  (CAST(pm.events_count AS DOUBLE) - v.mean) / v.stddev_pop AS z
+        |FROM pm, v""".stripMargin),
+    // item co-occurrence + lift over distinct (user, props.k), capped per
+    // user with the same keep-smallest-k rule as the Scala side; lift is
+    // one IEEE division of exact integer products
+    "q_item_cooccurrence" ->
+      """WITH uk0 AS (
+        |  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |), uk AS (
+        |  SELECT user_id, k FROM (
+        |    SELECT user_id, k, row_number() OVER (PARTITION BY user_id ORDER BY k) AS rn
+        |    FROM uk0) WHERE rn <= 1000
+        |), tot AS (
+        |  SELECT k, count(*) AS users FROM uk GROUP BY k
+        |), nu AS (
+        |  SELECT count(DISTINCT user_id) AS n_users FROM uk
+        |), pr AS (
+        |  SELECT a.k AS k1, b.k AS k2, count(*) AS both_users
+        |  FROM uk a JOIN uk b ON a.user_id = b.user_id AND a.k < b.k
+        |  GROUP BY a.k, b.k HAVING count(*) >= 2
+        |) SELECT k1, k2, both_users, t1.users AS users1, t2.users AS users2,
+        |  CAST(both_users * n_users AS DOUBLE) / CAST(t1.users * t2.users AS DOUBLE) AS lift
+        |FROM pr JOIN tot t1 ON t1.k = pr.k1 JOIN tot t2 ON t2.k = pr.k2, nu""".stripMargin,
+    // first-view → first-purchase latency; floor-seconds difference like
+    // the sessionize family's diff_seconds
+    "q_conversion_latency" -> (CS +
+      """, fp AS (
+        |  SELECT visitorid,
+        |    min(CASE WHEN event = 'view' THEN event_time END) AS first_view,
+        |    min(CASE WHEN event = 'purchase' THEN event_time END) AS first_purchase
+        |  FROM cs GROUP BY visitorid
+        |) SELECT visitorid, first_view, first_purchase,
+        |  epoch_us(first_purchase)//1000000 - epoch_us(first_view)//1000000 AS seconds_to_convert
+        |FROM fp
+        |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |  AND first_purchase >= first_view""".stripMargin),
   )
 
   /** One integer-PageRank iteration CTE block (== one pass of

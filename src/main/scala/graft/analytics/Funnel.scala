@@ -68,4 +68,25 @@ object Funnel {
     counts(sessionized, steps)
       .withColumn("batch_id", lit(batchId))
       .withColumn("analysis_time", current_timestamp())
+
+  /**
+   * Per-visitor conversion latency: seconds from the FIRST `from` event to
+   * the FIRST `to` event, for visitors where the latter does not precede
+   * the former — the funnel-timing companion to [[counts]] (which only
+   * counts memberships). One hash aggregate over the event stream
+   * (conditional min is algebraic — map-side combinable), then a row
+   * filter: no windows, no joins. The seconds arithmetic is the
+   * floor-seconds difference the sessionize family uses
+   * (`unix_timestamp` == DuckDB `epoch_us // 1e6`).
+   */
+  def conversionLatency(events: DataFrame, from: String = "view",
+                        to: String = "purchase"): DataFrame =
+    events.groupBy(col("visitorid"))
+      .agg(
+        min(when(col("event") === from, col("event_time"))).as("first_view"),
+        min(when(col("event") === to, col("event_time"))).as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .withColumn("seconds_to_convert",
+        unix_timestamp(col("first_purchase")) - unix_timestamp(col("first_view")))
 }

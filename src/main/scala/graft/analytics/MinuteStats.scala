@@ -123,4 +123,35 @@ object MinuteStats {
         col("high_value"), col("low_value"), col("close_value"),
         col("n_events"), col("sv").cast("double").as("sum_value"))
   }
+
+  /**
+   * Traffic-anomaly score: population z-score of each minute's event count
+   * against the global per-minute mean/stddev. The monitoring primitive on
+   * top of A5 — |z| > 3 is the alert line, but thresholds belong to the
+   * consumer so all minutes are emitted.
+   *
+   * Scale shape: the stats side is ONE 3-column row (count/sum/sum-of-
+   * squares — all algebraic, map-side combinable) broadcast to the
+   * per-minute frame; no second scan, no collect, no window over the whole
+   * series. Determinism: n/s/s2 are exact integers and every double step
+   * after them (two divisions, multiply, subtract, sqrt, subtract, divide)
+   * is a single correctly-rounded IEEE op — bit-identical across engines.
+   * `greatest(…, 0)` guards the catastrophic-cancellation case where
+   * meansq − mean² rounds to a tiny negative.
+   */
+  def minuteAnomaly(events: DataFrame): DataFrame = {
+    val pm = eventsPerMinute(events)
+    val stats = pm.agg(
+      count(lit(1)).as("n"),
+      sum(col("events_count")).as("s"),
+      sum(col("events_count") * col("events_count")).as("s2"))
+    pm.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("meansq", col("s2").cast("double") / col("n").cast("double"))
+      .withColumn("stddev_pop",
+        sqrt(greatest(col("meansq") - col("mean") * col("mean"), lit(0.0))))
+      .withColumn("z",
+        (col("events_count").cast("double") - col("mean")) / col("stddev_pop"))
+      .select("minute", "events_count", "mean", "stddev_pop", "z")
+  }
 }

@@ -94,4 +94,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(b0.getAs[Long]("n_events") === 3L && b0.getAs[Double]("sum_value") === 13.0)
     assert(out(1).getAs[Long]("bucket_start") === 300L)
   }
+
+  test("minuteAnomaly: exact z-scores from integer count moments") {
+    // three minutes with counts 1, 2, 3 → mean 2, var (1+0+1)/3, std sqrt(2/3)
+    val df = events(
+      ("u1", 10L, "view", "i1"),
+      ("u1", 70L, "view", "i2"), ("u2", 80L, "view", "i3"),
+      ("u1", 130L, "view", "i4"), ("u2", 140L, "view", "i5"), ("u3", 150L, "view", "i6"))
+    val out = MinuteStats.minuteAnomaly(df).orderBy("minute").collect()
+    val std = math.sqrt(14.0 / 3.0 - 4.0)
+    assert(out.map(_.getAs[Long]("events_count")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Double]("z")).toSeq === Seq(-1.0 / std, 0.0, 1.0 / std))
+    assert(out.forall(_.getAs[Double]("stddev_pop") === std))
+  }
+
+  test("itemCooccurrence: pair counts, per-item totals, lift") {
+    // users 1,2 share items {10,20}; user 3 has {10,30} → only (10,20) has 2 users
+    val ev = Seq(
+      (1L, """{"k": 10}"""), (1L, """{"k": 20}"""), (1L, """{"k": 10}"""),
+      (2L, """{"k": 10}"""), (2L, """{"k": 20}"""),
+      (3L, """{"k": 10}"""), (3L, """{"k": 30}"""), (4L, "{}")
+    ).toDF("user_id", "props")
+    val out = Cooccur.itemCooccurrence(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // lift = both·N / (users1·users2) = 2·3 / (3·2) = 1.0
+    assert((r.getAs[Long]("k1"), r.getAs[Long]("k2"), r.getAs[Long]("both_users"),
+      r.getAs[Long]("users1"), r.getAs[Long]("users2"), r.getAs[Double]("lift")) ===
+      ((10L, 20L, 2L, 3L, 2L, 1.0)))
+  }
+
+  test("itemCooccurrence: per-user item cap keeps the smallest ids") {
+    val ev = Seq(
+      (1L, """{"k": 10}"""), (1L, """{"k": 20}"""), (1L, """{"k": 30}"""),
+      (2L, """{"k": 10}"""), (2L, """{"k": 20}"""), (2L, """{"k": 30}"""))
+      .toDF("user_id", "props")
+    // cap 2 → both users keep {10,20}; (10,30)/(20,30) disappear
+    val got = Cooccur.itemCooccurrence(ev, maxItemsPerUser = 2)
+      .select("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((10L, 20L)))
+  }
+
+  test("conversionLatency: first-view to first-purchase, floor seconds") {
+    val df = events(
+      ("u1", 100L, "view", "i1"), ("u1", 50L, "purchase", "i0"), // purchase BEFORE view → dropped
+      ("u2", 100L, "view", "i2"), ("u2", 400L, "purchase", "i3"),
+      ("u2", 900L, "purchase", "i4"), // later purchase ignored (first wins)
+      ("u3", 100L, "view", "i5")) // never converts → dropped
+    val out = Funnel.conversionLatency(df).collect()
+    assert(out.map(r => (r.getAs[String]("visitorid"),
+      r.getAs[Long]("seconds_to_convert"))).toSeq === Seq(("u2", 300L)))
+  }
 }
