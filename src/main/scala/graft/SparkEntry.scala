@@ -214,6 +214,9 @@ object SparkEntry {
     "q_minute_anomaly" -> ((s, d) => MinuteStats.minuteAnomaly(cs(s, d))),
     "q_item_cooccurrence" -> ((s, d) => Cooccur.itemCooccurrence(Tables.events(s, d))),
     "q_conversion_latency" -> ((s, d) => Funnel.conversionLatency(cs(s, d))),
+    "q_doc_triangles" -> ((s, d) => GraphRank.docTriangles(Tables.documents(s, d))),
+    "q_rfm" -> (Relational.rfmScores _),
+    "q_ab_test" -> ((s, d) => Relational.abTestEngagement(cs(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -1382,6 +1385,79 @@ object SparkEntry {
         |FROM fp
         |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
         |  AND first_purchase >= first_view""".stripMargin),
+    // compact-forward triangle enumeration on the candidate graph: each
+    // a<b<c triangle is produced exactly once; clustering = 2T/(d(d-1))
+    // is one IEEE division of exact integers
+    "q_doc_triangles" -> (MINHASH_PAIRS +
+      """, tri AS (
+        |  SELECT ab.doc1 AS a, ab.doc2 AS b, bc.doc2 AS c
+        |  FROM pr ab JOIN pr bc ON ab.doc2 = bc.doc1
+        |  JOIN pr ac ON ac.doc1 = ab.doc1 AND ac.doc2 = bc.doc2
+        |), pn AS (
+        |  SELECT x AS doc_id, count(*) AS triangles FROM (
+        |    SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY x
+        |), dg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT doc1 AS doc_id FROM pr UNION ALL SELECT doc2 AS doc_id FROM pr)
+        |  GROUP BY doc_id
+        |) SELECT d.doc_id, d.degree,
+        |  CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN CAST(COALESCE(p.triangles, 0) * 2 AS DOUBLE)
+        |         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS clustering
+        |FROM dg d LEFT JOIN pn p ON p.doc_id = d.doc_id""".stripMargin),
+    // RFM quartiles: ntile(4) with custkey tiebreaks (total order), money
+    // through DECIMAL(18,2); DuckDB ntile returns BIGINT → CAST INTEGER
+    "q_rfm" ->
+      """WITH ref AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders
+        |), base AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_d
+        |  FROM orders GROUP BY o_custkey
+        |), b2 AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_order, ref_date) AS INTEGER) AS recency_days,
+        |    frequency, monetary_d, CAST(monetary_d AS DOUBLE) AS monetary
+        |  FROM base, ref
+        |), sc AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER) AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER) AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY monetary_d DESC, o_custkey ASC) AS INTEGER) AS m_score
+        |  FROM b2
+        |) SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
+        |FROM sc""".stripMargin,
+    // two-sample engagement z-test; the z chain is the SAME literal
+    // expression as the Spark side so both engines build the same IEEE
+    // op tree (nullif: zero-variance corner → NULL, not an error)
+    "q_ab_test" -> (CS +
+      """, pu AS (
+        |  SELECT visitorid, count(*) AS x FROM cs GROUP BY visitorid
+        |), asg AS (
+        |  SELECT x, ('0x'||substr(md5(visitorid),1,8))::BIGINT % 2 AS variant FROM pu
+        |), bv AS (
+        |  SELECT variant, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS s2
+        |  FROM asg GROUP BY variant
+        |), a0 AS (SELECT n AS n0, s AS s0, s2 AS s20 FROM bv WHERE variant = 0),
+        |a1 AS (SELECT n AS n1, s AS s1, s2 AS s21 FROM bv WHERE variant = 1)
+        |SELECT n0, s0, n1, s1,
+        |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+        |  (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |   / nullif(sqrt(
+        |       greatest(CAST(s20 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |         - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 0.0)
+        |         / CAST(n0 AS DOUBLE)
+        |     + greatest(CAST(s21 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |         - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 0.0)
+        |         / CAST(n1 AS DOUBLE)), 0.0) AS z
+        |FROM a0, a1""".stripMargin),
   )
 
   /** One integer-PageRank iteration CTE block (== one pass of

@@ -81,4 +81,48 @@ object GraphRank {
   def docCentrality(docs: DataFrame, iters: Int = 3): DataFrame =
     pagerankFromPairs(
       Dedup.minhashCandidatePairs(docs).select("doc1", "doc2"), iters)
+
+  /**
+   * Per-node triangle count + local clustering coefficient over an
+   * undirected pair list (`doc1 < doc2`, distinct) — the cluster-density
+   * signal: a near-dup component whose members form many triangles is a
+   * tight duplicate cluster; a triangle-free one is a chain of borderline
+   * matches.
+   *
+   * Compact-forward enumeration: edges are already oriented by id, so each
+   * triangle a<b<c is produced exactly once by the two keyed joins
+   * (wedge (a,b)+(b,c), closed by (a,c)). Work is Σ deg(b)·deg_out(b) per
+   * middle vertex — the id orientation bounds it on the candidate graphs
+   * this runs on because their buckets are capped upstream
+   * ([[Dedup.capBuckets]]); on an uncapped power-law graph, orient by
+   * (degree, id) instead. `clustering` = 2T / (d·(d−1)) — one IEEE
+   * division of exact integers.
+   */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    // the edge list feeds three self-joins + the degree agg: truncate the
+    // candidate-generation lineage once (cluster equivalent: a temp table)
+    val e = pairs.select(col("doc1"), col("doc2")).localCheckpoint(true)
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.doc2") === col("bc.doc1"))
+      .join(e.as("ac"),
+        col("ac.doc1") === col("ab.doc1") && col("ac.doc2") === col("bc.doc2"))
+      .select(col("ab.doc1").as("a"), col("ab.doc2").as("b"), col("bc.doc2").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("doc1").as("doc_id"))
+      .union(e.select(col("doc2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("clustering", when(col("degree") >= 2,
+        (col("triangles") * 2).cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double"))
+        .otherwise(lit(0.0)))
+      .select("doc_id", "degree", "triangles", "clustering")
+  }
+
+  /** Triangle stats of the MinHash near-dup candidate graph. */
+  def docTriangles(docs: DataFrame): DataFrame =
+    triangleStats(Dedup.minhashCandidatePairs(docs).select("doc1", "doc2"))
 }

@@ -327,4 +327,86 @@ object Relational {
       .select(col("event_type"), col("dv").cast("double").as("sum_value"),
         (col("dv").cast("double") / col("n")).as("avg_value"),
         col("n").as("n_events"), col("min_value"), col("max_value"))
+
+  /**
+   * RFM (recency / frequency / monetary) customer scoring over orders —
+   * the classic marketing segmentation: each dimension quartile-scored
+   * with `ntile(4)` (1 = best: most recent, most frequent, highest spend),
+   * combined into the 111..444 `rfm_cell`.
+   *
+   * Scale shape: one orders scan → per-customer hash agg (all-algebraic:
+   * max/count/decimal-sum), the corpus-wide reference date is a 1-row
+   * broadcast, and the three rank windows are global-ORDER-BY ntiles —
+   * the one construct here that serializes; at 100 TB swap them for
+   * `percent_rank`-free bucketing off `approx_percentile` bounds (the
+   * [[graft.ext.TextAnalysis.lengthBoundsFilter]] pattern). Every window
+   * carries the custkey tiebreak so ranks are total-ordered.
+   * Monetary routes through DECIMAL(18,2) (order-independent sum), cast
+   * back to DOUBLE at the end.
+   */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val ref = orders.agg(max(to_date(col("o_orderdate"))).as("ref_date"))
+    val base = orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary_d"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_order")))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_d"), col("monetary_d").cast("double").as("monetary"))
+    base
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(col("recency_days").asc, col("o_custkey").asc)))
+      .withColumn("f_score", ntile(4).over(
+        Window.orderBy(col("frequency").desc, col("o_custkey").asc)))
+      .withColumn("m_score", ntile(4).over(
+        Window.orderBy(col("monetary_d").desc, col("o_custkey").asc)))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select("o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm_cell")
+  }
+
+  /**
+   * Two-sample z-test on events-per-visitor between hash-split A/B
+   * variants: visitors are deterministically assigned by the portable
+   * 32-bit hash (the [[graft.ext.TextAnalysis.splitAssign]] rule) and the
+   * engagement metric (event count per visitor) is compared with the
+   * unpooled-variance z statistic. A proportion test degenerates on this
+   * corpus (conversion is ~universal → zero pooled variance); the
+   * engagement mean always carries variance.
+   *
+   * One events scan → per-visitor count → 2-row moment agg (n, Σx, Σx² —
+   * all algebraic) → 1-row pivot. The z chain is the SAME literal
+   * expression on both engines, each step one correctly-rounded IEEE op —
+   * bit-identical; `nullif` turns the zero-variance corner into NULL
+   * instead of an ANSI division error.
+   */
+  def abTestEngagement(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("visitorid")).agg(count(lit(1)).as("x"))
+      .withColumn("variant",
+        pmod(graft.ext.TextAnalysis.hash32(col("visitorid")), lit(2)))
+    val byVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("s2"))
+    byVariant.filter(col("variant") === 0)
+      .select(col("n").as("n0"), col("s").as("s0"), col("s2").as("s20"))
+      .crossJoin(broadcast(byVariant.filter(col("variant") === 1)
+        .select(col("n").as("n1"), col("s").as("s1"), col("s2").as("s21"))))
+      .selectExpr("n0", "s0", "n1", "s1",
+        "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0",
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1",
+        """(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          | / nullif(sqrt(
+          |     greatest(CAST(s20 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |       - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 0.0)
+          |       / CAST(n0 AS DOUBLE)
+          |   + greatest(CAST(s21 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |       - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 0.0)
+          |       / CAST(n1 AS DOUBLE)), 0.0) AS z""".stripMargin)
+  }
 }

@@ -135,6 +135,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq((10L, 20L)))
   }
 
+  test("abTestEngagement: totals add up, means and z-sign are consistent") {
+    // per-user event counts 1 or 2 — variance within each hash variant
+    val df = events((1 to 40).flatMap { i =>
+      Seq((s"u$i", 100L + i, "view", s"v$i")) ++
+        (if (i % 3 == 0) Seq((s"u$i", 200L + i, "purchase", s"p$i")) else Nil)
+    }: _*)
+    val r = graft.relational.Relational.abTestEngagement(df).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (n0, s0, n1, s1) = (row.getAs[Long]("n0"), row.getAs[Long]("s0"),
+      row.getAs[Long]("n1"), row.getAs[Long]("s1"))
+    assert(n0 + n1 === 40L)
+    assert(s0 + s1 === 53L) // 40 views + 13 purchases
+    assert(row.getAs[Double]("mean0") === s0.toDouble / n0.toDouble)
+    assert(row.getAs[Double]("mean1") === s1.toDouble / n1.toDouble)
+    val z = row.getAs[Double]("z")
+    assert(math.signum(z) === math.signum(s0.toDouble / n0 - s1.toDouble / n1))
+  }
+
   test("conversionLatency: first-view to first-purchase, floor seconds") {
     val df = events(
       ("u1", 100L, "view", "i1"), ("u1", 50L, "purchase", "i0"), // purchase BEFORE view → dropped

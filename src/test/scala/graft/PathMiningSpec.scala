@@ -76,6 +76,18 @@ class PathMiningSpec extends SparkSpec {
       Seq((1L, 2L, 3L, 0.75)))
   }
 
+  test("triangleStats: compact-forward counts each triangle once; clustering exact") {
+    // triangle {1,2,3} plus pendant 4 hanging off 3
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
+    val got = GraphRank.triangleStats(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 1.0),
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3.0),
+      (4L, 1L, 0L, 0.0)))
+  }
+
   test("rareShingleCandidates: df above maxDf is not a block key") {
     // the same shingle in 4 docs exceeds maxDf=3 → no candidates at all
     val docs = (1 to 4).map(i => (i.toLong, "en", "alpha beta gamma"))
