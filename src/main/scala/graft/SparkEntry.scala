@@ -217,6 +217,8 @@ object SparkEntry {
     "q_doc_triangles" -> ((s, d) => GraphRank.docTriangles(Tables.documents(s, d))),
     "q_rfm" -> (Relational.rfmScores _),
     "q_ab_test" -> ((s, d) => Relational.abTestEngagement(cs(s, d))),
+    "q_ewma_minute" -> ((s, d) => MinuteStats.ewmaMinuteCounts(cs(s, d))),
+    "q_window_funnel" -> ((s, d) => Funnel.windowFunnel(cs(s, d))),
   )
 
   // ---------------------------------------------------------------------------
@@ -1458,6 +1460,41 @@ object SparkEntry {
         |         - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 0.0)
         |         / CAST(n1 AS DOUBLE)), 0.0) AS z
         |FROM a0, a1""".stripMargin),
+    // sequential double fold (list_reduce with a prepended 0.0 init ==
+    // Spark aggregate(…, 0.0, …)) — bit-identical left-to-right EWMA
+    "q_ewma_minute" -> (CS +
+      """, pm AS (
+        |  SELECT event, date_trunc('day', event_time) AS day,
+        |    date_trunc('minute', event_time) AS minute, count(*) AS cnt
+        |  FROM cs GROUP BY 1, 2, 3
+        |) SELECT event, day, CAST(count(*) AS INTEGER) AS n_minutes,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    array_agg(CAST(cnt AS DOUBLE) ORDER BY minute)),
+        |    (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+        |FROM pm GROUP BY event, day""".stripMargin),
+    // windowFunnel: greedy-earliest strictly-increasing chain within the
+    // window of the first step — every stage an algebraic min agg
+    "q_window_funnel" -> (CS +
+      """, s1 AS (
+        |  SELECT visitorid, min(event_time) AS t1 FROM cs WHERE event = 'view' GROUP BY visitorid
+        |), s2 AS (
+        |  SELECT c.visitorid, min(c.event_time) AS t2
+        |  FROM cs c JOIN s1 ON c.visitorid = s1.visitorid
+        |  WHERE c.event = 'click' AND c.event_time > s1.t1
+        |    AND c.event_time <= s1.t1 + INTERVAL 1800 SECOND
+        |  GROUP BY c.visitorid
+        |), s3 AS (
+        |  SELECT c.visitorid, min(c.event_time) AS t3
+        |  FROM cs c JOIN s2 ON c.visitorid = s2.visitorid
+        |    JOIN s1 ON c.visitorid = s1.visitorid
+        |  WHERE c.event = 'purchase' AND c.event_time > s2.t2
+        |    AND c.event_time <= s1.t1 + INTERVAL 1800 SECOND
+        |  GROUP BY c.visitorid
+        |) SELECT s1.visitorid, s1.t1, s2.t2, s3.t3,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |    WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.visitorid = s2.visitorid
+        |LEFT JOIN s3 ON s1.visitorid = s3.visitorid""".stripMargin),
   )
 
   /** One integer-PageRank iteration CTE block (== one pass of

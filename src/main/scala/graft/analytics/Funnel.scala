@@ -89,4 +89,45 @@ object Funnel {
         col("first_purchase") >= col("first_view"))
       .withColumn("seconds_to_convert",
         unix_timestamp(col("first_purchase")) - unix_timestamp(col("first_view")))
+
+  /**
+   * Time-constrained ordered funnel (the windowFunnel operator): per
+   * visitor, the deepest strictly-time-increasing step chain
+   * step1 < step2 < … completed within `windowSeconds` of the FIRST step1
+   * event. Greedy-earliest semantics: each step anchors on its earliest
+   * qualifying occurrence (min is algebraic, so every stage is a hash agg
+   * with map-side combine).
+   *
+   * Scale shape: one filtered scan per step (the event filter pushes into
+   * the parquet scan), each joined back on visitorid — |steps| keyed
+   * joins, no windows, no per-visitor arrays, bot-proof (a million-event
+   * visitor still reduces to one row per stage). Raw microsecond
+   * timestamp comparisons, no floor; all types exact.
+   */
+  def windowFunnel(events: DataFrame, steps: Seq[String] = Seq("view", "click", "purchase"),
+                   windowSeconds: Long = 1800): DataFrame = {
+    require(steps.size >= 2, "windowFunnel needs at least 2 steps")
+    val iv = expr(s"INTERVAL $windowSeconds SECOND")
+    val s1 = events.filter(col("event") === steps.head)
+      .groupBy(col("visitorid")).agg(min(col("event_time")).as("t1"))
+    // fold the remaining steps: stage k needs t_{k-1} (strictly after) and
+    // t1 (window bound), both joined back by visitor key
+    val stages = steps.indices.tail.foldLeft(Vector(s1)) { (acc, i) =>
+      val prev = acc.last
+      val prevT = s"t$i"
+      val next = events.filter(col("event") === steps(i))
+        .join(prev.select(col("visitorid"), col(prevT)), "visitorid")
+        .join(s1.select(col("visitorid"), col("t1").as("w1")), "visitorid")
+        .filter(col("event_time") > col(prevT) && col("event_time") <= col("w1") + iv)
+        .groupBy(col("visitorid")).agg(min(col("event_time")).as(s"t${i + 1}"))
+      acc :+ next
+    }
+    val joined = stages.tail.foldLeft(s1) { (acc, st) =>
+      acc.join(st, Seq("visitorid"), "left")
+    }
+    val depth = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, i + 1).otherwise(acc)
+    }
+    joined.withColumn("depth", depth.cast("int"))
+  }
 }

@@ -154,4 +154,36 @@ object MinuteStats {
         (col("events_count").cast("double") - col("mean")) / col("stddev_pop"))
       .select("minute", "events_count", "mean", "stddev_pop", "z")
   }
+
+  /**
+   * EWMA-smoothed traffic level per (event type, day): the per-minute
+   * count series of each day is folded left-to-right with
+   * `acc' = α·x + (1−α)·acc` from 0 — the standard exponentially-weighted
+   * moving average, reported at day close (the smoothed level the next
+   * day's monitoring starts from).
+   *
+   * Scale shape: group cardinality is |event_types| × days (grows with
+   * time, not traffic) and each group's series is ≤ 1440 elements, so the
+   * collect + fold is bounded per group forever. Determinism: a sequential
+   * double fold is bit-identical across engines (every step is two
+   * multiplies + one add, all correctly rounded, in the same order) — the
+   * same rule the cosine/norm folds rely on. Gap minutes (no events)
+   * simply don't contribute a step, on both sides.
+   */
+  def ewmaMinuteCounts(events: DataFrame, alpha: Double = 0.2): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val a = alpha.toString
+    val b = (1 - alpha).toString
+    withMinute(events)
+      .groupBy(col("event"), date_trunc("day", col("event_time")).as("day"),
+        col("minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event"), col("day"))
+      .agg(sort_array(collect_list(struct(col("minute"), col("cnt")))).as("series"))
+      .withColumn("n_minutes", size(col("series")).cast("int"))
+      .withColumn("ewma", expr(
+        s"""aggregate(transform(series, s -> CAST(s.cnt AS DOUBLE)),
+           | CAST(0.0 AS DOUBLE), (acc, x) -> $a * x + $b * acc)""".stripMargin))
+      .select("event", "day", "n_minutes", "ewma")
+  }
 }

@@ -154,6 +154,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.signum(z) === math.signum(s0.toDouble / n0 - s1.toDouble / n1))
   }
 
+  test("ewmaMinuteCounts: exact left-to-right fold per (event, day)") {
+    // one event-type, one day, minute counts [1, 2, 3]
+    val df = events(
+      ("u1", 10L, "view", "i1"),
+      ("u1", 70L, "view", "i2"), ("u2", 80L, "view", "i3"),
+      ("u1", 130L, "view", "i4"), ("u2", 140L, "view", "i5"), ("u3", 150L, "view", "i6"))
+    val out = MinuteStats.ewmaMinuteCounts(df).collect()
+    assert(out.length === 1)
+    // fold: 0 → .2·1 → .2·2+.8·.2 → .2·3+.8·(…)
+    val expected = List(1.0, 2.0, 3.0).foldLeft(0.0)((acc, x) => 0.2 * x + 0.8 * acc)
+    assert(out.head.getAs[Int]("n_minutes") === 3)
+    assert(out.head.getAs[Double]("ewma") === expected)
+  }
+
+  test("windowFunnel: strict order, strict time increase, window anchored on first step") {
+    val df = events(
+      // u1: full chain inside window
+      ("u1", 100L, "view", "a"), ("u1", 200L, "click", "b"), ("u1", 300L, "purchase", "c"),
+      // u2: click before view → depth 1 (strictly-after rule)
+      ("u2", 100L, "view", "d"), ("u2", 50L, "click", "e"),
+      // u3: purchase outside the 1800 s window of first view → depth 2
+      ("u3", 100L, "view", "f"), ("u3", 200L, "click", "g"), ("u3", 2000L, "purchase", "h"),
+      // u4: purchase without click → depth 1 (ordered, unlike membership funnel)
+      ("u4", 100L, "view", "i"), ("u4", 200L, "purchase", "j"),
+      // u5: no view at all → absent from output
+      ("u5", 100L, "click", "k"))
+    val got = Funnel.windowFunnel(df).orderBy("visitorid").collect()
+      .map(r => (r.getAs[String]("visitorid"), r.getAs[Int]("depth"))).toSeq
+    assert(got === Seq(("u1", 3), ("u2", 1), ("u3", 2), ("u4", 1)))
+  }
+
   test("conversionLatency: first-view to first-purchase, floor seconds") {
     val df = events(
       ("u1", 100L, "view", "i1"), ("u1", 50L, "purchase", "i0"), // purchase BEFORE view → dropped
