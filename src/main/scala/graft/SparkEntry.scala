@@ -219,6 +219,8 @@ object SparkEntry {
     "q_ab_test" -> ((s, d) => Relational.abTestEngagement(cs(s, d))),
     "q_ewma_minute" -> ((s, d) => MinuteStats.ewmaMinuteCounts(cs(s, d))),
     "q_window_funnel" -> ((s, d) => Funnel.windowFunnel(cs(s, d))),
+    "q_sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))),
+    "q_revenue_concentration" -> (Relational.revenueConcentration _),
   )
 
   // ---------------------------------------------------------------------------
@@ -1304,8 +1306,8 @@ object SparkEntry {
     // sums; cos_sim = one multiply + one divide of correctly-rounded
     // doubles — bit-identical
     "q_sparse_cosine" -> (SH +
-      """, post AS (
-        |  SELECT doc_id, unnest(shingles) AS g FROM sh
+      s""", post AS (
+        |  SELECT doc_id, unnest(list_transform(shingles, s -> ${h32("s")})) AS g FROM sh
         |), rare AS (
         |  SELECT g FROM post GROUP BY g HAVING count(*) BETWEEN 2 AND 3
         |), rp AS (
@@ -1314,7 +1316,7 @@ object SparkEntry {
         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
         |  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
         |), tfl AS (
-        |  SELECT doc_id, unnest(toks) AS tok FROM tok
+        |  SELECT doc_id, unnest(list_transform(toks, t -> ${h32("t")})) AS tok FROM tok
         |), tf AS (
         |  SELECT doc_id, tok, count(*) AS cnt FROM tfl GROUP BY doc_id, tok
         |), nrm AS (
@@ -1495,6 +1497,38 @@ object SparkEntry {
         |    WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS depth
         |FROM s1 LEFT JOIN s2 ON s1.visitorid = s2.visitorid
         |LEFT JOIN s3 ON s1.visitorid = s3.visitorid""".stripMargin),
+    // blocked sorted-neighborhood: row_number within 16-bit simhash-prefix
+    // blocks, each doc paired with its ≤3 successors in sort order
+    "q_sorted_neighborhood" -> (SIMHASH +
+      """, sr AS (
+        |  SELECT doc_id, simhash, simhash >> 16 AS blk,
+        |    row_number() OVER (PARTITION BY simhash >> 16 ORDER BY simhash, doc_id) AS rn
+        |  FROM sim
+        |), nbr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.simhash AS sha, b.simhash AS shb
+        |  FROM sr a JOIN sr b ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        |) SELECT LEAST(da, db) AS doc1, GREATEST(da, db) AS doc2,
+        |  CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+        |FROM nbr""".stripMargin),
+    // exact decimal running sum; the only double ops are two casts and one
+    // division at the end
+    "q_revenue_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_d
+        |  FROM orders GROUP BY o_custkey
+        |), tot AS (
+        |  SELECT sum(revenue_d) AS total_d FROM rev
+        |), rk AS (
+        |  SELECT o_custkey, revenue_d,
+        |    CAST(row_number() OVER (ORDER BY revenue_d DESC, o_custkey ASC) AS INTEGER) AS rank,
+        |    sum(revenue_d) OVER (ORDER BY revenue_d DESC, o_custkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+        |  FROM rev
+        |) SELECT o_custkey, CAST(revenue_d AS DOUBLE) AS revenue, rank,
+        |  CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) AS cum_share,
+        |  CAST(CASE WHEN CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) <= 0.8
+        |    THEN 1 ELSE 0 END AS INTEGER) AS in_top80
+        |FROM rk, tot""".stripMargin,
   )
 
   /** One integer-PageRank iteration CTE block (== one pass of

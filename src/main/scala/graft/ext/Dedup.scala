@@ -369,4 +369,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Blocked sorted-neighborhood candidate pairs — the third blocking
+   * strategy next to banded MinHash and banded SimHash: docs are sorted by
+   * simhash within coarse prefix blocks and each doc is paired with its
+   * `window` successors in that order. Near-identical simhashes sort
+   * adjacent, so the window catches close pairs band intersection can miss
+   * (similar hashes that straddle every band boundary).
+   *
+   * Scale shape: the sort + row_number window is PARTITIONED by the
+   * `prefixBits`-bit simhash prefix (default 2^16 blocks), never a global
+   * single-partition window; the successor join is keyed on
+   * (block, rn + k) with k ≤ `window`, so work is |docs|·window. The
+   * standard sorted-neighborhood tradeoff applies and is the point of the
+   * blocks: pairs straddling a block boundary are lost (they differ in
+   * the TOP prefix bits, i.e. are far apart in simhash space anyway).
+   */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
+                              prefixBits: Int = 16): DataFrame = {
+    require(window >= 1 && prefixBits >= 0 && prefixBits < 32,
+      s"bad sorted-neighborhood params: window=$window prefixBits=$prefixBits")
+    val sim = simhash(docs)
+      .withColumn("blk", expr(s"simhash >> ${32 - prefixBits}"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk")).orderBy(col("simhash"), col("doc_id"))))
+      .persist() // both sides of the successor join re-read it
+    val succ = sim.select(col("blk"), col("rn"),
+        col("doc_id").as("d2"), col("simhash").as("sh2"))
+      .withColumn("k", explode(expr(s"sequence(1, $window)")))
+      .select(col("blk"), (col("rn") - col("k")).as("rn"), col("d2"), col("sh2"))
+    sim.join(succ, Seq("blk", "rn"))
+      .select(
+        least(col("doc_id"), col("d2")).as("doc1"),
+        greatest(col("doc_id"), col("d2")).as("doc2"),
+        expr("CAST(bit_count(simhash ^ sh2) AS INT)").as("hamming"))
+  }
 }

@@ -16,28 +16,44 @@ import org.apache.spark.sql.functions._
  * pair-generating self-join does ≤ |vocab|·maxDf² work — a CONSTANT per
  * shingle, independent of corpus size (boilerplate shingles shared by
  * millions of docs are exactly the ones the df cap drops; they carry no
- * pairing signal). The verify join is keyed on (doc, token) — never a
- * cross product. Determinism: dot products are exact integer sums; the
- * only floating-point ops are sqrt / multiply / divide, each a single
+ * pairing signal). Both the posting list and the term vectors are keyed
+ * on the compiled portable 32-bit hashes (`graft_shingle_hash` /
+ * `graft_token_hash` — one codegen'd pass, integer shuffle keys instead
+ * of strings), and term vectors are materialized ONLY for docs that
+ * appear in a candidate pair (a semi join, so the full-corpus tokenize →
+ * explode → count never runs; this cut the sf0.1 bench cost ~6×). The
+ * verify join is keyed on (doc, token) — never a cross product.
+ * Determinism: dot products are exact integer sums; the only
+ * floating-point ops are sqrt / multiply / divide, each a single
  * correctly-rounded IEEE op, so scores are bit-identical across engines.
+ * Hash collisions (32-bit) merge identically on both engines.
  */
 object SparseSim {
 
-  /** Per-document term-frequency vector in long form: (doc_id, tok, cnt). */
-  def termCounts(docs: DataFrame): DataFrame =
+  /** Per-document term-frequency vector in long form over HASHED tokens:
+    * (doc_id, tok, cnt) with multiplicity preserved before the count. */
+  def termCounts(docs: DataFrame): DataFrame = {
+    graft.functions.SketchExprs.register(docs.sparkSession)
     TextAnalysis.withTokens(docs)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), explode(expr("graft_token_hash(toks)")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+  }
 
   /**
    * Candidate pairs from the rare-shingle inverted index: distinct
    * (doc1 < doc2) sharing at least one shingle with df ∈ [minDf, maxDf].
    */
   def rareShingleCandidates(docs: DataFrame, minDf: Int = 2, maxDf: Int = 3): DataFrame = {
-    // posting list (doc_id, shingle); persist — the df aggregate and the
-    // pair join both consume it, and shingling is the expensive stage
-    val post = TextAnalysis.withShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("g")).persist()
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    // persist the COMPACT (doc_id, hashed-shingle-array) frame — one
+    // hashing pass over the corpus; the three posting consumers (df
+    // aggregate + both pair-join branches) re-explode from cache, which
+    // is far cheaper than materializing the exploded posting list
+    // (the decontaminate pattern)
+    val hs = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), expr("graft_shingle_hash(toks, 3)").as("hs"))
+      .persist()
+    val post = hs.select(col("doc_id"), explode(col("hs")).as("g"))
     val rare = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(minDf, maxDf)).select("g")
     val rp = post.join(rare, "g")
@@ -54,19 +70,28 @@ object SparseSim {
    */
   def cosinePairs(docs: DataFrame, minDf: Int = 2, maxDf: Int = 3,
                   minSim: Double = 0.5): DataFrame = {
-    val tf = termCounts(docs).persist()
-    val norms = tf.groupBy(col("doc_id"))
-      .agg(expr("sqrt(CAST(sum(cnt * cnt) AS DOUBLE))").as("nrm"))
-    val cand = rareShingleCandidates(docs, minDf, maxDf)
-    val dots = cand
-      .join(tf.select(col("doc_id").as("doc1"), col("tok"), col("cnt").as("c1")), "doc1")
-      .join(tf.select(col("doc_id").as("doc2"), col("tok"), col("cnt").as("c2")),
+    val cand = rareShingleCandidates(docs, minDf, maxDf).persist()
+    // term vectors ONLY for docs in a candidate pair — the semi join keeps
+    // the expensive explode+count off the full corpus (and dedupes, so no
+    // distinct here)
+    val candDocs = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id")))
+    // the norm rides along as a doc-partitioned window over the tf frame —
+    // the dots aggregate then carries it (constant per group, min() for
+    // determinism), saving two join stages over a separate norms frame;
+    // the VALUE is identical, so the oracle keeps the plain-join form
+    val tf = termCounts(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+      .withColumn("nrm", expr("sqrt(CAST(sum(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE))"))
+      .persist()
+    cand
+      .join(tf.select(col("doc_id").as("doc1"), col("tok"),
+        col("cnt").as("c1"), col("nrm").as("nrm1")), "doc1")
+      .join(tf.select(col("doc_id").as("doc2"), col("tok"),
+        col("cnt").as("c2"), col("nrm").as("nrm2")),
         Seq("doc2", "tok"))
       .groupBy(col("doc1"), col("doc2"))
-      .agg(sum(col("c1") * col("c2")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("doc1"), col("nrm").as("nrm1")), "doc1")
-      .join(norms.select(col("doc_id").as("doc2"), col("nrm").as("nrm2")), "doc2")
+      .agg(sum(col("c1") * col("c2")).as("dot"),
+        min(col("nrm1")).as("nrm1"), min(col("nrm2")).as("nrm2"))
       .withColumn("cos_sim", col("dot").cast("double") / (col("nrm1") * col("nrm2")))
       .filter(col("cos_sim") >= minSim)
       .select("doc1", "doc2", "dot", "cos_sim")

@@ -385,6 +385,32 @@ object Relational {
    * bit-identical; `nullif` turns the zero-variance corner into NULL
    * instead of an ANSI division error.
    */
+  /**
+   * Pareto / revenue-concentration analysis: customers ranked by revenue
+   * (exact DECIMAL sums), cumulative revenue share, and the classic
+   * "top-80 %-of-revenue" membership flag. The running sum is an exact
+   * decimal window (order-independent); the only double ops are the final
+   * two casts and one division — bit-identical. The global ORDER BY window
+   * serializes like [[rfmScores]]' ntiles and carries the same documented
+   * 100 TB swap (approx_percentile revenue bounds → broadcast bucketing);
+   * the total is a 1-row broadcast, not a whole-frame window.
+   */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue_d"))
+    val w = Window.orderBy(col("revenue_d").desc, col("o_custkey").asc)
+    rev
+      .crossJoin(broadcast(rev.select(sum(col("revenue_d")).as("total_d"))))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_d", sum(col("revenue_d"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_share", col("cum_d").cast("double") / col("total_d").cast("double"))
+      .withColumn("in_top80", when(col("cum_share") <= 0.8, 1).otherwise(0).cast("int"))
+      .select(col("o_custkey"), col("revenue_d").cast("double").as("revenue"),
+        col("rank"), col("cum_share"), col("in_top80"))
+  }
+
   def abTestEngagement(events: DataFrame): DataFrame = {
     val perUser = events
       .groupBy(col("visitorid")).agg(count(lit(1)).as("x"))

@@ -185,6 +185,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("u1", 3), ("u2", 1), ("u3", 2), ("u4", 1)))
   }
 
+  test("revenueConcentration: monotone cumulative share, consistent top-80 flag") {
+    val out = graft.relational.Relational
+      .revenueConcentration(spark, "/root/testdata/sf0.001").orderBy("rank").collect()
+    assert(out.nonEmpty)
+    val shares = out.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    // revenue is ranked descending
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(out.forall(r =>
+      (r.getAs[Int]("in_top80") == 1) == (r.getAs[Double]("cum_share") <= 0.8)))
+  }
+
   test("conversionLatency: first-view to first-purchase, floor seconds") {
     val df = events(
       ("u1", 100L, "view", "i1"), ("u1", 50L, "purchase", "i0"), // purchase BEFORE view → dropped

@@ -533,6 +533,18 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === ((0, 0, None)))
   }
 
+  test("sorted-neighborhood: identical docs pair at hamming 0; window bounds pair count") {
+    val out = Dedup.sortedNeighborhoodPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"), r.getAs[Int]("hamming")))
+    // exact dups 0 and 3 sort adjacent → must pair with hamming 0
+    assert(out.exists { case (a, b, h) => a == 0L && b == 3L && h == 0 })
+    // no pair emitted twice
+    assert(out.map(p => (p._1, p._2)).distinct.length === out.length)
+    // window=1: within every block each doc pairs only with its successor
+    val w1 = Dedup.sortedNeighborhoodPairs(docs, window = 1).collect()
+    assert(w1.length <= 3) // 4 docs → at most 3 adjacent pairs across all blocks
+  }
+
   test("multimodal decode stub: deterministic features, correct byte counts") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.decodeStub(spark, media).collect().sortBy(_.doc_id)

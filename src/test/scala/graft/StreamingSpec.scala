@@ -392,4 +392,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Long]("events_in_session") === 3L)
     assert(out.head.getAs[Long]("session_length") === 200L)
   }
+
+  test("streaming minute anomaly: causal z against prior finalized minutes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.stream.StreamAnomaly
+      .minuteAnomalyStreaming(spark,
+        ms.toDF().toDF("event", "event_time"))
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    try {
+      // minute counts 2, 4, 6 starting at t=600 s
+      val evs =
+        Seq(600L, 601L).map(("view", _)) ++
+          Seq(660L, 661L, 662L, 663L).map(("view", _)) ++
+          Seq(720L, 721L, 722L, 723L, 724L, 725L).map(("view", _))
+      ms.addData(evs.map { case (e, t) => (e, ts(t)) }: _*)
+      q.processAllAvailable()
+      // push the watermark (10 min lag) past every open minute
+      ms.addData(("view", ts(600L + 3600L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("anomaly_out").orderBy("minute").collect()
+    assert(out.length === 3) // the flush event's own minute is still open
+    assert(out.map(_.getAs[Long]("cnt")).toSeq === Seq(2L, 4L, 6L))
+    assert(out.map(_.getAs[Long]("n_prior")).toSeq === Seq(0L, 1L, 2L))
+    // first two minutes: insufficient history → no score (emitted as null)
+    assert(out.take(2).forall(_.isNullAt(out.head.fieldIndex("z"))))
+    // third: mean 3, var (4+16)/2 − 9 = 1 → z = (6−3)/1 = 3
+    assert(out(2).getAs[Double]("z") === 3.0)
+  }
 }
