@@ -70,6 +70,35 @@ class ScaleSpec extends SparkSpec {
     assert(cum.toSeq === want.toSeq)
   }
 
+  test("sorted-neighborhood window is block-partitioned, never a single global sort") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val docs = spark.range(0, 64)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("tok"), col("id").cast("string"), lit("a b c d e")).as("text"),
+        lit("en").as("lang"))
+    val out = graft.ext.Dedup.sortedNeighborhoodPairs(docs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the row_number window must partition by the simhash-prefix block:
+    // a global ORDER BY window would plan Exchange SinglePartition
+    assert(plan.contains("blk"), plan.take(1200))
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+  }
+
+  test("sparse cosine term vectors are built behind a candidate-doc semi join") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val docs = spark.range(0, 32)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("alpha beta gamma tok"), (col("id") % 4).cast("string")).as("text"),
+        lit("en").as("lang"))
+    val out = graft.ext.SparseSim.cosinePairs(docs)
+    out.collect()
+    // the full-corpus tokenize→explode→count never runs: tf is gated on a
+    // LeftSemi join against the candidate docs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1200))
+  }
+
   test("hive-style partitioned layout: a stratum filter prunes partitions at the scan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
