@@ -221,6 +221,13 @@ object SparkEntry {
     "q_window_funnel" -> ((s, d) => Funnel.windowFunnel(cs(s, d))),
     "q_sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))),
     "q_revenue_concentration" -> (Relational.revenueConcentration _),
+    "q_funnel_dropoff" -> ((s, d) => Funnel.funnelDropoff(cs(s, d), windowSeconds = 86400)),
+    "q_component_sizes" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      Dedup.nearDupComponents(Tables.documents(s, d))
+        .groupBy(col("component")).agg(count(lit(1)).as("component_size"))
+        .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -922,21 +929,16 @@ object SparkEntry {
     // connected components over the thresholded candidate edges: the
     // recursive CTE floods every reachable label, min() per doc is then
     // exactly the min-label-propagation fixpoint the Spark side iterates to
-    "q_neardup_components" -> (MINHASH_PAIRS
-      .replaceFirst("WITH tok", "WITH RECURSIVE tok") +
-      """, est AS (
-        |  SELECT pr.doc1, pr.doc2,
-        |    len(list_filter(range(16), i -> s1.sig[i+1] = s2.sig[i+1])) / 16 AS ej
-        |  FROM pr JOIN sg s1 ON pr.doc1 = s1.doc_id JOIN sg s2 ON pr.doc2 = s2.doc_id
-        |), edges AS (
-        |  SELECT doc1 AS a, doc2 AS b FROM est WHERE ej >= 0.5
-        |  UNION ALL
-        |  SELECT doc2 AS a, doc1 AS b FROM est WHERE ej >= 0.5
-        |), reach AS (
-        |  SELECT doc_id, doc_id AS lbl FROM documents
-        |  UNION
-        |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON e.b = r.doc_id
-        |) SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id""".stripMargin),
+    "q_neardup_components" ->
+      (NEARDUP_REACH + " SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id"),
+    // duplicate-cluster size census: components → sizes → size histogram
+    "q_component_sizes" -> (NEARDUP_REACH +
+      """, comp AS (
+        |  SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id
+        |), csz AS (
+        |  SELECT component, count(*) AS component_size FROM comp GROUP BY component
+        |) SELECT component_size, count(*) AS n_components
+        |FROM csz GROUP BY component_size""".stripMargin),
     "q_ann_topk_lsh" -> (EMB + LSH_SIG +
       """, bnd AS (
         |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
@@ -1335,6 +1337,53 @@ object SparkEntry {
         |WHERE CAST(d.dot AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.5""".stripMargin),
   ) ++ NEW_ANALYTICS_ORACLES
 
+  /** Near-dup connected-components reachability chain (recursive CTE)
+    * ending in `reach(doc_id, lbl)` — shared by q_neardup_components and
+    * q_component_sizes. */
+  private val NEARDUP_REACH = MINHASH_PAIRS
+    .replaceFirst("WITH tok", "WITH RECURSIVE tok") +
+    """, est AS (
+      |  SELECT pr.doc1, pr.doc2,
+      |    len(list_filter(range(16), i -> s1.sig[i+1] = s2.sig[i+1])) / 16 AS ej
+      |  FROM pr JOIN sg s1 ON pr.doc1 = s1.doc_id JOIN sg s2 ON pr.doc2 = s2.doc_id
+      |), edges AS (
+      |  SELECT doc1 AS a, doc2 AS b FROM est WHERE ej >= 0.5
+      |  UNION ALL
+      |  SELECT doc2 AS a, doc1 AS b FROM est WHERE ej >= 0.5
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON e.b = r.doc_id
+      |)""".stripMargin
+
+  /** windowFunnel CTE chain ending in `wf(visitorid, t1, t2, t3, depth)` —
+    * ONE emitter shared by q_window_funnel (session-scale window) and
+    * q_funnel_dropoff (day-scale window) so the funnel semantics can
+    * never drift between them. */
+  private def wfunnelSql(windowSeconds: Int): String = CS +
+    s""", s1 AS (
+      |  SELECT visitorid, min(event_time) AS t1 FROM cs WHERE event = 'view' GROUP BY visitorid
+      |), s2 AS (
+      |  SELECT c.visitorid, min(c.event_time) AS t2
+      |  FROM cs c JOIN s1 ON c.visitorid = s1.visitorid
+      |  WHERE c.event = 'click' AND c.event_time > s1.t1
+      |    AND c.event_time <= s1.t1 + INTERVAL $windowSeconds SECOND
+      |  GROUP BY c.visitorid
+      |), s3 AS (
+      |  SELECT c.visitorid, min(c.event_time) AS t3
+      |  FROM cs c JOIN s2 ON c.visitorid = s2.visitorid
+      |    JOIN s1 ON c.visitorid = s1.visitorid
+      |  WHERE c.event = 'purchase' AND c.event_time > s2.t2
+      |    AND c.event_time <= s1.t1 + INTERVAL $windowSeconds SECOND
+      |  GROUP BY c.visitorid
+      |), wf AS (
+      |  SELECT s1.visitorid, s1.t1, s2.t2, s3.t3,
+      |    CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |      WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS depth
+      |  FROM s1 LEFT JOIN s2 ON s1.visitorid = s2.visitorid
+      |  LEFT JOIN s3 ON s1.visitorid = s3.visitorid
+      |)""".stripMargin
+
   private val NEW_ANALYTICS_ORACLES = Map(
     // population z-score of per-minute counts: n/s/s2 are exact integers,
     // every double step after them is one correctly-rounded IEEE op
@@ -1476,27 +1525,19 @@ object SparkEntry {
         |FROM pm GROUP BY event, day""".stripMargin),
     // windowFunnel: greedy-earliest strictly-increasing chain within the
     // window of the first step — every stage an algebraic min agg
-    "q_window_funnel" -> (CS +
-      """, s1 AS (
-        |  SELECT visitorid, min(event_time) AS t1 FROM cs WHERE event = 'view' GROUP BY visitorid
-        |), s2 AS (
-        |  SELECT c.visitorid, min(c.event_time) AS t2
-        |  FROM cs c JOIN s1 ON c.visitorid = s1.visitorid
-        |  WHERE c.event = 'click' AND c.event_time > s1.t1
-        |    AND c.event_time <= s1.t1 + INTERVAL 1800 SECOND
-        |  GROUP BY c.visitorid
-        |), s3 AS (
-        |  SELECT c.visitorid, min(c.event_time) AS t3
-        |  FROM cs c JOIN s2 ON c.visitorid = s2.visitorid
-        |    JOIN s1 ON c.visitorid = s1.visitorid
-        |  WHERE c.event = 'purchase' AND c.event_time > s2.t2
-        |    AND c.event_time <= s1.t1 + INTERVAL 1800 SECOND
-        |  GROUP BY c.visitorid
-        |) SELECT s1.visitorid, s1.t1, s2.t2, s3.t3,
-        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
-        |    WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS depth
-        |FROM s1 LEFT JOIN s2 ON s1.visitorid = s2.visitorid
-        |LEFT JOIN s3 ON s1.visitorid = s3.visitorid""".stripMargin),
+    "q_window_funnel" -> (wfunnelSql(1800) + " SELECT visitorid, t1, t2, t3, depth FROM wf"),
+    // each visitor explodes to steps 1..depth → |steps|-row aggregate;
+    // the lead window runs on |steps| rows. Day-scale window: the sparse
+    // synthetic traffic needs 24 h for a non-degenerate depth distribution
+    "q_funnel_dropoff" -> (wfunnelSql(86400) +
+      """, st AS (
+        |  SELECT unnest(range(1, depth + 1)) AS step FROM wf
+        |), rc AS (
+        |  SELECT CAST(step AS INTEGER) AS step, count(*) AS reached FROM st GROUP BY step
+        |) SELECT step, reached,
+        |  lead(reached) OVER (ORDER BY step) AS next_reached,
+        |  CAST(lead(reached) OVER (ORDER BY step) AS DOUBLE) / CAST(reached AS DOUBLE) AS conversion_rate
+        |FROM rc""".stripMargin),
     // blocked sorted-neighborhood: row_number within 16-bit simhash-prefix
     // blocks, each doc paired with its ≤3 successors in sort order
     "q_sorted_neighborhood" -> (SIMHASH +

@@ -130,4 +130,22 @@ object Funnel {
     }
     joined.withColumn("depth", depth.cast("int"))
   }
+
+  /**
+   * Step-to-step drop-off summary of [[windowFunnel]]: per step, how many
+   * visitors reached at least that depth and what fraction of them went
+   * on to the next step. Each visitor row explodes to its 1..depth steps
+   * (≤ |steps| rows) → a |steps|-row aggregate; the lead window runs on
+   * |steps| rows, so its global ORDER BY is free at any scale.
+   */
+  def funnelDropoff(events: DataFrame, steps: Seq[String] = Seq("view", "click", "purchase"),
+                    windowSeconds: Long = 1800): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    windowFunnel(events, steps, windowSeconds)
+      .select(explode(expr("sequence(1, depth)")).as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("reached"))
+      .withColumn("next_reached", lead(col("reached"), 1).over(w))
+      .withColumn("conversion_rate",
+        col("next_reached").cast("double") / col("reached").cast("double"))
+  }
 }

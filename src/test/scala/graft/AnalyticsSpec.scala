@@ -199,6 +199,21 @@ class AnalyticsSpec extends SparkSpec {
       (r.getAs[Int]("in_top80") == 1) == (r.getAs[Double]("cum_share") <= 0.8)))
   }
 
+  test("funnelDropoff: reached counts are cumulative-from-depth, rates exact") {
+    // same fixture as the windowFunnel test: depths 3, 1, 2, 1
+    val df = events(
+      ("u1", 100L, "view", "a"), ("u1", 200L, "click", "b"), ("u1", 300L, "purchase", "c"),
+      ("u2", 100L, "view", "d"), ("u2", 50L, "click", "e"),
+      ("u3", 100L, "view", "f"), ("u3", 200L, "click", "g"), ("u3", 2000L, "purchase", "h"),
+      ("u4", 100L, "view", "i"), ("u4", 200L, "purchase", "j"))
+    val got = Funnel.funnelDropoff(df).orderBy("step").collect()
+    assert(got.map(r => (r.getAs[Int]("step"), r.getAs[Long]("reached"))).toSeq ===
+      Seq((1, 4L), (2, 2L), (3, 1L)))
+    assert(got.head.getAs[Double]("conversion_rate") === 0.5)
+    assert(got(1).getAs[Double]("conversion_rate") === 0.5)
+    assert(got(2).isNullAt(got(2).fieldIndex("conversion_rate")))
+  }
+
   test("conversionLatency: first-view to first-purchase, floor seconds") {
     val df = events(
       ("u1", 100L, "view", "i1"), ("u1", 50L, "purchase", "i0"), // purchase BEFORE view → dropped
