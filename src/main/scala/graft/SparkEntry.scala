@@ -222,6 +222,8 @@ object SparkEntry {
     "q_sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))),
     "q_revenue_concentration" -> (Relational.revenueConcentration _),
     "q_funnel_dropoff" -> ((s, d) => Funnel.funnelDropoff(cs(s, d), windowSeconds = 86400)),
+    "q_profile_events" -> ((s, d) => Relational.profileEvents(s, d)),
+    "q_prefix_jaccard" -> ((s, d) => SparseSim.prefixJaccardPairs(Tables.documents(s, d))),
     "q_component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit}
       Dedup.nearDupComponents(Tables.documents(s, d))
@@ -1384,7 +1386,51 @@ object SparkEntry {
       |  LEFT JOIN s3 ON s1.visitorid = s3.visitorid
       |)""".stripMargin
 
+  /** Per-column profile of the events table: the UNION-ALL long form of
+    * ONE wide aggregate — generated from the column list so the Spark
+    * (stack) and DuckDB shapes stay aligned. */
+  private val PROFILE_EVENTS = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = cols.map(c => s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c").mkString(", ")
+    val rows = cols.map(c =>
+      s"SELECT '$c' AS column_name, n_rows, n_rows - nn_$c AS n_nulls, nd_$c AS n_distinct FROM st")
+      .mkString(" UNION ALL ")
+    s"WITH st AS (SELECT count(*) AS n_rows, $aggs FROM events) $rows"
+  }
+
   private val NEW_ANALYTICS_ORACLES = Map(
+    "q_profile_events" -> PROFILE_EVENTS,
+    // prefix filtering: rarest-first ordering (df, tok tiebreak), prefix
+    // length |d| − ceil(t·|d|) + 1, exact Jaccard verify — one IEEE
+    // division of exact integers
+    "q_prefix_jaccard" -> (TOK +
+      s""", tkd AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(toks, t -> ${h32("t")})) AS tok FROM tok
+        |), szs AS (
+        |  SELECT doc_id, count(*) AS sz FROM tkd GROUP BY doc_id
+        |), dfr AS (
+        |  SELECT tok, count(*) AS df FROM tkd GROUP BY tok
+        |), pfx AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT t.doc_id, t.tok, s.sz,
+        |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |    FROM tkd t JOIN dfr d ON t.tok = d.tok JOIN szs s ON t.doc_id = s.doc_id)
+        |  WHERE rn <= sz - CAST(ceil(0.6 * sz) AS BIGINT) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |), ints AS (
+        |  SELECT c.doc1, c.doc2, count(*) AS inter
+        |  FROM cand c
+        |  JOIN tkd t1 ON t1.doc_id = c.doc1
+        |  JOIN tkd t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
+        |  GROUP BY c.doc1, c.doc2
+        |) SELECT i.doc1, i.doc2, i.inter,
+        |  CAST(i.inter AS DOUBLE) / CAST(s1.sz + s2.sz - i.inter AS DOUBLE) AS jaccard
+        |FROM ints i
+        |JOIN szs s1 ON s1.doc_id = i.doc1
+        |JOIN szs s2 ON s2.doc_id = i.doc2
+        |WHERE CAST(i.inter AS DOUBLE) / CAST(s1.sz + s2.sz - i.inter AS DOUBLE) >= 0.6""".stripMargin),
     // population z-score of per-minute counts: n/s/s2 are exact integers,
     // every double step after them is one correctly-rounded IEEE op
     "q_minute_anomaly" -> (CS +

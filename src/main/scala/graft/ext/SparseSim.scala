@@ -64,6 +64,58 @@ object SparseSim {
   }
 
   /**
+   * Exact Jaccard similarity join via PREFIX FILTERING (the ppjoin family)
+   * — the candidate-generation guarantee is exact, unlike the sketch
+   * blockers: order each doc's distinct tokens rarest-first (global df,
+   * token value as tiebreak) and index only the first
+   * |d| − ⌈t·|d|⌉ + 1 tokens. Two sets with Jaccard ≥ t MUST share a
+   * prefix token (pigeonhole), so recall is 100 % and the verification
+   * Jaccard is exact — this is the similarity JOIN; the sketch family
+   * trades recall for cost.
+   *
+   * Scale shape: only prefixes are exploded into the index — posting
+   * lists are per-RARE-token (boilerplate tokens sort last and rarely
+   * enter a prefix), the standard reason prefix filtering beats all-pairs
+   * at corpus scale. Candidate verification joins on (doc, token), never
+   * a cross product. `jaccard` = one IEEE division of exact integers.
+   */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    // distinct hashed tokens per doc; consumed by df-agg, prefix, and the
+    // verify join → persist once
+    val toks = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), explode(expr("graft_token_hash(toks)")).as("tok"))
+      .distinct().persist()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = toks
+      .join(dfreq, "tok")
+      .join(sizes, "doc_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= col("sz") - expr(s"CAST(ceil($threshold * sz) AS BIGINT)") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc1"))
+      .join(prefix.select(col("tok").as("tok2"), col("doc_id").as("doc2")),
+        col("tok") === col("tok2") && col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc1"), col("tok")), "doc1")
+      .join(toks.select(col("doc_id").as("doc2"), col("tok")), Seq("doc2", "tok"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc1", "doc2", "inter", "jaccard")
+  }
+
+  /**
    * Exact cosine over token-count vectors for the blocked candidates:
    * (doc1, doc2, dot, cos_sim) with cos_sim ≥ minSim. `dot` is the exact
    * integer ⟨tf₁, tf₂⟩; `cos_sim` = dot / (‖tf₁‖·‖tf₂‖).

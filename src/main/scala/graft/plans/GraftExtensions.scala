@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.functions.{CountMinSketchAgg, DotProductFloat, HashedShingles, HashedTokens, LshBands, MinHashSignature, RepetitionStats, SimHash32}
 
@@ -43,6 +43,47 @@ case class ApproxDistinctRewrite() extends Rule[LogicalPlan] {
 }
 
 /**
+ * The 100 TB switch for exact percentiles, sibling of
+ * [[ApproxDistinctRewrite]]: `percentile(x, p)` materializes and sorts
+ * every group's values (OpenHashMap per group — unbounded state); the
+ * t-digest sketch behind `approx_percentile` is fixed-size and mergeable.
+ * Enabled with `spark.graft.approxPercentile.enabled`; rank error is
+ * 1/accuracy (`spark.graft.approxPercentile.accuracy`, default Spark's
+ * 10000).
+ *
+ * The child is cast to DOUBLE so the rewritten aggregate keeps the exact
+ * operator's result type (Percentile returns double; ApproximatePercentile
+ * returns the child type) — an optimizer rule must never change a resolved
+ * plan's schema. Weighted (`frequency != 1`) and `percentile_disc`
+ * (`reverse`) forms are left alone.
+ */
+case class ApproxPercentileRewrite() extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.approxPercentile.enabled"
+  val AccuracyKey = "spark.graft.approxPercentile.accuracy"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    val accuracy = conf.getConfString(AccuracyKey,
+      ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toString).toInt
+    plan.transform {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case AggregateExpression(p: Percentile, mode, false, None, resultId)
+              if !p.reverse && (p.frequencyExpression match {
+                case Literal(v, _) => v == 1 || v == 1L
+                case _ => false
+              }) =>
+            AggregateExpression(
+              ApproximatePercentile(Cast(p.child, DoubleType),
+                p.percentageExpression, Literal(accuracy), 0, 0),
+              mode, isDistinct = false, filter = None, resultId = resultId)
+        }
+    }
+  }
+}
+
+/**
  * Session extensions: install via
  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
  * `.withExtensions(new GraftExtensions)`) — registers the custom sketch
@@ -56,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite())
+    e.injectOptimizerRule(_ => ApproxPercentileRewrite())
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", classOf[DotProductFloat]),

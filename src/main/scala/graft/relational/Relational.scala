@@ -411,6 +411,11 @@ object Relational {
         col("rank"), col("cum_share"), col("in_top80"))
   }
 
+  /** [[Profiler.profile]] over the events table (the oracle-gated entry;
+    * the profiler itself is table-generic). */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.events(spark, dir))
+
   def abTestEngagement(events: DataFrame): DataFrame = {
     val perUser = events
       .groupBy(col("visitorid")).agg(count(lit(1)).as("x"))

@@ -214,6 +214,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("conversion_rate")))
   }
 
+  test("Profiler.profile: exact per-column row/null/distinct counts in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("a")), (Some(2L), Some("b"))
+    ).toDF("num", "str")
+    val got = graft.relational.Profiler.profile(df).orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(("num", 4L, 1L, 2L), ("str", 4L, 1L, 2L)))
+  }
+
   test("conversionLatency: first-view to first-purchase, floor seconds") {
     val df = events(
       ("u1", 100L, "view", "i1"), ("u1", 50L, "purchase", "i0"), // purchase BEFORE view → dropped

@@ -73,6 +73,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("approx-percentile rewrite fires only under the flag, keeps schema, bounds rank error") {
+    withExtSession { s2 =>
+      import s2.implicits._
+      // uniform 1..10000 → exact p50 = 5000.5, p90 = 9000.1
+      (1 to 10000).map(_.toLong).toDF("x").createOrReplaceTempView("tp")
+
+      s2.conf.set("spark.graft.approxPercentile.enabled", "false")
+      val exact = s2.sql("SELECT percentile(x, array(0.5, 0.9)) AS p FROM tp")
+      assert(exact.queryExecution.optimizedPlan.toString.contains("percentile("))
+
+      s2.conf.set("spark.graft.approxPercentile.enabled", "true")
+      val approx = s2.sql("SELECT percentile(x, array(0.5, 0.9)) AS p FROM tp")
+      val planStr = approx.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("percentile_approx") || planStr.contains("approx_percentile"),
+        planStr.take(500))
+      // the rewrite must not change the resolved schema (array<double>)
+      assert(approx.schema === exact.schema)
+      val Seq(p50, p90) = approx.collect().head.getSeq[Double](0).toSeq
+      // rank error ≤ n/accuracy = 1 at default accuracy; allow 10× slack
+      assert(math.abs(p50 - 5000.5) <= 10.0, s"p50=$p50")
+      assert(math.abs(p90 - 9000.1) <= 10.0, s"p90=$p90")
+
+      // weighted percentile is NOT rewritten (different semantics)
+      val weighted = s2.sql("SELECT percentile(x, 0.5, 2) AS p FROM tp")
+      assert(weighted.queryExecution.optimizedPlan.toString.contains("percentile("))
+      s2.conf.set("spark.graft.approxPercentile.enabled", "false")
+    }
+  }
+
   test("graft_lsh_bands parameterized layout (2 bands × 8 planes) matches the HOF formulation") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val both = graft.ext.Similarity.withLshBands(emb, 64, numBands = 2, planesPerBand = 8)

@@ -76,6 +76,19 @@ class PathMiningSpec extends SparkSpec {
       Seq((1L, 2L, 3L, 0.75)))
   }
 
+  test("prefixJaccardPairs: exact recall at the threshold, no false pairs") {
+    val docs = Seq(
+      (1L, "en", "a b c d e"),
+      (2L, "en", "a b c d f"), // Jaccard(1,2) = 4/6 ≥ 0.6
+      (3L, "en", "x y z w v") // disjoint
+    ).toDF("doc_id", "lang", "text")
+    val got = SparseSim.prefixJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq((1L, 2L, 4L, 4.0 / 6.0)))
+    // raising the threshold above 4/6 drops the pair
+    assert(SparseSim.prefixJaccardPairs(docs, threshold = 0.7).count() === 0L)
+  }
+
   test("triangleStats: compact-forward counts each triangle once; clustering exact") {
     // triangle {1,2,3} plus pendant 4 hanging off 3
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
