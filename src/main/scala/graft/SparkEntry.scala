@@ -224,6 +224,8 @@ object SparkEntry {
     "q_funnel_dropoff" -> ((s, d) => Funnel.funnelDropoff(cs(s, d), windowSeconds = 86400)),
     "q_profile_events" -> ((s, d) => Relational.profileEvents(s, d)),
     "q_prefix_jaccard" -> ((s, d) => SparseSim.prefixJaccardPairs(Tables.documents(s, d))),
+    "q_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "q_rolling_revenue" -> ((s, d) => Relational.rollingRevenue7d(s, d)),
     "q_component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit}
       Dedup.nearDupComponents(Tables.documents(s, d))
@@ -1400,6 +1402,33 @@ object SparkEntry {
 
   private val NEW_ANALYTICS_ORACLES = Map(
     "q_profile_events" -> PROFILE_EVENTS,
+    // TPC-H Q5 semantics; money through per-row DECIMAL(18,4) cast like
+    // q_pricing_summary
+    "q_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name""".stripMargin,
+    // RANGE frame keyed on integer epoch-day; decimal sums end-to-end
+    "q_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate)//1000000//86400 AS epoch_day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+        |  FROM orders GROUP BY o_custkey, epoch_day
+        |) SELECT o_custkey, epoch_day,
+        |  CAST(day_rev AS DOUBLE) AS day_revenue,
+        |  CAST(sum(day_rev) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_7d
+        |FROM daily""".stripMargin,
     // prefix filtering: rarest-first ordering (df, tok tiebreak), prefix
     // length |d| − ceil(t·|d|) + 1, exact Jaccard verify — one IEEE
     // division of exact integers

@@ -28,6 +28,8 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
 
   /** The ns-long → microsecond TIMESTAMP_NTZ conversion for `events.ts` —
     * the single definition of the truncation rule every query must share

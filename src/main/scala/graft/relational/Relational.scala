@@ -411,6 +411,67 @@ object Relational {
         col("rank"), col("cum_share"), col("in_top80"))
   }
 
+  /**
+   * TPC-H Q5 semantics (local supplier volume): revenue from lineitems
+   * where the customer and supplier share a nation, per nation of one
+   * region and one order-date year. The classic 6-table join:
+   * region→nation→(customer, supplier) are broadcast dims; orders is
+   * filtered by the pushed-down date range BEFORE joining lineitem, so
+   * the one big shuffle join (orders ⋈ lineitem on orderkey) runs on the
+   * filtered fraction; the customer-nation = supplier-nation condition
+   * rides the join, never a post-filter cross product. Revenue follows
+   * the pricingSummary money rule (per-row decimal cast, decimal sum).
+   */
+  def localSupplierVolume(spark: SparkSession, dir: String,
+                          regionName: String = "ASIA", year: Int = 1996): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rd"),
+        count(lit(1)).as("n_lineitems"))
+      .select(col("n_name"), col("rd").cast("double").as("revenue"), col("n_lineitems"))
+  }
+
+  /**
+   * Rolling 7-day revenue per customer — the RANGE-frame window census
+   * entry (every other window in the engine is ROWS- or partition-framed):
+   * per (customer, order day), revenue of that day plus the 6 preceding
+   * days. The frame key is the integer epoch-day, so the RANGE bound is
+   * exact integer arithmetic; sums are decimal end-to-end.
+   */
+  def rollingRevenue7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"),
+        expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").as("epoch_day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("day_rev"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rev_7d", sum(col("day_rev")).over(w))
+      .select(col("o_custkey"), col("epoch_day"),
+        col("day_rev").cast("double").as("day_revenue"),
+        col("rev_7d").cast("double").as("revenue_7d"))
+  }
+
   /** [[Profiler.profile]] over the events table (the oracle-gated entry;
     * the profiler itself is table-generic). */
   def profileEvents(spark: SparkSession, dir: String): DataFrame =
