@@ -1429,25 +1429,30 @@ object SparkEntry {
         |  CAST(sum(day_rev) OVER (PARTITION BY o_custkey ORDER BY epoch_day
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_7d
         |FROM daily""".stripMargin,
-    // prefix filtering: rarest-first ordering (df, tok tiebreak), prefix
-    // length |d| − ceil(t·|d|) + 1, exact Jaccard verify — one IEEE
-    // division of exact integers
-    "q_prefix_jaccard" -> (TOK +
+    // prefix filtering over hashed SHINGLE sets: rarest-first ordering
+    // (df, value tiebreak), prefix length |d| − ceil(t·|d|) + 1, length
+    // filter t·max ≤ min, exact Jaccard verify — one IEEE division of
+    // exact integers
+    "q_prefix_jaccard" -> (SH +
       s""", tkd AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(toks, t -> ${h32("t")})) AS tok FROM tok
+        |  SELECT DISTINCT doc_id, unnest(list_transform(shingles, s -> ${h32("s")})) AS tok FROM sh
         |), szs AS (
         |  SELECT doc_id, count(*) AS sz FROM tkd GROUP BY doc_id
         |), dfr AS (
         |  SELECT tok, count(*) AS df FROM tkd GROUP BY tok
         |), pfx AS (
-        |  SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, sz, rn FROM (
         |    SELECT t.doc_id, t.tok, s.sz,
         |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
         |    FROM tkd t JOIN dfr d ON t.tok = d.tok JOIN szs s ON t.doc_id = s.doc_id)
-        |  WHERE rn <= sz - CAST(ceil(0.6 * sz) AS BIGINT) + 1
+        |  WHERE rn <= sz - CAST(ceil(0.8 * sz) AS BIGINT) + 1
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
         |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND CAST(a.sz AS DOUBLE) >= 0.8 * CAST(b.sz AS DOUBLE)
+        |    AND CAST(b.sz AS DOUBLE) >= 0.8 * CAST(a.sz AS DOUBLE)
+        |    AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn) >=
+        |      CAST(ceil((0.8 / (1 + 0.8)) * (a.sz + b.sz)) AS BIGINT)
         |), ints AS (
         |  SELECT c.doc1, c.doc2, count(*) AS inter
         |  FROM cand c
@@ -1459,7 +1464,7 @@ object SparkEntry {
         |FROM ints i
         |JOIN szs s1 ON s1.doc_id = i.doc1
         |JOIN szs s2 ON s2.doc_id = i.doc2
-        |WHERE CAST(i.inter AS DOUBLE) / CAST(s1.sz + s2.sz - i.inter AS DOUBLE) >= 0.6""".stripMargin),
+        |WHERE CAST(i.inter AS DOUBLE) / CAST(s1.sz + s2.sz - i.inter AS DOUBLE) >= 0.8""".stripMargin),
     // population z-score of per-minute counts: n/s/s2 are exact integers,
     // every double step after them is one correctly-rounded IEEE op
     "q_minute_anomaly" -> (CS +

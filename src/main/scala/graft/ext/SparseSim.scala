@@ -64,51 +64,80 @@ object SparseSim {
   }
 
   /**
-   * Exact Jaccard similarity join via PREFIX FILTERING (the ppjoin family)
-   * — the candidate-generation guarantee is exact, unlike the sketch
-   * blockers: order each doc's distinct tokens rarest-first (global df,
-   * token value as tiebreak) and index only the first
-   * |d| − ⌈t·|d|⌉ + 1 tokens. Two sets with Jaccard ≥ t MUST share a
-   * prefix token (pigeonhole), so recall is 100 % and the verification
-   * Jaccard is exact — this is the similarity JOIN; the sketch family
-   * trades recall for cost.
+   * EXACT shingle-set Jaccard similarity join via PREFIX FILTERING (the
+   * ppjoin family) — the exact complement of the MinHash estimate
+   * ([[Dedup.minhashCandidatePairs]]' est_jaccard): candidate generation
+   * has a 100 % recall GUARANTEE at the threshold, and the verified
+   * Jaccard is exact. Each doc's distinct hashed shingles are ordered
+   * rarest-first (global df, value tiebreak) and only the first
+   * |d| − ⌈t·|d|⌉ + 1 enter the index: two sets with Jaccard ≥ t must
+   * share a prefix element (pigeonhole). A length filter
+   * (t·max ≤ min — necessary since J ≤ min/max) prunes pairs before the
+   * verify join.
    *
-   * Scale shape: only prefixes are exploded into the index — posting
-   * lists are per-RARE-token (boilerplate tokens sort last and rarely
-   * enter a prefix), the standard reason prefix filtering beats all-pairs
-   * at corpus scale. Candidate verification joins on (doc, token), never
-   * a cross product. `jaccard` = one IEEE division of exact integers.
+   * Runs on SHINGLE sets, not token sets, deliberately: shingle document
+   * frequencies are tiny (boilerplate words combine into distinct
+   * 3-grams), so prefix posting lists stay short; token-set Jaccard at
+   * moderate thresholds has ~0.4·|d| prefixes of COMMON words and goes
+   * quadratic on natural language (measured 78 s vs 2 s at sf0.1 here).
+   * Verification joins on (doc, shingle), never a cross product;
+   * `jaccard` is one IEEE division of exact integers.
    */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     graft.functions.SketchExprs.register(docs.sparkSession)
-    // distinct hashed tokens per doc; consumed by df-agg, prefix, and the
-    // verify join → persist once
-    val toks = TextAnalysis.withTokens(docs)
-      .select(col("doc_id"), explode(expr("graft_token_hash(toks)")).as("tok"))
-      .distinct().persist()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefix = toks
+    // compact per-doc distinct hashed shingles: array_distinct dedupes
+    // IN-ARRAY (no shuffle — the exploded-frame .distinct() this replaces
+    // was the dominant cost), and the set size is a doc-level column, not
+    // a groupBy. One persist feeds the df-agg, the prefix window, and the
+    // verify side.
+    val hs = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"),
+        expr("array_distinct(graft_shingle_hash(toks, 3))").as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .persist()
+    val post = hs.select(col("doc_id"), col("sz"), explode(col("hs")).as("tok"))
+    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = post
       .join(dfreq, "tok")
-      .join(sizes, "doc_id")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= col("sz") - expr(s"CAST(ceil($threshold * sz) AS BIGINT)") + 1)
-      .select(col("doc_id"), col("tok"))
-    val cand = prefix.select(col("tok"), col("doc_id").as("doc1"))
-      .join(prefix.select(col("tok").as("tok2"), col("doc_id").as("doc2")),
-        col("tok") === col("tok2") && col("doc1") < col("doc2"))
+      .select(col("doc_id"), col("tok"), col("sz"), col("rn"))
+    // positional filter (the ppjoin bound): both docs order tokens by the
+    // same global (df, value) order, so at the EARLIEST shared prefix
+    // token nothing before it overlaps — overlap ≤ 1 + min(suffix
+    // lengths), which must reach α = ⌈t/(1+t)·(|A|+|B|)⌉. Keeping a pair
+    // when ANY match passes equals testing the earliest match (loosest
+    // bound) → recall stays exact; measured 43k → 12.7k candidates at
+    // sf0.1
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc1"),
+        col("sz").as("sz1"), col("rn").as("rn1"))
+      .join(prefix.select(col("tok").as("tok2"), col("doc_id").as("doc2"),
+        col("sz").as("sz2"), col("rn").as("rn2")),
+        col("tok") === col("tok2") && col("doc1") < col("doc2") &&
+          // length filter: J ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
+          col("sz1").cast("double") >= lit(threshold) * col("sz2").cast("double") &&
+          col("sz2").cast("double") >= lit(threshold) * col("sz1").cast("double") &&
+          lit(1) + least(col("sz1") - col("rn1"), col("sz2") - col("rn2")) >=
+            expr(s"CAST(ceil(($threshold / (1 + $threshold)) * (sz1 + sz2)) AS BIGINT)"))
       .select("doc1", "doc2").distinct()
+    // verification only touches candidate docs (semi join, the
+    // cosinePairs pattern)
+    val candDocs = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id")))
+    val vtoks = hs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("sz"), explode(col("hs")).as("tok"))
     val inter = cand
-      .join(toks.select(col("doc_id").as("doc1"), col("tok")), "doc1")
-      .join(toks.select(col("doc_id").as("doc2"), col("tok")), Seq("doc2", "tok"))
+      .join(vtoks.select(col("doc_id").as("doc1"), col("tok"), col("sz").as("sz1")), "doc1")
+      .join(vtoks.select(col("doc_id").as("doc2"), col("tok"), col("sz").as("sz2")),
+        Seq("doc2", "tok"))
       .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("sz1")).as("sz1"), min(col("sz2")).as("sz2"))
     inter
-      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
-      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -76,17 +76,17 @@ class PathMiningSpec extends SparkSpec {
       Seq((1L, 2L, 3L, 0.75)))
   }
 
-  test("prefixJaccardPairs: exact recall at the threshold, no false pairs") {
+  test("prefixJaccardPairs: exact shingle-set Jaccard at the threshold, no false pairs") {
     val docs = Seq(
-      (1L, "en", "a b c d e"),
-      (2L, "en", "a b c d f"), // Jaccard(1,2) = 4/6 ≥ 0.6
+      (1L, "en", "a b c d e f"), // shingles {abc, bcd, cde, def}
+      (2L, "en", "a b c d e f g"), // + {efg} → J(1,2) = 4/5 = 0.8
       (3L, "en", "x y z w v") // disjoint
     ).toDF("doc_id", "lang", "text")
     val got = SparseSim.prefixJaccardPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-    assert(got === Seq((1L, 2L, 4L, 4.0 / 6.0)))
-    // raising the threshold above 4/6 drops the pair
-    assert(SparseSim.prefixJaccardPairs(docs, threshold = 0.7).count() === 0L)
+    assert(got === Seq((1L, 2L, 4L, 0.8)))
+    // raising the threshold above 4/5 drops the pair
+    assert(SparseSim.prefixJaccardPairs(docs, threshold = 0.9).count() === 0L)
   }
 
   test("triangleStats: compact-forward counts each triangle once; clustering exact") {
