@@ -199,6 +199,40 @@ class AnalyticsSpec extends SparkSpec {
       (r.getAs[Int]("in_top80") == 1) == (r.getAs[Double]("cum_share") <= 0.8)))
   }
 
+  test("windowFunnel property: equals the brute-force chain on random event streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genEvs: Gen[List[(Int, Long, String)]] = for {
+      n <- Gen.choose(5, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 6)
+        t <- Gen.choose(1L, 5000L)
+        e <- Gen.oneOf("view", "click", "purchase")
+      } yield (u, t, e))
+    } yield evs
+    val W = 1800L
+    (0 until 10).foreach { i =>
+      val evs = genEvs(Gen.Parameters.default, Seed(11L + i)).getOrElse(Nil).distinct
+      val df = events(evs.zipWithIndex.map { case ((u, t, e), idx) =>
+        (s"u$u", t, e, s"i$idx") }: _*)
+      val got = Funnel.windowFunnel(df).collect()
+        .map(r => r.getAs[String]("visitorid") -> r.getAs[Int]("depth")).toMap
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val views = es.filter(_._3 == "view").map(_._2)
+        if (views.isEmpty) None
+        else {
+          val t1 = views.min
+          val t2 = es.filter(e => e._3 == "click" && e._2 > t1 && e._2 <= t1 + W)
+            .map(_._2).minOption
+          val t3 = t2.flatMap(c => es.filter(e =>
+            e._3 == "purchase" && e._2 > c && e._2 <= t1 + W).map(_._2).minOption)
+          Some(s"u$u" -> (if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1))
+        }
+      }
+      assert(got === want, s"iteration $i")
+    }
+  }
+
   test("funnelDropoff: reached counts are cumulative-from-depth, rates exact") {
     // same fixture as the windowFunnel test: depths 3, 1, 2, 1
     val df = events(

@@ -89,6 +89,43 @@ class PathMiningSpec extends SparkSpec {
     assert(SparseSim.prefixJaccardPairs(docs, threshold = 0.9).count() === 0L)
   }
 
+  test("prefixJaccardPairs property: equals brute-force all-pairs Jaccard on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocab → docs genuinely overlap; 4+ tokens → nonempty shingles
+    val genDocs: Gen[List[String]] = for {
+      n <- Gen.choose(4, 14)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(4, 12)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      } yield toks.mkString(" "))
+    } yield docs
+
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+
+    (0 until 8).foreach { i =>
+      val texts = genDocs(Gen.Parameters.default, Seed(7L + i)).getOrElse(Nil)
+      val df = texts.zipWithIndex.map { case (t, id) => (id.toLong, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val t = 0.8
+      val got = SparseSim.prefixJaccardPairs(df, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      val want = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        sa = shingleSet(texts(a)); sb = shingleSet(texts(b))
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter).toDouble
+        if j >= t
+      } yield (a.toLong, b.toLong) -> j).toMap
+      assert(got === want, s"iteration $i: got=$got want=$want texts=$texts")
+    }
+  }
+
   test("triangleStats: compact-forward counts each triangle once; clustering exact") {
     // triangle {1,2,3} plus pendant 4 hanging off 3
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
