@@ -226,6 +226,7 @@ object SparkEntry {
     "q_prefix_jaccard" -> ((s, d) => SparseSim.prefixJaccardPairs(Tables.documents(s, d))),
     "q_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q_rolling_revenue" -> ((s, d) => Relational.rollingRevenue7d(s, d)),
+    "q_new_vs_returning" -> ((s, d) => Cohorts.newVsReturning(cs(s, d))),
     "q_component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit}
       Dedup.nearDupComponents(Tables.documents(s, d))
@@ -1402,6 +1403,16 @@ object SparkEntry {
 
   private val NEW_ANALYTICS_ORACLES = Map(
     "q_profile_events" -> PROFILE_EVENTS,
+    // new on first-seen day, returning after; conditional sum is exact
+    "q_new_vs_returning" -> (CS +
+      """, fd AS (
+        |  SELECT visitorid, min(CAST(event_time AS DATE)) AS first_day FROM cs GROUP BY visitorid
+        |), dv AS (
+        |  SELECT DISTINCT CAST(event_time AS DATE) AS day, visitorid FROM cs
+        |) SELECT day, count(*) AS active_visitors,
+        |  CAST(sum(CASE WHEN fd.first_day = dv.day THEN 1 ELSE 0 END) AS BIGINT) AS new_visitors,
+        |  count(*) - CAST(sum(CASE WHEN fd.first_day = dv.day THEN 1 ELSE 0 END) AS BIGINT) AS returning_visitors
+        |FROM dv JOIN fd ON dv.visitorid = fd.visitorid GROUP BY day""".stripMargin),
     // TPC-H Q5 semantics; money through per-row DECIMAL(18,4) cast like
     // q_pricing_summary
     "q_local_supplier_volume" ->

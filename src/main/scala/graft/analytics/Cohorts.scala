@@ -31,4 +31,24 @@ object Cohorts {
       .agg(countDistinct(col("visitorid")).as("n_active"))
       .withColumn("day_offset", datediff(col("activity_day"), col("cohort_day")))
   }
+
+  /**
+   * New-vs-returning split per day — the top-of-dashboard acquisition
+   * metric: a visitor is "new" on their first-seen day, "returning" on
+   * any later active day. Same two visitorid-keyed aggregations as
+   * [[retention]] (shared shuffle key), reduced to one row per day; the
+   * conditional sum is algebraic (map-side combinable).
+   */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("visitorid"))
+      .agg(min(to_date(col("event_time"))).as("first_day"))
+    val dayVisitors = events
+      .select(to_date(col("event_time")).as("day"), col("visitorid"))
+      .distinct()
+    dayVisitors.join(firstDay, "visitorid")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_visitors"),
+        sum(when(col("first_day") === col("day"), 1L).otherwise(0L)).as("new_visitors"))
+      .withColumn("returning_visitors", col("active_visitors") - col("new_visitors"))
+  }
 }

@@ -233,6 +233,18 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("newVsReturning: first-seen day is new, later active days return") {
+    val day = 86400L
+    val df = events(
+      ("u1", 10L, "view", "a"), ("u1", 20L, "view", "b"), // day 0, counted once
+      ("u1", day + 10L, "view", "c"), // day 1 returning
+      ("u2", day + 20L, "view", "d")) // day 1 new
+    val got = Cohorts.newVsReturning(df).orderBy("day").collect()
+      .map(r => (r.getAs[Long]("active_visitors"), r.getAs[Long]("new_visitors"),
+        r.getAs[Long]("returning_visitors"))).toSeq
+    assert(got === Seq((1L, 1L, 0L), (2L, 1L, 1L)))
+  }
+
   test("funnelDropoff: reached counts are cumulative-from-depth, rates exact") {
     // same fixture as the windowFunnel test: depths 3, 1, 2, 1
     val df = events(
