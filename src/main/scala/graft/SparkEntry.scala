@@ -1492,7 +1492,7 @@ object SparkEntry {
         |), v AS (
         |  SELECT mean, sqrt(GREATEST(meansq - mean*mean, 0.0)) AS stddev_pop FROM m
         |) SELECT pm.minute, pm.events_count, v.mean, v.stddev_pop,
-        |  (CAST(pm.events_count AS DOUBLE) - v.mean) / v.stddev_pop AS z
+        |  (CAST(pm.events_count AS DOUBLE) - v.mean) / nullif(v.stddev_pop, 0.0) AS z
         |FROM pm, v""".stripMargin),
     // item co-occurrence + lift over distinct (user, props.k), capped per
     // user with the same keep-smallest-k rule as the Scala side; lift is
@@ -1657,8 +1657,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
         |  FROM rev
         |) SELECT o_custkey, CAST(revenue_d AS DOUBLE) AS revenue, rank,
-        |  CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) AS cum_share,
-        |  CAST(CASE WHEN CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) <= 0.8
+        |  CAST(cum_d AS DOUBLE) / nullif(CAST(total_d AS DOUBLE), 0.0) AS cum_share,
+        |  CAST(CASE WHEN CAST(cum_d AS DOUBLE) / nullif(CAST(total_d AS DOUBLE), 0.0) <= 0.8
         |    THEN 1 ELSE 0 END AS INTEGER) AS in_top80
         |FROM rk, tot""".stripMargin,
   )

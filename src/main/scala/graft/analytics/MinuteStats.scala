@@ -150,8 +150,11 @@ object MinuteStats {
       .withColumn("meansq", col("s2").cast("double") / col("n").cast("double"))
       .withColumn("stddev_pop",
         sqrt(greatest(col("meansq") - col("mean") * col("mean"), lit(0.0))))
+      // nullif: perfectly uniform traffic (stddev 0) yields NULL z, not an
+      // ANSI division error (the abTestEngagement lesson)
       .withColumn("z",
-        (col("events_count").cast("double") - col("mean")) / col("stddev_pop"))
+        (col("events_count").cast("double") - col("mean")) /
+          nullif(col("stddev_pop"), lit(0.0)))
       .select("minute", "events_count", "mean", "stddev_pop", "z")
   }
 

@@ -405,7 +405,10 @@ object Relational {
       .withColumn("rank", row_number().over(w).cast("int"))
       .withColumn("cum_d", sum(col("revenue_d"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("cum_share", col("cum_d").cast("double") / col("total_d").cast("double"))
+      // nullif: an all-zero-revenue frame yields NULL shares, not an ANSI
+      // division error
+      .withColumn("cum_share",
+        col("cum_d").cast("double") / nullif(col("total_d").cast("double"), lit(0.0)))
       .withColumn("in_top80", when(col("cum_share") <= 0.8, 1).otherwise(0).cast("int"))
       .select(col("o_custkey"), col("revenue_d").cast("double").as("revenue"),
         col("rank"), col("cum_share"), col("in_top80"))

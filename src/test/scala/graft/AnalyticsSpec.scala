@@ -108,6 +108,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("stddev_pop") === std))
   }
 
+  test("minuteAnomaly: perfectly uniform traffic yields NULL z, not a division error") {
+    val df = events(
+      ("u1", 10L, "view", "i1"), ("u1", 70L, "view", "i2"), ("u1", 130L, "view", "i3"))
+    val out = MinuteStats.minuteAnomaly(df).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Double]("stddev_pop") === 0.0))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("z"))))
+  }
+
   test("itemCooccurrence: pair counts, per-item totals, lift") {
     // users 1,2 share items {10,20}; user 3 has {10,30} → only (10,20) has 2 users
     val ev = Seq(
