@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
  * user-count sides are tiny aggregates, broadcast — the big frame is
  * scanned once. Determinism: `lift` is one IEEE division of two exact
  * integer products (both ≤ n_users² ≤ 2^63 for any realistic corpus).
+ * The distinct (user, item) frame is persisted for its three consumers;
+ * cache lifetime is caller-owned (the [[graft.ext.SparseSim]] contract).
  */
 object Cooccur {
 

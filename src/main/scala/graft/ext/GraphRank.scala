@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
  * full corpus is never re-scanned after edge generation. Lineage grows
  * linearly in the iteration count (each round references the previous
  * ranks once), so no per-round checkpointing is needed at a fixed small
- * iteration budget.
+ * iteration budget. localCheckpoint blocks are reclaimed with the
+ * session's cache (caller-owned, the [[SparseSim]] contract).
  */
 object GraphRank {
 

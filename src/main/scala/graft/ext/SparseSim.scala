@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
  * floating-point ops are sqrt / multiply / divide, each a single
  * correctly-rounded IEEE op, so scores are bit-identical across engines.
  * Hash collisions (32-bit) merge identically on both engines.
+ *
+ * Cache lifetime: like [[Similarity]], operators persist intermediates
+ * consumed by multiple plan branches and do NOT unpersist — the CALLER
+ * owns cache lifetime (Verify/Bench clear the cache between queries;
+ * a long-lived session should `spark.catalog.clearCache()` when done).
  */
 object SparseSim {
 
