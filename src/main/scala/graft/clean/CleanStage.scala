@@ -70,4 +70,25 @@ object CleanStage {
       // event_time may be TIMESTAMP_NTZ (testdata adapter); unix_millis wants
       // TIMESTAMP — the cast is identity under the UTC session zone.
       .withColumn("unix_ms", unix_millis(col("event_time").cast("timestamp")))
+
+  /**
+   * Validation with FREE-RIDER quality metrics via the Observation API:
+   * row/invalid counters are collected by the same job that produces the
+   * clean frame — no second scan, no separate count() action (at 100 TB a
+   * dedicated metrics pass re-reads the corpus; `observe` rides the
+   * existing one). Call `observation.get` AFTER an action on the returned
+   * frame; keys: n_raw, n_invalid.
+   *
+   * The observed frame counts invalids BEFORE filtering them, so the
+   * contract n_raw = n_invalid + |returned rows| holds by construction.
+   */
+  def validateObserved(raw: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val bad = col("visitorid") === "" || col("itemid") === "" ||
+      col("visitorid").isNull || col("itemid").isNull
+    val observed = raw.observe(obs,
+      count(lit(1)).as("n_raw"),
+      sum(when(bad, 1L).otherwise(0L)).as("n_invalid"))
+    (observed.filter(!bad), obs)
+  }
 }

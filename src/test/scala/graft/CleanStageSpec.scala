@@ -63,4 +63,18 @@ class CleanStageSpec extends SparkSpec {
     val dead = CleanStage.invalid(parsed)
     assert(dead.count() === 2)
   }
+
+  test("validateObserved: quality counters ride the producing job (no second scan)") {
+    import spark.implicits._
+    val raw = Seq(
+      ("u1", "i1"), ("", "i2"), ("u3", ""), ("u4", "i4"), (null, "i5")
+    ).toDF("visitorid", "itemid")
+    val (clean, obs) = CleanStage.validateObserved(raw)
+    val kept = clean.count() // the ONE action both produces rows and fills metrics
+    val m = obs.get
+    assert(kept === 2L)
+    assert(m("n_raw") === 5L)
+    assert(m("n_invalid") === 3L)
+    assert(m("n_raw").asInstanceOf[Long] - m("n_invalid").asInstanceOf[Long] === kept)
+  }
 }
