@@ -227,6 +227,7 @@ object SparkEntry {
     "q_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q_rolling_revenue" -> ((s, d) => Relational.rollingRevenue7d(s, d)),
     "q_new_vs_returning" -> ((s, d) => Cohorts.newVsReturning(cs(s, d))),
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
     "q_component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit}
       Dedup.nearDupComponents(Tables.documents(s, d))
@@ -1342,6 +1343,45 @@ object SparkEntry {
         |WHERE CAST(d.dot AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.5""".stripMargin),
   ) ++ NEW_ANALYTICS_ORACLES
 
+  /** One BPE training round in DuckDB: pair counts over the long-form
+    * stream `tp$r(doc_id, pos, tok)`, the (count desc, pair asc) winner,
+    * run-parity merge positions, and the rebuilt renumbered stream
+    * `tp${r+1}` — ONE emitter mirroring the Scala loop body
+    * ([[graft.ext.TextAnalysis.bpeTrainMerges]]) so rounds can't drift.
+    * DuckDB positions are 1-based vs Spark's 0-based posexplode — only
+    * differences and parities of positions are used, so it cancels. */
+  private def bpeRoundSql(r: Int): String =
+    s""", pr$r AS (
+       |  SELECT doc_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM tp$r
+       |), top$r AS (
+       |  SELECT tok AS a, nxt AS b, count(*) AS c FROM pr$r WHERE nxt IS NOT NULL
+       |  GROUP BY tok, nxt ORDER BY c DESC, a, b LIMIT 1
+       |), fl$r AS (
+       |  SELECT p.doc_id, p.pos, p.tok, t.a, t.b,
+       |    COALESCE(p.tok = t.a AND p.nxt = t.b, false) AS flag,
+       |    max(CASE WHEN NOT COALESCE(p.tok = t.a AND p.nxt = t.b, false) THEN p.pos END)
+       |      OVER (PARTITION BY p.doc_id ORDER BY p.pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_unflagged,
+       |    min(p.pos) OVER (PARTITION BY p.doc_id) AS first_pos
+       |  FROM pr$r p CROSS JOIN top$r t
+       |), mg$r AS (
+       |  SELECT *, flag AND ((pos - COALESCE(prev_unflagged + 1, first_pos)) % 2 = 0) AS merged
+       |  FROM fl$r
+       |), cs$r AS (
+       |  SELECT *, COALESCE(lag(merged) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
+       |  FROM mg$r
+       |), rb$r AS (
+       |  SELECT doc_id, pos, CASE WHEN merged THEN a || ' ' || b ELSE tok END AS tok
+       |  FROM cs$r WHERE NOT consumed
+       |), tp${r + 1} AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos,
+       |    tok
+       |  FROM rb$r
+       |)""".stripMargin
+
   /** Near-dup connected-components reachability chain (recursive CTE)
     * ending in `reach(doc_id, lbl)` — shared by q_neardup_components and
     * q_component_sizes. */
@@ -1403,6 +1443,22 @@ object SparkEntry {
 
   private val NEW_ANALYTICS_ORACLES = Map(
     "q_profile_events" -> PROFILE_EVENTS,
+    // 3 unrolled BPE rounds from ONE emitter; base stream via
+    // generate_subscripts (1-based — cancels, only position deltas and
+    // run parity are used)
+    "q_bpe_train" -> (TOK +
+      """, tp1 AS (
+        |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM tok
+        |)""".stripMargin +
+      bpeRoundSql(1) + bpeRoundSql(2) + bpeRoundSql(3) +
+      """ SELECT * FROM (
+        |  SELECT 1 AS round, a AS left_tok, b AS right_tok, c AS cnt FROM top1
+        |  UNION ALL
+        |  SELECT 2 AS round, a AS left_tok, b AS right_tok, c AS cnt FROM top2
+        |  UNION ALL
+        |  SELECT 3 AS round, a AS left_tok, b AS right_tok, c AS cnt FROM top3)""".stripMargin),
     // new on first-seen day, returning after; conditional sum is exact
     "q_new_vs_returning" -> (CS +
       """, fd AS (

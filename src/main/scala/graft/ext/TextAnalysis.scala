@@ -172,6 +172,74 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc)))
   }
 
+  /**
+   * Iterated BPE merge training — the full trainer loop on top of the
+   * single-step [[bpePairs]] kernel: each round counts adjacent token
+   * pairs corpus-wide, adopts the most frequent pair (count desc, then
+   * lexicographic — total order), and REWRITES the token stream with that
+   * merge before the next round. Returns the merge table
+   * (round, left_tok, right_tok, cnt) — the artifact a tokenizer ships.
+   *
+   * The merge itself uses the RUN-PARITY positional rule instead of a
+   * per-document sequential fold: occurrences of the winning pair at
+   * consecutive positions overlap (share a token), and greedy
+   * left-to-right merging keeps exactly the odd-indexed occurrence of
+   * each overlap run. That formulation is pure windows + joins — the
+   * same declarative plan on any engine (a fold would need an
+   * engine-specific list accumulator) — and keeps the stream in LONG
+   * form (doc_id, pos, tok): no array rebuilds, adjacency by
+   * consecutive renumbered positions.
+   *
+   * Scale shape: per round, one lead() window over the doc-partitioned
+   * stream, one pair-count hash agg, a 1-row broadcast of the winner,
+   * and the rebuild joins keyed on (doc, pos). The stream is
+   * localCheckpoint'd each round (the components lesson: iterative
+   * lineage compounds), so round r never re-runs rounds 1..r−1; on a
+   * cluster this is "write the re-tokenized stream per round".
+   */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var tp = withTokens(docs)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .localCheckpoint(true)
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val prs = tp.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val top1 = prs.filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+      // the whole merge is a window chain over ONE doc-partitioned sort
+      // (no (doc, pos)-keyed joins): a flagged occurrence merges iff its
+      // offset from its overlap-run start is even (run start = last
+      // unflagged position + 1); the merged flag's lag marks the consumed
+      // second element
+      val rebuilt = prs.crossJoin(broadcast(top1))
+        .withColumn("flag",
+          coalesce(col("tok") === col("a") && col("nxt") === col("b"), lit(false)))
+        .withColumn("prev_unflagged",
+          max(when(!col("flag"), col("pos"))).over(
+            wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("first_pos", min(col("pos")).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("merged", col("flag") &&
+          (col("pos") - coalesce(col("prev_unflagged") + 1, col("first_pos"))) % 2 === 0)
+        .withColumn("consumed", coalesce(lag(col("merged"), 1).over(wDoc), lit(false)))
+        .filter(!col("consumed"))
+        .select(col("doc_id"), col("pos"),
+          when(col("merged"), concat(col("a"), lit(" "), col("b")))
+            .otherwise(col("tok")).as("tok"))
+      tp = rebuilt
+        .withColumn("pos", row_number().over(wDoc).cast("long"))
+        .localCheckpoint(true)
+      val mr = top1.select(lit(r).as("round"), col("a").as("left_tok"),
+        col("b").as("right_tok"), col("c").as("cnt"))
+      merges = if (merges == null) mr else merges.unionAll(mr)
+    }
+    merges
+  }
+
   /** Per-language document-length quantiles (exact, interpolated). */
   def doclenQuantiles(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))

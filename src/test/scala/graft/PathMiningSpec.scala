@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Paths
-import graft.ext.{GraphRank, SparseSim}
+import graft.ext.{GraphRank, SparseSim, TextAnalysis}
 
 /** Paths (Markov transitions, trigrams), GraphRank (integer PageRank),
   * SparseSim (rare-shingle-blocked cosine) — hand-computed fixtures. */
@@ -124,6 +124,30 @@ class PathMiningSpec extends SparkSpec {
       } yield (a.toLong, b.toLong) -> j).toMap
       assert(got === want, s"iteration $i: got=$got want=$want texts=$texts")
     }
+  }
+
+  test("bpeTrainMerges: iterated merges rewrite the stream between rounds") {
+    val docs = Seq(
+      (1L, "en", "x y x y z"),
+      (2L, "en", "x y q")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, rounds = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // r1: (x,y)×3 wins; streams become [xy, xy, z] and [xy, q]
+    // r2: pairs (xy,xy),(xy,z),(xy,q) all ×1 → lexicographic tiebreak on b: "q"
+    // r3: remaining pairs (xy,xy),(xy,z) → b "x y" < "z"
+    assert(got === Seq(
+      (1, "x", "y", 3L),
+      (2, "x y", "q", 1L),
+      (3, "x y", "x y", 1L)))
+  }
+
+  test("bpeTrainMerges: overlapping occurrences merge greedily left-to-right") {
+    val docs = Seq((1L, "en", "a a a")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, rounds = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // occurrences at positions 1,2 overlap; only the first merges
+    assert(got === Seq(("a", "a", 2L)))
   }
 
   test("triangleStats: compact-forward counts each triangle once; clustering exact") {
