@@ -179,6 +179,9 @@ object TextAnalysis {
    * lexicographic — total order), and REWRITES the token stream with that
    * merge before the next round. Returns the merge table
    * (round, left_tok, right_tok, cnt) — the artifact a tokenizer ships.
+   * A round with no adjacent pairs anywhere contributes no merge row and
+   * empties the stream (the 1-row winner broadcast is empty) — size
+   * `rounds` to the corpus; the oracle mirrors the same semantics.
    *
    * The merge itself uses the RUN-PARITY positional rule instead of a
    * per-document sequential fold: occurrences of the winning pair at

@@ -142,6 +142,11 @@ class PathMiningSpec extends SparkSpec {
       (3, "x y", "x y", 1L)))
   }
 
+  test("bpeTrainMerges: a corpus with no adjacent pairs yields zero merges, no error") {
+    val docs = Seq((1L, "en", "solo"), (2L, "en", "word")).toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.bpeTrainMerges(docs, rounds = 2).count() === 0L)
+  }
+
   test("bpeTrainMerges: overlapping occurrences merge greedily left-to-right") {
     val docs = Seq((1L, "en", "a a a")).toDF("doc_id", "lang", "text")
     val got = TextAnalysis.bpeTrainMerges(docs, rounds = 1).collect()
