@@ -54,6 +54,7 @@ object SparkEntry {
     // -- item family (A9-A11 + ranked top-k extension) --
     "q_top_items" -> ((s, d) => Items.topItemsPerMinute(cs(s, d))),
     "q_top_items_ranked" -> ((s, d) => Items.topItemsRanked(cs(s, d), 5)),
+    "q_top_items_agg" -> ((s, d) => Items.topItemsAgg(cs(s, d), 5)),
     "q_item_interactions" -> ((s, d) => Items.itemInteractions(cs(s, d))),
     "q_item_interactions_salted" -> ((s, d) => Items.itemInteractionsSalted(cs(s, d))),
     "q_most_viewed_items" -> ((s, d) => Items.mostViewedItems(cs(s, d))),
@@ -462,6 +463,16 @@ object SparkEntry {
         |   count(*) AS interactions
         | FROM cs GROUP BY 1, 2""".stripMargin),
     "q_top_items_ranked" -> (CS +
+      """, agg AS (
+        |  SELECT date_trunc('minute', event_time) AS minute, itemid, count(*) AS interactions
+        |  FROM cs GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY minute ORDER BY interactions DESC, itemid ASC) AS INTEGER) AS rank
+        |  FROM agg
+        |) SELECT minute, itemid, interactions, rank FROM ranked WHERE rank <= 5""".stripMargin),
+    // map-side-combinable Aggregator form — same oracle as the window
+    // form by construction (identical total order)
+    "q_top_items_agg" -> (CS +
       """, agg AS (
         |  SELECT date_trunc('minute', event_time) AS minute, itemid, count(*) AS interactions
         |  FROM cs GROUP BY 1, 2

@@ -137,3 +137,56 @@ object TopK {
     items.select(agg.toColumn).head()
   }
 }
+
+/**
+ * EXACT per-group top-k as a map-side-combinable Aggregator — the
+ * scale-correct alternative to the window-rank formulation
+ * ([[graft.analytics.Items.topItemsRanked]]): a window rank SORTS every
+ * group's full row set after the shuffle; this buffer holds only k
+ * entries per group at every partial/merge stage, so the shuffle carries
+ * ≤ k rows per group from each map task and there is no sort at all.
+ * Total order (count desc, then item asc) makes the kept set and its
+ * ordering deterministic — result-identical to the window form, which is
+ * what its oracle pins.
+ *
+ * Input rows are (item, count) pairs that are ALREADY aggregated to the
+ * (group, item) grain — compose as: count per (group, item) → groupByKey
+ * (group) → this aggregator.
+ */
+class GroupedTopK(k: Int)
+    extends Aggregator[(String, Long), List[(String, Long)], Seq[(String, Long)]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  /** True when `a` outranks `b`: higher count first, item asc tiebreak. */
+  private def beats(a: (String, Long), b: (String, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  override def zero: List[(String, Long)] = Nil
+
+  // buffer kept best-first and trimmed to k — insertion keeps it sorted
+  override def reduce(buf: List[(String, Long)], x: (String, Long)): List[(String, Long)] = {
+    val (better, worse) = buf.span(beats(_, x))
+    (better ::: x :: worse).take(k)
+  }
+
+  override def merge(a: List[(String, Long)], b: List[(String, Long)]): List[(String, Long)] = {
+    // merge two sorted lists, keep the best k
+    val out = List.newBuilder[(String, Long)]
+    var (xa, xb) = (a, b)
+    var n = 0
+    while (n < k && (xa.nonEmpty || xb.nonEmpty)) {
+      if (xb.isEmpty || (xa.nonEmpty && beats(xa.head, xb.head))) {
+        out += xa.head; xa = xa.tail
+      } else { out += xb.head; xb = xb.tail }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: List[(String, Long)]): Seq[(String, Long)] = buf
+
+  override def bufferEncoder: Encoder[List[(String, Long)]] =
+    Encoders.kryo[List[(String, Long)]]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    Encoders.kryo[Seq[(String, Long)]]
+}

@@ -99,6 +99,33 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(1200))
   }
 
+  test("grouped top-k aggregator equals the window form, with no per-group sort in the plan") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val events = spark.range(0, 3000)
+      .select(
+        concat(lit("u"), (col("id") % 7).cast("string")).as("visitorid"),
+        // 5 minutes × 40 items, skewed counts
+        org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_seconds(60 * CAST(id % 5 AS LONG)) AS TIMESTAMP_NTZ)").as("event_time"),
+        lit("view").as("event"),
+        concat(lit("i"), ((col("id") * col("id")) % 40).cast("string")).as("itemid"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(org.apache.spark.sql.functions.date_format(col("minute"), "yyyy-MM-dd HH:mm").as("m"),
+        col("itemid"), col("interactions"), col("rank"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val win = canon(graft.analytics.Items.topItemsRanked(events, 5))
+    val agg = graft.analytics.Items.topItemsAgg(events, 5)
+    val got = canon(agg)
+    assert(got.toSeq === win.toSeq)
+    // the aggregator path must not sort whole groups: no WindowExec, and
+    // the object aggregate runs in partial (map-side) + final mode
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(1000))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan.take(1000))
+  }
+
   test("hive-style partitioned layout: a stratum filter prunes partitions at the scan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
