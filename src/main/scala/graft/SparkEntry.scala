@@ -229,6 +229,7 @@ object SparkEntry {
     "q_rolling_revenue" -> ((s, d) => Relational.rollingRevenue7d(s, d)),
     "q_new_vs_returning" -> ((s, d) => Cohorts.newVsReturning(cs(s, d))),
     "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
+    "q_gap_histogram" -> ((s, d) => Sessionize.gapHistogram(sess(s, d))),
     "q_component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit}
       Dedup.nearDupComponents(Tables.documents(s, d))
@@ -1454,6 +1455,18 @@ object SparkEntry {
 
   private val NEW_ANALYTICS_ORACLES = Map(
     "q_profile_events" -> PROFILE_EVENTS,
+    // integer minute buckets (no float bucketing); share = one IEEE
+    // division of exact counts
+    "q_gap_histogram" -> (SESS +
+      """, gb AS (
+        |  SELECT CAST(LEAST(diff_seconds // 60, 60) AS INTEGER) AS gap_minutes,
+        |    count(*) AS n_gaps
+        |  FROM sid WHERE diff_seconds IS NOT NULL GROUP BY 1
+        |), tt AS (
+        |  SELECT CAST(sum(n_gaps) AS BIGINT) AS total FROM gb
+        |) SELECT gap_minutes, n_gaps,
+        |  CAST(n_gaps AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM gb, tt""".stripMargin),
     // 3 unrolled BPE rounds from ONE emitter; base stream via
     // generate_subscripts (1-based — cancels, only position deltas and
     // run parity are used)

@@ -29,6 +29,27 @@ import org.apache.spark.sql.functions._
  */
 object Sessionize {
 
+  /**
+   * Inter-event gap histogram — the tuning evidence behind the session
+   * gap threshold: per capped minute bucket, the count and share of all
+   * within-visitor gaps. Buckets are pure integer arithmetic
+   * (`least(diff DIV 60, cap)` — no log, no float bucketing drift); the
+   * share is one IEEE division of exact counts. One hash agg over the
+   * sessionize family's shared window pass + a 1-row broadcast total.
+   */
+  def gapHistogram(sessionized: DataFrame, capMinutes: Int = 60): DataFrame = {
+    val buckets = sessionized
+      .filter(col("diff_seconds").isNotNull)
+      .groupBy(expr(s"CAST(LEAST(diff_seconds DIV 60, $capMinutes) AS INT)")
+        .as("gap_minutes"))
+      .agg(count(lit(1)).as("n_gaps"))
+    buckets
+      .crossJoin(broadcast(buckets.agg(sum(col("n_gaps")).as("total"))))
+      .withColumn("share",
+        col("n_gaps").cast("double") / col("total").cast("double"))
+      .select("gap_minutes", "n_gaps", "share")
+  }
+
   val DefaultGapSeconds = 1800L
 
   /**

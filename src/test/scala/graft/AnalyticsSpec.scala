@@ -108,6 +108,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("stddev_pop") === std))
   }
 
+  test("gapHistogram: integer minute buckets with cap, exact shares") {
+    // gaps for u1: 30 s (bucket 0), 90 s (bucket 1), 4000 s (capped → 60)
+    val df = events(
+      ("u1", 0L, "view", "a"), ("u1", 30L, "view", "b"),
+      ("u1", 120L, "view", "c"), ("u1", 4120L, "view", "d"))
+    val got = Sessionize.gapHistogram(Sessionize(df)).orderBy("gap_minutes").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((0, 1L, 1.0 / 3.0), (1, 1L, 1.0 / 3.0), (60, 1L, 1.0 / 3.0)))
+  }
+
   test("minuteAnomaly: perfectly uniform traffic yields NULL z, not a division error") {
     val df = events(
       ("u1", 10L, "view", "i1"), ("u1", 70L, "view", "i2"), ("u1", 130L, "view", "i3"))
