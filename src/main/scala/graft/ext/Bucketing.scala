@@ -45,21 +45,48 @@ object Bucketing {
     val tbl = s"graft_bkt_${name}_${key}_${numBuckets}_$tag"
     if (!spark.catalog.tableExists(tbl)) {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$tbl"
+      val target = java.nio.file.Paths.get(path)
       val df = Tables.table(spark, dir, name)
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
-        // layout already on disk from an earlier session: register, don't rewrite
-        spark.sql(
-          s"""CREATE TABLE $tbl (${df.schema.toDDL})
-             |USING parquet
-             |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
-      } else {
+      // same discipline as the IVF codebook cache (Similarity.trainedCodebook):
+      // writers only ever ATOMIC_MOVE a fully-written directory into the final
+      // path, so existence implies completeness. The previous exists-then-
+      // saveAsTable-in-place was not atomic — two JVMs (or a session racing a
+      // crashed writer's leftovers) could both take the write branch and
+      // overwrite the directory mid-read of the other.
+      if (!java.nio.file.Files.exists(target)) {
+        // bucketed layouts only come out of saveAsTable, so stage through a
+        // throwaway EXTERNAL table at a private sibling path (DROP keeps the
+        // files), then move the finished directory into place
+        val stamp = System.nanoTime()
+        val tmpPath = s"$path.tmp_$stamp"
+        val tmpTbl = s"${tbl}_w$stamp"
         df.write
           .bucketBy(numBuckets, key).sortBy(key)
-          .option("path", path)
+          .option("path", tmpPath)
           .mode("overwrite")
-          .saveAsTable(tbl)
+          .saveAsTable(tmpTbl)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+        try java.nio.file.Files.move(java.nio.file.Paths.get(tmpPath), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // a concurrent writer won: the layout is deterministic per
+            // fingerprint, so theirs equals ours — drop ours
+            scala.util.Using.resource(
+                java.nio.file.Files.walk(java.nio.file.Paths.get(tmpPath))) { s =>
+              s.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.delete(p))
+            }
+        }
       }
+      // register the on-disk layout (bucket file naming is part of the
+      // layout, so the registered table keeps the shuffle-free join property)
+      spark.sql(
+        s"""CREATE TABLE $tbl (${df.schema.toDDL})
+           |USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
     }
     tbl
   }

@@ -217,7 +217,20 @@ object Dedup {
     // rounds. (On a cluster, executor loss invalidates localCheckpoint
     // blocks — a reliability-sensitive run would use checkpoint() with a
     // checkpoint dir instead; the round structure is identical.)
-    val e = edges.localCheckpoint(true)
+    // restrict edges to ids FIRST: an edge endpoint absent from `ids`
+    // would otherwise gain a label row after round 1 (step() is
+    // edge-driven), breaking both the one-row-per-id contract and the
+    // monotone-sum convergence witness (a phantom row's label can rise
+    // into the sum while real labels fall, masking change). Callers that
+    // derive edges from the same docs pay only two semi-joins against the
+    // already-checkpointed id table.
+    // (the final select pins column ORDER: usingColumns joins move the join
+    // column first, and the symmetrizing union below is positional)
+    val e = edges
+      .join(ids.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc2")), Seq("doc2"), "left_semi")
+      .select(col("doc1"), col("doc2"))
+      .localCheckpoint(true)
     val sym = e.union(e.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
     // iterate ONLY over nodes that touch an edge: in a near-dup graph the
     // overwhelming majority of docs are singletons (sf0.1: ~2.5k touched

@@ -57,7 +57,10 @@ object Incremental {
     // LITERAL in both branch filters so each split predicate pushes into
     // the parquet scan. The merge identity holds for ANY disjoint split,
     // so the cutoff value itself needs no cross-engine determinism.
-    val cutoff = e.agg(expr("CAST(avg(ts DIV 1000000000) AS LONG)")).head.getLong(0)
+    // avg over zero rows is NULL — cutoff 0 makes history empty and delta
+    // the (empty) whole, so the merge identity still holds on an empty table
+    val cutoffRow = e.agg(expr("CAST(avg(ts DIV 1000000000) AS LONG)")).head
+    val cutoff = if (cutoffRow.isNullAt(0)) 0L else cutoffRow.getLong(0)
     val history = eventRollup(e.filter(col("ts") <  lit(cutoff) * lit(1000000000L)))
     val delta   = eventRollup(e.filter(col("ts") >= lit(cutoff) * lit(1000000000L)))
     mergeRollups(history, delta)

@@ -20,7 +20,28 @@ import org.apache.spark.util.sketch.BloomFilter
  * a tree child — the sketch is config, like the literal params of the
  * other graft expressions (SketchExprs.scala).
  */
-case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+/** Content-equal wrapper for a serialized sketch. A raw `Array[Byte]`
+  * case-class field has referential equals/hashCode, so Catalyst
+  * canonicalization / `semanticEquals` would never identify two probes
+  * carrying identical sketches — missed common-subexpression reuse and
+  * spurious plan inequality (exchange/subquery reuse keys on canonical
+  * plans). Equality here is by content; hashCode is computed once. */
+final class SketchBytes(val bytes: Array[Byte]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case s: SketchBytes => java.util.Arrays.equals(bytes, s.bytes)
+    case _ => false
+  }
+  override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+  override def toString: String = s"SketchBytes(${bytes.length}B,h=$hashCode)"
+}
+
+object BloomMightContain {
+  /** Call-site convenience: wrap the raw serialized sketch. */
+  def apply(child: Expression, bytes: Array[Byte]): BloomMightContain =
+    BloomMightContain(child, new SketchBytes(bytes))
+}
+
+case class BloomMightContain(child: Expression, bloomBytes: SketchBytes)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -32,13 +53,13 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   }
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes.bytes))
 
   override def nullSafeEval(value: Any): Any =
     bloom.mightContainLong(value.asInstanceOf[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bytesRef = ctx.addReferenceObj("graftBloomBytes", bloomBytes, "byte[]")
+    val bytesRef = ctx.addReferenceObj("graftBloomBytes", bloomBytes.bytes, "byte[]")
     val bloomCls = classOf[BloomFilter].getName
     // deserialized once in the generated class's constructor, reused row-wise
     val bloomVar = ctx.addMutableState(bloomCls, "graftBloom",

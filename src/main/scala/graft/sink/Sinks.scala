@@ -57,12 +57,24 @@ object Sinks {
    * lookup short-circuits.
    */
   def jdbcBatchReplace(df: DataFrame, table: String, cfg: JdbcConfig, batchId: Long): Unit = {
+    // the name is interpolated into the DELETE below — restrict it to a
+    // plain SQL identifier so no quoting/injection question even arises
+    require(table.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"jdbcBatchReplace needs a plain identifier table name, got '$table'")
     val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
     try {
+      // getTables takes a search PATTERN: '_' (common in table names)
+      // matches any character, so an unescaped probe can hit a DIFFERENT
+      // table while the target doesn't exist, sending us into a DELETE
+      // that fails with table-not-found instead of falling through to
+      // create-on-append. Escape '_'/'%' with the driver's escape string.
+      val esc = conn.getMetaData.getSearchStringEscape
+      def literalPattern(name: String): String =
+        name.flatMap(c => if (c == '_' || c == '%') s"$esc$c" else c.toString)
       // identifier case is dialect-specific (Derby/Postgres store unquoted
       // names upper/lower respectively) — probe both forms
       def exists(name: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, name, null)
+        val rs = conn.getMetaData.getTables(null, null, literalPattern(name), null)
         try rs.next() finally rs.close()
       }
       if (exists(table.toUpperCase) || exists(table.toLowerCase)) {

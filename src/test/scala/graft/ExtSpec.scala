@@ -202,6 +202,20 @@ class ExtSpec extends SparkSpec {
     assert(full === Set(0L)) // enough rounds: the whole path is one component
   }
 
+  test("componentsFromEdges ignores edges whose endpoints are outside ids") {
+    import org.apache.spark.sql.functions.col
+    // edges referencing unknown docs 90/91 must neither add output rows nor
+    // leak labels into the id set (90-1 would otherwise relabel 1 as 1 still,
+    // but 0-91-… chains could fabricate phantom components); output stays
+    // exactly one row per ids row
+    val ids = (0L to 3L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (90L, 2L), (3L, 91L), (90L, 91L))
+      .toDF("doc1", "doc2")
+    val got = Dedup.componentsFromEdges(ids, edges, maxRounds = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("incremental rollup: merge of split states equals the one-pass rollup, any split") {
     import org.apache.spark.sql.functions.col
     import graft.ext.Incremental
