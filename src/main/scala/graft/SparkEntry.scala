@@ -217,6 +217,9 @@ object SparkEntry {
     "q_conversion_latency" -> ((s, d) => Funnel.conversionLatency(cs(s, d))),
     "q_doc_triangles" -> ((s, d) => GraphRank.docTriangles(Tables.documents(s, d))),
     "q_rfm" -> (Relational.rfmScores _),
+    "q_rfm_bucketed" -> (Relational.rfmScoresBucketed _),
+    "q_revenue_concentration_bucketed" -> ((s, d) =>
+      Relational.revenueConcentrationBucketed(s, d)),
     "q_ab_test" -> ((s, d) => Relational.abTestEngagement(cs(s, d))),
     "q_ewma_minute" -> ((s, d) => MinuteStats.ewmaMinuteCounts(cs(s, d))),
     "q_window_funnel" -> ((s, d) => Funnel.windowFunnel(cs(s, d))),
@@ -1656,6 +1659,75 @@ object SparkEntry {
         |  r_score, f_score, m_score,
         |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
         |FROM sc""".stripMargin,
+    "q_rfm_bucketed" ->
+      """WITH ref AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders
+        |), base AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_d
+        |  FROM orders GROUP BY o_custkey
+        |), b2 AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_order, ref_date) AS INTEGER) AS recency_days,
+        |    frequency, CAST(monetary_d AS DOUBLE) AS monetary
+        |  FROM base, ref
+        |), b AS (
+        |  SELECT quantile_cont(recency_days, 0.25) AS r25,
+        |    quantile_cont(recency_days, 0.50) AS r50,
+        |    quantile_cont(recency_days, 0.75) AS r75,
+        |    quantile_cont(frequency, 0.25) AS f25,
+        |    quantile_cont(frequency, 0.50) AS f50,
+        |    quantile_cont(frequency, 0.75) AS f75,
+        |    quantile_cont(monetary, 0.25) AS m25,
+        |    quantile_cont(monetary, 0.50) AS m50,
+        |    quantile_cont(monetary, 0.75) AS m75
+        |  FROM b2
+        |), sc AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    CAST(1 + CAST(recency_days > r25 AS INTEGER)
+        |       + CAST(recency_days > r50 AS INTEGER)
+        |       + CAST(recency_days > r75 AS INTEGER) AS INTEGER) AS r_score,
+        |    CAST(1 + CAST(frequency < f75 AS INTEGER)
+        |       + CAST(frequency < f50 AS INTEGER)
+        |       + CAST(frequency < f25 AS INTEGER) AS INTEGER) AS f_score,
+        |    CAST(1 + CAST(monetary < m75 AS INTEGER)
+        |       + CAST(monetary < m50 AS INTEGER)
+        |       + CAST(monetary < m25 AS INTEGER) AS INTEGER) AS m_score
+        |  FROM b2, b
+        |) SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_cell
+        |FROM sc""".stripMargin,
+    "q_revenue_concentration_bucketed" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_d
+        |  FROM orders GROUP BY o_custkey
+        |), tot AS (
+        |  SELECT sum(revenue_d) AS total_d FROM rev
+        |), b AS (
+        |  SELECT quantile_cont(CAST(revenue_d AS DOUBLE),
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+        |  FROM rev
+        |), bk AS (
+        |  SELECT CAST(1 + len(list_filter(b.bounds,
+        |      x -> CAST(revenue_d AS DOUBLE) > x)) AS INTEGER) AS revenue_decile,
+        |    revenue_d
+        |  FROM rev, b
+        |), agg AS (
+        |  SELECT revenue_decile, count(*) AS n_customers, sum(revenue_d) AS rev_d
+        |  FROM bk GROUP BY revenue_decile
+        |) SELECT a.revenue_decile, a.n_customers,
+        |  CAST(a.rev_d AS DOUBLE) AS bucket_revenue,
+        |  CAST((SELECT sum(a2.rev_d) FROM agg a2
+        |        WHERE a2.revenue_decile >= a.revenue_decile) AS DOUBLE)
+        |    / nullif(CAST(tot.total_d AS DOUBLE), 0.0) AS cum_share,
+        |  CAST(CASE WHEN
+        |      CAST((SELECT sum(a2.rev_d) FROM agg a2
+        |            WHERE a2.revenue_decile >= a.revenue_decile) AS DOUBLE)
+        |        / nullif(CAST(tot.total_d AS DOUBLE), 0.0) <= 0.8
+        |    THEN 1 ELSE 0 END AS INTEGER) AS in_top80
+        |FROM agg a, tot""".stripMargin,
     // two-sample engagement z-test; the z chain is the SAME literal
     // expression as the Spark side so both engines build the same IEEE
     // op tree (nullif: zero-variance corner → NULL, not an error)

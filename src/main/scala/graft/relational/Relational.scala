@@ -338,8 +338,8 @@ object Relational {
    * max/count/decimal-sum), the corpus-wide reference date is a 1-row
    * broadcast, and the three rank windows are global-ORDER-BY ntiles —
    * the one construct here that serializes; at 100 TB swap them for
-   * `percent_rank`-free bucketing off `approx_percentile` bounds (the
-   * [[graft.ext.TextAnalysis.lengthBoundsFilter]] pattern). Every window
+   * `percent_rank`-free bucketing off percentile bounds — implemented as
+   * the runnable [[rfmScoresBucketed]] (q_rfm_bucketed). Every window
    * carries the custkey tiebreak so ranks are total-ordered.
    * Monetary routes through DECIMAL(18,2) (order-independent sum), cast
    * back to DOUBLE at the end.
@@ -391,8 +391,9 @@ object Relational {
    * "top-80 %-of-revenue" membership flag. The running sum is an exact
    * decimal window (order-independent); the only double ops are the final
    * two casts and one division — bit-identical. The global ORDER BY window
-   * serializes like [[rfmScores]]' ntiles and carries the same documented
-   * 100 TB swap (approx_percentile revenue bounds → broadcast bucketing);
+   * serializes like [[rfmScores]]' ntiles; the 100 TB swap (percentile
+   * revenue bounds → broadcast bucketing) is the runnable
+   * [[revenueConcentrationBucketed]] (q_revenue_concentration_bucketed);
    * the total is a 1-row broadcast, not a whole-frame window.
    */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
@@ -412,6 +413,128 @@ object Relational {
       .withColumn("in_top80", when(col("cum_share") <= 0.8, 1).otherwise(0).cast("int"))
       .select(col("o_custkey"), col("revenue_d").cast("double").as("revenue"),
         col("rank"), col("cum_share"), col("in_top80"))
+  }
+
+  /**
+   * Scale-safe RFM: the quartile-bound bucketing variant of [[rfmScores]] —
+   * the "100 TB swap" its scaladoc documents, as a runnable path. Instead
+   * of three global-ORDER-BY `ntile` windows (each an Exchange
+   * SinglePartition — a serialization point at scale), the quartile CUT
+   * POINTS are computed once as a 1-row aggregate and broadcast; each
+   * customer row is then scored by three comparisons. No window anywhere
+   * in the plan (ScaleSpec pins that), so the whole query is scan → hash
+   * agg → map — embarrassingly parallel at any corpus size.
+   *
+   * Semantics differ from ntile at the margins by design: ntile splits
+   * exact row COUNTS (remainder rows go to the leading buckets), bound
+   * bucketing splits by VALUE against the interpolated quartiles, sending
+   * boundary ties to the lower bucket. Bound parity with the oracle uses
+   * the [[graft.ext.TextAnalysis.lengthBoundsFilter]] precedent: Spark's
+   * exact `percentile` ≡ DuckDB `quantile_cont`, and an interpolated bound
+   * only ever equals a data point when the interpolation fraction is zero
+   * — where both engines return that exact value — so an ulp of
+   * interpolation drift can never flip a `>` against real data.
+   *
+   * At true 100 TB the exact `percentile` agg would become
+   * `approx_percentile` (mergeable KLL-style sketch, same 1-row shape);
+   * exact is kept here because the oracle must reproduce the bounds
+   * cross-engine, and the two calls are interchangeable in this plan.
+   */
+  def rfmScoresBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val ref = orders.agg(max(to_date(col("o_orderdate"))).as("ref_date"))
+    // customer-grain base (tiny vs orders) read twice: once for bounds,
+    // once for scoring — persist instead of re-aggregating the fact table.
+    // Cache lifetime is caller-owned (the session keeps it for reuse).
+    val base = orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary_d"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_order")))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_d").cast("double").as("monetary"))
+      .persist()
+    val bounds = base.agg(
+      expr("percentile(recency_days, 0.25)").as("r25"),
+      expr("percentile(recency_days, 0.50)").as("r50"),
+      expr("percentile(recency_days, 0.75)").as("r75"),
+      expr("percentile(frequency, 0.25)").as("f25"),
+      expr("percentile(frequency, 0.50)").as("f50"),
+      expr("percentile(frequency, 0.75)").as("f75"),
+      expr("percentile(monetary, 0.25)").as("m25"),
+      expr("percentile(monetary, 0.50)").as("m50"),
+      expr("percentile(monetary, 0.75)").as("m75"))
+    // 1 = best: for recency small is good (ascending score), for
+    // frequency/monetary large is good (descending score); ties at a
+    // bound land in the better bucket on both engines (strict comparisons)
+    def asc(c: org.apache.spark.sql.Column, lo: String, mid: String, hi: String) =
+      (lit(1) + (c > col(lo)).cast("int") + (c > col(mid)).cast("int") +
+        (c > col(hi)).cast("int")).cast("int")
+    def desc(c: org.apache.spark.sql.Column, lo: String, mid: String, hi: String) =
+      (lit(1) + (c < col(hi)).cast("int") + (c < col(mid)).cast("int") +
+        (c < col(lo)).cast("int")).cast("int")
+    base.crossJoin(broadcast(bounds))
+      .withColumn("r_score", asc(col("recency_days"), "r25", "r50", "r75"))
+      .withColumn("f_score", desc(col("frequency"), "f25", "f50", "f75"))
+      .withColumn("m_score", desc(col("monetary"), "m25", "m50", "m75"))
+      .withColumn("rfm_cell",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+      .select("o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm_cell")
+  }
+
+  /**
+   * Scale-safe Pareto: the decile-bucketed variant of
+   * [[revenueConcentration]] — its documented 100 TB swap as a runnable
+   * path. Per-customer exact rank + running share is inherently one global
+   * sort; the scalable formulation reports concentration at BUCKET grain:
+   * customers are assigned to revenue deciles against broadcast
+   * `percentile` cut points (1 = bottom, `buckets` = top), and the
+   * cumulative-from-the-top share is computed over the bucket aggregate
+   * with a triangular broadcast self-join — bucket cardinality is FIXED
+   * (10), so the join is O(buckets²) rows regardless of corpus size and
+   * the plan carries no WindowExec / SinglePartition at all (ScaleSpec
+   * pins that). Revenue stays DECIMAL-exact until the final share
+   * division.
+   */
+  def revenueConcentrationBucketed(spark: SparkSession, dir: String,
+                                   buckets: Int = 10): DataFrame = {
+    require(buckets > 1, s"need at least 2 buckets, got $buckets")
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue_d"))
+      .persist() // customer grain, read twice (bounds + assignment)
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = rev.agg(
+      expr(s"percentile(CAST(revenue_d AS DOUBLE), array(${ps.mkString(", ")}))")
+        .as("bounds"))
+    val tot = rev.agg(sum(col("revenue_d")).as("total_d"))
+    val assigned = rev.crossJoin(broadcast(bounds))
+      .withColumn("revenue_decile",
+        (lit(1) + expr(
+          """aggregate(
+            |  transform(bounds, x -> CASE WHEN CAST(revenue_d AS DOUBLE) > x
+            |                              THEN 1 ELSE 0 END),
+            |  0, (a, b) -> a + b)""".stripMargin)).cast("int"))
+    val perBucket = assigned.groupBy(col("revenue_decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("revenue_d")).as("rev_d"))
+    // running sum from the top WITHOUT a window: join every bucket with
+    // all buckets at or above it — 10×10 broadcast, scale-independent
+    val cum = perBucket
+      .join(broadcast(perBucket.select(col("revenue_decile").as("d2"),
+        col("rev_d").as("rev2"))), col("d2") >= col("revenue_decile"))
+      .groupBy(col("revenue_decile"), col("n_customers"), col("rev_d"))
+      .agg(sum(col("rev2")).as("cum_d"))
+    cum.crossJoin(broadcast(tot))
+      // nullif: all-zero-revenue frame → NULL shares, not a division error
+      .withColumn("cum_share",
+        col("cum_d").cast("double") / nullif(col("total_d").cast("double"), lit(0.0)))
+      .select(col("revenue_decile"), col("n_customers"),
+        col("rev_d").cast("double").as("bucket_revenue"), col("cum_share"),
+        when(col("cum_share") <= 0.8, 1).otherwise(0).cast("int").as("in_top80"))
   }
 
   /**

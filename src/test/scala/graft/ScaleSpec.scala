@@ -204,4 +204,37 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() === lineitem.count()) // every lineitem has its order
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed RFM and Pareto plans carry no window and no global sort") {
+    // the scale-safe variants of rfmScores / revenueConcentration replace
+    // the global-ORDER-BY ntile / running-sum windows with broadcast
+    // percentile bounds. The serialization hazard of the originals is a
+    // WINDOW (or global SORT) over the full customer frame — scalar-agg
+    // SinglePartition reduces (1-row global max/percentile) are inherent
+    // to any global aggregate and NOT a hazard, so assert on the logical
+    // plan's operator types, not on exchange partitioning strings.
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
+    def assertNoSerializer(df: org.apache.spark.sql.DataFrame): Unit = {
+      val lp = df.queryExecution.optimizedPlan
+      assert(lp.collect { case w: LWindow => w }.isEmpty, lp.treeString.take(1200))
+      assert(lp.collect { case s: LSort if s.global => s }.isEmpty,
+        lp.treeString.take(1200))
+    }
+    val rfm = graft.relational.Relational
+      .rfmScoresBucketed(spark, "/root/testdata/sf0.001")
+    assert(rfm.count() > 0)
+    assertNoSerializer(rfm)
+    val pareto = graft.relational.Relational
+      .revenueConcentrationBucketed(spark, "/root/testdata/sf0.001")
+    val rows = pareto.collect()
+    assert(rows.length === 10)
+    assertNoSerializer(pareto)
+    // sanity on the semantics: deciles are dense 1..10, shares increase
+    // toward the top decile and end at 1.0 for the cumulative-from-top sum
+    val byDecile = rows.map(r => r.getAs[Int]("revenue_decile") ->
+      r.getAs[Double]("cum_share")).toMap
+    assert(byDecile.keySet === (1 to 10).toSet)
+    assert(math.abs(byDecile(1) - 1.0) < 1e-12) // bottom decile: whole total above it
+    assert(byDecile(10) < byDecile(9))
+  }
 }
