@@ -99,6 +99,8 @@ object SparkEntry {
     "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d))),
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
+    "q_multimodal_real_meta" -> ((s, d) =>
+      Multimodal.realImageMeta(s, Tables.documents(s, d))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     // partition-wise decode path (deterministic stub features). The stub's
@@ -811,6 +813,25 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+    // The round-trip oracle for the REAL image pass: the Spark side encodes
+    // a genuine PNG/BMP per doc (dims/pixel format derived from doc_id and
+    // n_chars) and parses the header fields back out of the bytes; the
+    // oracle computes the same fields from the same doc columns directly,
+    // so encoder and parser certify each other.
+    "q_multimodal_real_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        |  CAST(n_chars % 48 + 1 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8
+        |    ELSE CASE (doc_id // 2) % 3 WHEN 0 THEN 24 WHEN 1 THEN 32 ELSE 8 END
+        |  END AS INTEGER) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE (doc_id // 2) % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END
+        |  ELSE
+        |    CASE (doc_id // 2) % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
+        |  END AS INTEGER) AS channels
         |FROM documents""".stripMargin,
     // Mirrors the decode stub's modular rolling hash per 8-byte lane:
     // acc = (acc*31 + byte) % 1000003, flattened residues mod 1000.

@@ -22,13 +22,19 @@ final case class MediaFeatures(
  * extraction runs per-partition so any native decoder is loaded once per
  * task, not per row.
  *
- * The actual media decode is a clearly-marked STUB (this container ships no
- * image/audio codecs): [[decodeStub]] derives a deterministic fake feature
- * vector from the payload bytes. The Spark-side plumbing — binary schema,
- * partition-wise batch processing, typed Dataset boundaries — is real and
- * is what matters at 100 TB: payloads never pass through a Python
- * serialization boundary, partition sizing bounds memory, and metadata
- * columns stay columnar for pruning.
+ * Two layers, honestly labeled:
+ *  - REAL: container-format handling. [[realImageMeta]] parses genuine PNG
+ *    IHDR / BMP headers (width/height/bit-depth/channels) out of the binary
+ *    column via codegen'd expressions (`graft.functions.ImageHeader`), and
+ *    [[encodePng]]/[[encodeBmp]] emit spec-valid files that `javax.imageio`
+ *    decodes (MultimodalSpec proves it).
+ *  - STUB: pixel/sample decode for feature extraction. [[decodeStub]]
+ *    derives a deterministic fake feature vector from the payload bytes
+ *    (no ML codec stack in this container). The Spark-side plumbing —
+ *    binary schema, partition-wise batch processing, typed Dataset
+ *    boundaries — is real and is what matters at 100 TB: payloads never
+ *    pass through a Python serialization boundary, partition sizing bounds
+ *    memory, and metadata columns stay columnar for pruning.
  */
 object Multimodal {
 
@@ -137,5 +143,113 @@ object Multimodal {
         MediaFeatures(rec.doc_id, rec.media_type, bytes.length, feature)
       }
     }
+  }
+
+  // -------------------------------------------------------------------------
+  // REAL image handling (no stub): spec-valid PNG/BMP encoders and the
+  // header-parse metadata pass over genuine bytes.
+  // -------------------------------------------------------------------------
+
+  private def pngChannelCount(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case other => throw new IllegalArgumentException(s"bad PNG color type $other")
+  }
+
+  /** REAL, spec-valid PNG bytes (decodable by any PNG reader, including
+    * `javax.imageio` — MultimodalSpec proves that round trip): signature,
+    * IHDR with correct CRC32, one deflate-compressed all-zero raster IDAT
+    * (each row = filter byte 0 + width×channels zero samples at bit depth
+    * 8), IEND. Used as the genuine-bytes source for the header-parse
+    * oracle query and as a test fixture generator. */
+  def encodePng(width: Int, height: Int, colorType: Int = 6): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong))
+      val tagBytes = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagBytes); crc.update(data)
+      out.write(tagBytes); out.write(data); out.write(be32(crc.getValue))
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+    val raw = new Array[Byte](height * (1 + width * pngChannelCount(colorType)))
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** REAL, spec-valid BMP bytes (BITMAPINFOHEADER): file header, 40-byte
+    * DIB header, a zeroed 2^bpp palette for indexed depths, and the zeroed
+    * 4-byte-row-aligned pixel array. `topDown = true` writes the spec's
+    * negative-height form. */
+  def encodeBmp(width: Int, height: Int, bpp: Int = 24,
+                topDown: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(Set(1, 4, 8, 16, 24, 32).contains(bpp), s"bad bpp $bpp")
+    val paletteBytes = if (bpp <= 8) (1 << bpp) * 4 else 0
+    val rowBytes = ((width * bpp + 31) / 32) * 4
+    val pixelBytes = rowBytes * height
+    val offset = 14 + 40 + paletteBytes
+    val size = offset + pixelBytes
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putShort(0).putShort(0).putInt(offset)
+    b.putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(bpp.toShort)
+      .putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // palette + pixel array stay zeroed (allocate() zero-fills)
+    b.array()
+  }
+
+  /**
+   * Header-parse metadata over REAL image bytes — the non-stub multimodal
+   * pass (q_multimodal_real_meta): each document deterministically becomes
+   * a genuine PNG or BMP asset (dims and pixel format derived from
+   * doc_id/n_chars), and the [[graft.functions.ImageHeader]] expressions
+   * parse format/width/height/bit-depth/channels back OUT of the bytes at
+   * scan speed (codegen'd, no shuffle). The oracle computes the same
+   * fields from the same doc columns directly, so a bug in EITHER the
+   * encoder or the parser breaks the round trip — the query certifies
+   * them against each other, and MultimodalSpec pins the parser against
+   * fixture bytes from genuine third-party files.
+   *
+   * Scale shape: generation is a map (stands in for reading an asset
+   * column); parsing is four codegen'd expressions over the binary column
+   * — one scan, zero shuffles, metadata prunes to the header bytes.
+   */
+  def realImageMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.Shim
+    import graft.functions.{ImageFormat, ImageHeaderInt, ImageHeader}
+    val assets = docs
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .map { case (id, nChars) =>
+        val w = (id % 64).toInt + 1
+        val h = (nChars % 48) + 1
+        val payload =
+          if (id % 2 == 0) encodePng(w, h, Array(6, 2, 0, 4)(((id / 2) % 4).toInt))
+          else encodeBmp(w, h, Array(24, 32, 8)(((id / 2) % 3).toInt))
+        (id, payload)
+      }
+      .toDF("doc_id", "payload")
+    def hdr(f: Int) = Shim.column(ImageHeaderInt(Shim.expression(col("payload")), f))
+    assets.select(
+      col("doc_id"),
+      Shim.column(ImageFormat(Shim.expression(col("payload")))).as("format"),
+      hdr(ImageHeader.Width).as("width"),
+      hdr(ImageHeader.Height).as("height"),
+      hdr(ImageHeader.BitDepth).as("bit_depth"),
+      hdr(ImageHeader.Channels).as("channels"))
   }
 }
