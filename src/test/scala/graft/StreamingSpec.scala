@@ -423,4 +423,75 @@ class StreamingSpec extends SparkSpec {
     // third: mean 3, var (4+16)/2 − 9 = 1 → z = (6−3)/1 = 3
     assert(out(2).getAs[Double]("z") === 3.0)
   }
+
+  test("streaming sessionization across forced micro-batch cuts equals the batch result") {
+    // the one semantics the batch oracles cannot certify: the CROSS-BATCH
+    // state merge. Drive the real sf0.001 clickstream through
+    // flatMapGroupsWithStateSessions in 4 arbitrary time-ordered chunks
+    // (cuts land mid-session for many visitors), flush open state via
+    // watermark-bumping sentinel batches, and require the closed-session
+    // table to equal q_global_sessions' batch output row-for-row.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batchDf = Tables.clickstream(spark, "/root/testdata/sf0.001")
+      .select(col("visitorid"), col("event_time"))
+    // MemoryStream timestamps are interpreted in session-local time while
+    // the NTZ batch frame is wall-clock text — feed epoch-derived
+    // Timestamps to BOTH sides so the comparison is representation-free
+    def ntzMillis(v: Any): Long = v match {
+      case ldt: java.time.LocalDateTime =>
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case t: java.sql.Timestamp => t.getTime
+    }
+    val evs = batchDf.collect()
+      .map(r => SessionEvent(r.getString(0),
+        new java.sql.Timestamp(ntzMillis(r.get(1)))))
+      .sortBy(e => (e.event_time.getTime, e.visitorid))
+    assert(evs.length > 500, s"fixture too small: ${evs.length}")
+    val chunks = evs.grouped(math.max(1, evs.length / 4 + 1)).toSeq
+    assert(chunks.length >= 3, "need >= 3 forced micro-batch cuts")
+
+    val ms = MemoryStream[SessionEvent]
+    val closed = mutable.Buffer[Row]()
+    val ckpt = java.nio.file.Files.createTempDirectory("gs_equiv").toString
+    val out = GlobalSessions.flatMapGroupsWithStateSessions(spark, ms.toDS())
+    val q = out.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        closed ++= df.collect(): Unit)
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      // flush: sentinel far past maxTime + gap + watermark advances the
+      // watermark (batch N), the NEXT batch fires the event-time timeouts
+      val maxT = evs.last.event_time.getTime
+      val sentinel = maxT + (1800L + 3600L + 60L) * 1000L
+      ms.addData(SessionEvent("~wm~", new java.sql.Timestamp(sentinel)))
+      q.processAllAvailable()
+      ms.addData(SessionEvent("~wm~", new java.sql.Timestamp(sentinel + 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = closed
+      .filter(_.getAs[String]("visitorid") != "~wm~")
+      .map { r =>
+        (r.getAs[String]("visitorid"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime,
+          // ClosedSession.session_end = last event; session_window's end =
+          // last event + gap — align to the batch convention
+          r.getAs[java.sql.Timestamp]("session_end").getTime + 1800L * 1000L,
+          r.getAs[Long]("events_in_session"))
+      }.sortBy(t => (t._1, t._2))
+    val batch = GlobalSessions.sessionWindow(batchDf, streaming = false)
+      .collect()
+      .map { r =>
+        (r.getAs[String]("visitorid"),
+          ntzMillis(r.get(r.fieldIndex("session_start"))),
+          ntzMillis(r.get(r.fieldIndex("session_end"))),
+          r.getAs[Long]("events_in_session"))
+      }.sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed.size === batch.size,
+      s"session count diverged: stream=${streamed.size} batch=${batch.size}")
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
 }
