@@ -90,4 +90,63 @@ object Sinks {
   /** Verification sink: one parquet dir per table. */
   def parquet(df: DataFrame, outDir: String, table: String): Unit =
     df.write.mode("overwrite").parquet(s"$outDir/$table")
+
+  // -------------------------------------------------------------------------
+  // Array-column strategy (SURVEY §7.4 risk 4): the reference writes
+  // user_paths.user_path as a PostgreSQL text[] column. Spark's
+  // PostgresDialect maps ArrayType natively, but every other JDBC target —
+  // including the embedded Derby these tests run against — has no ARRAY
+  // type and the write throws. The strategy below keeps arrays NATIVE on
+  // a Postgres url and transparently falls back to a JSON-string encoding
+  // elsewhere, with a symmetric reader restoring the declared array type.
+  // -------------------------------------------------------------------------
+
+  /** True when Spark's PostgresDialect (native ArrayType support) will
+    * handle this url. */
+  def supportsNativeArrays(url: String): Boolean =
+    url.startsWith("jdbc:postgresql")
+
+  /** Serialize every array column to its JSON text form (`to_json`) —
+    * lossless for arrays of atomics and structs, restored by
+    * [[readWithArrays]] / `from_json`. */
+  private[graft] def arraysToJson(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+  }
+
+  /** Append that survives array columns on ANY JDBC target: native arrays
+    * on Postgres, JSON-string fallback elsewhere. The fallback stores the
+    * exact `to_json` text, so a follow-up migration to a native-array
+    * store is a cast, not a re-derivation. */
+  def jdbcAppendArrays(df: DataFrame, table: String, cfg: JdbcConfig): Unit = {
+    val out = if (supportsNativeArrays(cfg.url)) df else arraysToJson(df)
+    out.write.mode("append").jdbc(cfg.url, table, cfg.properties)
+  }
+
+  /** Read `table` back, restoring the columns named in `arrayCols` to
+    * their declared element types from the JSON fallback encoding (no-op
+    * restore on a native-array read, where the column already arrives
+    * typed). */
+  def readWithArrays(spark: org.apache.spark.sql.SparkSession, table: String,
+                     cfg: JdbcConfig,
+                     arrayCols: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val raw = spark.read.format("jdbc")
+      .option("url", cfg.url).option("dbtable", table)
+      .option("driver", cfg.driver).load()
+    arrayCols.foldLeft(raw) { case (d, (name, elemType)) =>
+      d.schema(name).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => d // native read
+        case _ => d.withColumn(name,
+          from_json(col(name), org.apache.spark.sql.types.ArrayType(elemType)))
+      }
+    }
+  }
 }

@@ -7,9 +7,10 @@ import graft.sink.Sinks
  * JDBC engine shipped with Spark itself — /opt/spark/jars/derby*.jar), the
  * closest offline stand-in for the reference's PostgreSQL sink
  * (stream_processor.py:14-26,131-136). Covers append round-trip,
- * at-least-once duplicate semantics, and batch_id stamping. The Postgres
- * `array<string>` dialect (SURVEY §7.4 risk 4) stays uncovered: Derby has
- * no ARRAY type, so that specific write needs a live Postgres.
+ * at-least-once duplicate semantics, batch_id stamping, and the
+ * array-column strategy (SURVEY §7.4 risk 4): the JSON-string fallback leg
+ * executes against Derby here; only the native Postgres `text[]` leg still
+ * needs a live server.
  */
 class SinksSpec extends SparkSpec {
   import spark.implicits._
@@ -71,5 +72,36 @@ class SinksSpec extends SparkSpec {
     val b2 = readTable("replace_t").filter($"batch_id" === 2L).collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
     assert(b2.toSeq === Seq((3L, "z")))
+  }
+
+  test("array columns round-trip through the JSON fallback on an array-less JDBC target") {
+    import org.apache.spark.sql.types.StringType
+    // the reference's user_paths shape: visitorid, session_id, user_path
+    // array<string> — Derby has no ARRAY type, so a naive df.write.jdbc
+    // throws; the dialect-aware sink must fall back to JSON text
+    val paths = Seq(
+      ("u1", "u1_1", Seq("view", "addtocart", "purchase")),
+      ("u2", "u2_1", Seq("view")),
+      ("u3", "u3_1", Seq.empty[String]),
+      // embedded quotes/commas must survive the JSON encoding
+      ("u4", "u4_1", Seq("""a"b""", "c,d")))
+      .toDF("visitorid", "session_id", "user_path")
+    assert(!Sinks.supportsNativeArrays(cfg.url)) // Derby → fallback leg
+    assert(Sinks.supportsNativeArrays("jdbc:postgresql://h/db")) // native leg
+    Sinks.jdbcAppendArrays(paths, "user_paths_t", cfg)
+    // the stored column is plain JSON text any SQL client can read
+    val stored = readTable("user_paths_t").orderBy("visitorid").collect()
+    assert(stored.head.getAs[String]("user_path") ===
+      """["view","addtocart","purchase"]""")
+    // the symmetric reader restores the declared array type exactly
+    val back = Sinks.readWithArrays(spark, "user_paths_t", cfg,
+        Map("user_path" -> StringType))
+      .orderBy("visitorid").collect()
+      .map(r => (r.getAs[String]("visitorid"), r.getAs[Seq[String]]("user_path")))
+    assert(back.toSeq === Seq(
+      ("u1", Seq("view", "addtocart", "purchase")),
+      ("u2", Seq("view")),
+      ("u3", Seq.empty[String]),
+      ("u4", Seq("""a"b""", "c,d"))))
   }
 }
