@@ -205,6 +205,58 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("planted skew: path cap bounds the bot group, salting spreads the hot key") {
+    import org.apache.spark.sql.functions.{col, concat, count, crc32, lit, pmod, size => ssize}
+    import graft.analytics.{Items, UserPaths}
+    // one mega-visitor with 1e5 events in a single session — the
+    // collect_list skew hazard (a group that cannot partial-merge) —
+    // plus a 1000-visitor bot farm hammering one item — the hot-key
+    // aggregation hazard. The guards must bound/spread BOTH.
+    val mega = spark.range(0, 100000).select(
+      lit("bot0").as("visitorid"), lit("bot0_1").as("session_id"),
+      lit(ts(100)).as("event_time"), lit("view").as("event"))
+    val normal = spark.range(0, 5).select(
+      lit("u1").as("visitorid"), lit("u1_1").as("session_id"),
+      lit(ts(200)).as("event_time"), lit("click").as("event"))
+    val sessionized = mega.unionByName(normal)
+    // (a) the cap bounds the group: 1e5-event path → exactly maxEvents,
+    // while an under-cap path is untouched
+    val capped = UserPaths.userPathsCapped(sessionized, maxEvents = 1000)
+      .select(col("visitorid"), ssize(col("user_path")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped("bot0") === 1000)
+    assert(capped("u1") === 5)
+    // (b) salted == unsalted on a bot-farm frame (1000 visitors × 100
+    // events on one hot item + background traffic)...
+    val farm = spark.range(0, 100000).select(
+      concat(lit("bot"), (col("id") % 1000)).cast("string").as("visitorid"),
+      lit("hot").as("itemid"))
+    val background = spark.range(0, 2000).select(
+      concat(lit("u"), col("id")).cast("string").as("visitorid"),
+      concat(lit("i"), (col("id") % 50)).cast("string").as("itemid"))
+    val events = farm.unionByName(background)
+    val unsalted = Items.itemInteractions(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Items.itemInteractionsSalted(events, saltBuckets = 16).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === unsalted)
+    assert(salted("hot") === 100000L)
+    // ...and the phase-1 spread is real: the hot item's rows land on many
+    // (itemid, salt) partials, each FAR below the unsalted single-reducer
+    // load. (Structural assert, not wall-clock: timing on a 4-core local
+    // box is noise, the reducer-side row bound is the scale property.)
+    val partials = events
+      .withColumn("salt", pmod(crc32(col("visitorid")), lit(16)))
+      .groupBy(col("itemid"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .filter(col("itemid") === "hot")
+      .select(col("salt"), col("partial")).collect()
+    assert(partials.length >= 12, s"hot key spread over only ${partials.length} salts")
+    val maxPartial = partials.map(_.getAs[Long]("partial")).max
+    assert(maxPartial < 20000L, // uniform would be 6250; 20k = generous bound
+      s"one salt bucket still carries $maxPartial of 100000 hot-key rows")
+  }
+
   test("bucketed RFM and Pareto plans carry no window and no global sort") {
     // the scale-safe variants of rfmScores / revenueConcentration replace
     // the global-ORDER-BY ntile / running-sum windows with broadcast
