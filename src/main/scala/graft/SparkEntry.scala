@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, expr, md5, round}
+import org.apache.spark.sql.functions.{abs, broadcast, col, concat_ws, count, expr, lit, md5, round}
 
 import graft.analytics._
 import graft.clean.CleanStage
@@ -205,6 +205,38 @@ object SparkEntry {
         .select(expr("posexplode(topk)"))
         .select((col("pos") + 1).cast("int").as("rank"),
           col("col._1").as("token"), col("col._2").as("cnt"))
+    }),
+    // the OVER-capacity (approximate) regime of the same aggregator: the
+    // raw counts are run-order-dependent there, so the oracle certifies the
+    // deterministic CONTRACT instead — every key whose exact count clears
+    // 2εN must be reported, with |approx − exact| ≤ εN (ε = 1/capacity).
+    // The near-uniform corpus can't produce heavy hitters, so two tokens
+    // are deterministically amplified (mirrored in the oracle) to put the
+    // stream in the regime the guarantee is ABOUT: 31 distinct keys over
+    // capacity 16, two keys above the membership threshold.
+    "q_spacesaving_approx" -> ((s, d) => {
+      import s.implicits._
+      val cap = 16
+      val amplified = TextAnalysis.withTokens(Tables.documents(s, d))
+        .select(expr("explode(toks)").as("token"))
+        .select(expr(
+          "explode(array_repeat(token, CASE token WHEN 'join' THEN 201 " +
+            "WHEN 'hash' THEN 51 ELSE 1 END))").as("token"))
+      val exact = amplified.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val tot = amplified.agg(count(lit(1)).as("n"))
+      val approx = amplified.as[String]
+        .select(new graft.ext.SpaceSavingTopK(cap, cap).toColumn.name("s"))
+        .toDF().select(expr("explode(s)").as("kv"))
+        .select(col("kv._1").as("token"), col("kv._2").as("approx_cnt"))
+      exact.crossJoin(broadcast(tot))
+        .filter(col("exact_cnt") * cap > lit(2) * col("n"))
+        .join(approx, Seq("token"), "left")
+        .select(col("token"), col("exact_cnt"),
+          col("approx_cnt").isNotNull.as("reported"),
+          (col("approx_cnt").isNotNull &&
+            abs(col("approx_cnt") - col("exact_cnt")) * cap <= col("n"))
+            .as("within_eps"))
     }),
     // -- path mining over the sessionized stream --
     "q_event_transitions" -> ((s, d) => Paths.eventTransitions(sess(s, d))),
@@ -1078,6 +1110,19 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
         |  token, cnt
         |FROM c ORDER BY cnt DESC, token LIMIT 10""".stripMargin),
+    // over-capacity regime: the mergeable-summaries guarantee says any key
+    // with exact count > 2εN is reported within ±εN — those flags are
+    // deterministic, so the oracle emits literal TRUE for each key above
+    // the threshold under the same deterministic amplification
+    "q_spacesaving_approx" -> (TOK +
+      """, ex AS (SELECT unnest(toks) AS token FROM tok),
+        |amp AS (
+        |  SELECT ex.token FROM ex CROSS JOIN range(201) r(i)
+        |  WHERE r.i < CASE ex.token WHEN 'join' THEN 201 WHEN 'hash' THEN 51 ELSE 1 END
+        |), c AS (SELECT token, count(*) AS cnt FROM amp GROUP BY token),
+        |t AS (SELECT count(*) AS n FROM amp)
+        |SELECT token, cnt AS exact_cnt, TRUE AS reported, TRUE AS within_eps
+        |FROM c, t WHERE cnt * 16 > 2 * n""".stripMargin),
     // same assignment CTEs as q_ann_topk_ivf; drop = larger id of any
     // within-cluster pair clearing the cosine threshold (keep-min greedy)
     "q_semantic_dedup" -> (EMB +

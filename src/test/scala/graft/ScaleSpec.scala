@@ -205,6 +205,39 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("space-saving over capacity: epsilon-N error bound and membership guarantee hold") {
+    import graft.ext.SpaceSavingTopK
+    // 40 distinct keys, capacity 8 — deep in the approximate regime:
+    // k0=5000, k1=3000, 38 background keys × 50. N = 9900, εN = N/8 = 1237.
+    val items = Seq.fill(5000)("k0") ++ Seq.fill(3000)("k1") ++
+      (2 until 40).flatMap(i => Seq.fill(50)(s"k$i"))
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.length.toLong
+    val capacity = 8
+    val epsN = n / capacity
+    val ds = spark.sparkContext
+      .parallelize(scala.util.Random.shuffle(items), 8).toDS()
+    val reported = ds
+      .select(new SpaceSavingTopK(capacity, capacity).toColumn.name("s"))
+      .head().toMap
+    // strict mode must refuse this regime loudly (the exact-regime oracle
+    // gate relies on that refusal) — proving we really are over capacity
+    val e = intercept[org.apache.spark.SparkException] {
+      ds.select(new SpaceSavingTopK(capacity, capacity, strict = true).toColumn).head()
+    }
+    assert(e.getMessage != null)
+    // error bound: every reported count within ±εN of the truth
+    reported.foreach { case (key, approxCnt) =>
+      val diff = math.abs(approxCnt - exact.getOrElse(key, 0L))
+      assert(diff <= epsN, s"$key: |$approxCnt - ${exact.getOrElse(key, 0L)}| > εN=$epsN")
+    }
+    // membership: any key with exact count > 2εN must be reported
+    exact.filter(_._2 > 2 * epsN).keys.foreach { key =>
+      assert(reported.contains(key), s"heavy key $key (exact=${exact(key)}) missing")
+    }
+    assert(reported.contains("k0") && reported.contains("k1"))
+  }
+
   test("planted skew: path cap bounds the bot group, salting spreads the hot key") {
     import org.apache.spark.sql.functions.{col, concat, count, crc32, lit, pmod, size => ssize}
     import graft.analytics.{Items, UserPaths}
