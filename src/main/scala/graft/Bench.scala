@@ -29,21 +29,32 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // Per-query LOWER MEDIAN of `runs` in-process repeats (cache cleared
+    // between): single-run artifacts mis-flagged environmental spikes as
+    // regressions in 4 of 5 rounds — a repeat at the source ends that
+    // adjudication. For the default runs=2 the lower median IS the min,
+    // the statistic least sensitive to a one-off contaminated run; a
+    // genuinely slow query is slow in every repeat and still shows.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      spark.catalog.clearCache()
-      // failures are reported as -1, never as a plausible-looking timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        spark.catalog.clearCache()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      // any failed repeat poisons the query: report -1, never a
+      // plausible-looking timing from the surviving runs
+      name -> (if (times.size == runs) times.sorted.apply((runs - 1) / 2) else -1.0)
     }
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$fullQs,"sf":"$sfDir"}"""
     // The full per-query dict (84+ entries, ~2.2 KB) no longer fits the
     // consumer's 2000-char stdout tail window (r1/r3/r4 artifacts all came
     // back "parsed": null with the line's FRONT cut off). The stdout line
@@ -57,7 +68,7 @@ object Bench {
       if (s.endsWith("0") && s.contains('.')) s.dropRight(1) else s
     }
     val byCost = results.sortBy(-_._2)
-    val frame = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"omitted":00,"full":"bench.json","sf":"$sfDir"}"""
+    val frame = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":{},"omitted":00,"full":"bench.json","sf":"$sfDir"}"""
     var used = frame.length
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     byCost.foreach { case (k, v) =>
@@ -67,7 +78,7 @@ object Bench {
     val keptSorted = kept.sortBy(_._1) // stable name order for round-over-round diffs
     val qs = keptSorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val json = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":${results.size - kept.size},"full":"bench.json","sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"omitted":${results.size - kept.size},"full":"bench.json","sf":"$sfDir"}"""
     // Persist the complete line to a file FIRST (survives any console
     // truncation); resolve + log the absolute destination so an unexpected
     // CWD (and the overwrite of a pre-existing bench.json) is visible
