@@ -36,7 +36,12 @@ object Bench {
     // the statistic least sensitive to a one-off contaminated run; a
     // genuinely slow query is slow in every repeat and still shows.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (comma-separated names, same contract as
+    // Verify's GRAFT_ONLY); the driver never sets it → full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

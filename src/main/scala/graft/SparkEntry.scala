@@ -89,7 +89,15 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardOnCandidates(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
-    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // PRODUCTION banding (16-bit slices + bucket cap): the 8-bit test
+    // layout has a 256-value band key space, so bucket occupancy — and the
+    // candidate self-join — grows quadratically with corpus size. The sf1
+    // scaling run measured exactly that (2.9 s → 159 s at 10×, PLANS.md);
+    // with 16-bit bands the same run is linear. The 8-bit recall-oriented
+    // layout stays available as a parameter and is pinned by ExtSpec.
+    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d),
+      bitsPerBand = Dedup.ProductionSimhashBitsPerBand,
+      maxBucketSize = Dedup.ProductionMaxBucketSize)),
     // -- LLM-pipeline: embedding similarity --
     "q_embed_norms" -> ((s, d) => Similarity.withNorms(Tables.embeddings(s, d))
       .select("vec_id", "nrm")),
@@ -730,10 +738,17 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
         | FROM pr JOIN sh a ON pr.doc1 = a.doc_id JOIN sh b ON pr.doc2 = b.doc_id""".stripMargin),
     "q_simhash" -> (SIMHASH + " SELECT doc_id, simhash FROM sim"),
+    // production layout: 2 bands × 16 bits, buckets over the occupancy cap
+    // dropped (the cap cannot trigger at oracle SF — mirrored for
+    // semantic faithfulness, it is the scale guard)
     "q_simhash_pairs" -> (SIMHASH +
-      """, sb AS (
-        |  SELECT doc_id, simhash, b, (simhash >> CAST(b*8 AS INTEGER)) % 256 AS band_key
-        |  FROM sim, (SELECT unnest(range(4)) AS b) bs
+      """, sb0 AS (
+        |  SELECT doc_id, simhash, b, (simhash >> CAST(b*16 AS INTEGER)) % 65536 AS band_key
+        |  FROM sim, (SELECT unnest(range(2)) AS b) bs
+        |), sb AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY b, band_key) AS _n FROM sb0
+        |  ) WHERE _n <= 10000
         |), sp AS (
         |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
         |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
