@@ -103,7 +103,16 @@ object SparkEntry {
       .select("vec_id", "nrm")),
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.bruteForceNearDupPairs(Tables.embeddings(s, d))),
-    "q_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d))),
+    // PRODUCTION banding (16 planes/band ⇒ 2^16 buckets + occupancy cap):
+    // the 4-plane test layout has a 16-value key space per band, so bucket
+    // occupancy — and the candidate join — grows quadratically with corpus
+    // size (sf1 sweep: 0.68 s → 14.3 s, candidates 735k → 73.6M). Recall
+    // narrows to genuinely-close pairs, the documented tradeoff; the
+    // brute-force q_embed_neardup stays as the recall ground truth.
+    "q_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(
+      Tables.embeddings(s, d),
+      planesPerBand = Similarity.ProductionPlanesPerBand,
+      maxBucketSize = Dedup.ProductionMaxBucketSize)),
     "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d))),
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
@@ -166,15 +175,19 @@ object SparkEntry {
     // k-row parquet — repeat runs (and the bench) pay search cost only
     "q_ann_topk_ivf_trained" -> ((s, d) => {
       // the k-means two-level fold collapses to the oracle's flat fold bit
-      // for bit only while every vec_id fits one 2^16 range shard; fail
-      // with a pointer instead of a bare hash mismatch on a bigger SF
+      // for bit only while every vec_id fits one 2^16 range shard. Beyond
+      // that the ENGINE result is still deterministic and valid — the
+      // sharded fold is the intended scale path — but the flat-fold DuckDB
+      // oracle can no longer mirror it bit-exact, so warn loudly (the
+      // correctness gate only runs at sf0.01, where the folds collapse);
+      // a hard failure here wrongly blocked the sf1 scaling bench.
       val emb = Tables.embeddings(s, d)
       val maxRow = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head
       val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0) // null = empty table
-      require(maxId < (1L << 16),
-        s"max vec_id $maxId >= 2^16: the sharded k-means fold no longer " +
-          "bit-matches the flat DuckDB oracle fold — re-derive the oracle " +
-          "with sharded sums or raise shardSpan")
+      if (maxId >= (1L << 16)) System.err.println(
+        s"[graft] q_ann_topk_ivf_trained: max vec_id $maxId >= 2^16 — the " +
+          "sharded k-means fold no longer bit-matches the flat DuckDB " +
+          "oracle fold; do not hash-compare this result against that oracle")
       // tag = file metadata fingerprint, NOT the bare path: regenerated
       // testdata at the same path must retrain, not reuse a stale codebook
       Similarity.ivfTopKTrained(emb,
@@ -411,6 +424,23 @@ object SparkEntry {
       |      CAST(list_sum(list_transform(range(4), p ->
       |        CASE WHEN list_sum(list_transform(embedding, (x, i) ->
       |               CAST(x AS DOUBLE) * CASE WHEN (1103515245::BIGINT * ((b*4+p)*64 + (i-1)) + 12345) % 2147483648 < 1073741824
+      |                                        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) >= 0
+      |             THEN (1 << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)) AS bands
+      |  FROM e
+      |)""".stripMargin
+
+  /** Production sign-LSH layout (4 bands × 16 planes ⇒ 2^16 buckets per
+    * band) — mirrors `Similarity.ProductionPlanesPerBand`. Plane j's sign
+    * at dim i comes from the same LCG as [[LSH_SIG]] with the global plane
+    * index j = b·16 + p. Over-cap buckets are dropped (the cap cannot
+    * trigger at oracle SF; mirrored for semantic faithfulness). */
+  private val LSH_SIG_P16 =
+    """, sig AS (
+      |  SELECT vec_id, embedding, nrm,
+      |    list_transform(range(4), b ->
+      |      CAST(list_sum(list_transform(range(16), p ->
+      |        CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |               CAST(x AS DOUBLE) * CASE WHEN (1103515245::BIGINT * ((b*16+p)*64 + (i-1)) + 12345) % 2147483648 < 1073741824
       |                                        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) >= 0
       |             THEN (1 << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)) AS bands
       |  FROM e
@@ -800,10 +830,14 @@ object SparkEntry {
         |      CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) / (a.nrm * b.nrm) AS cosine
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |) SELECT id1, id2, cosine FROM cand WHERE cosine >= 0.35""".stripMargin),
-    "q_embed_neardup_lsh" -> (EMB + LSH_SIG +
-      """, bnd AS (
+    "q_embed_neardup_lsh" -> (EMB + LSH_SIG_P16 +
+      """, bnd0 AS (
         |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
         |  FROM sig, (SELECT unnest(range(4)) AS b) t
+        |), bnd AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS _n FROM bnd0
+        |  ) WHERE _n <= 10000
         |), pr AS (
         |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
         |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.band_key = c.band_key AND a.vec_id < c.vec_id
