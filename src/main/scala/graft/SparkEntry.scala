@@ -145,6 +145,10 @@ object SparkEntry {
     "q_split_assign" -> ((s, d) => TextAnalysis.splitAssign(Tables.documents(s, d))),
     "q_priority_sample" -> ((s, d) => TextAnalysis.prioritySample(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
+    // -- round 6: span-level dedup, collocations, bounded-state sampling --
+    "q_dup_spans" -> ((s, d) => Dedup.dupSpanCoverage(Tables.documents(s, d))),
+    "q_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
+    "q_sample_bottomk" -> ((s, d) => TextAnalysis.bottomKSample(Tables.documents(s, d))),
     "q_incremental_rollup" -> (graft.ext.Incremental.eventRollupIncremental _),
     "q_ohlc_resample" -> ((s, d) => MinuteStats.ohlcResample(Tables.events(s, d))),
     "q_sliding_counts" -> ((s, d) => MinuteStats.slidingEventCounts(cs(s, d))),
@@ -995,6 +999,73 @@ object SparkEntry {
         |rk AS (SELECT pair, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INTEGER) AS rank FROM fr)
         |SELECT pair, cnt, rank FROM rk WHERE rank <= 50""".stripMargin),
+    // duplicated-span coverage: 5-gram occurrences carried as the portable
+    // 32-bit hash; interval union via the same running-max window Spark
+    // runs (spans sorted by start within a doc; a span's new coverage is
+    // its end minus the furthest end already seen). toks[s+1:s+5] is the
+    // 1-indexed inclusive slice of the 0-based start s — 5 tokens.
+    "q_dup_spans" -> (TOK +
+      """, occ0 AS (
+        |  SELECT doc_id, toks, unnest(range(len(toks)-4)) AS s
+        |  FROM tok WHERE len(toks) >= 5
+        |), occ AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+        |    ('0x'||substr(md5(array_to_string(toks[s+1:s+5], ' ')),1,8))::BIGINT AS gh
+        |  FROM occ0
+        |), dup AS (
+        |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gh)
+        |  WHERE nd >= 2
+        |), hit AS (
+        |  SELECT doc_id, s FROM occ WHERE gh IN (SELECT gh FROM dup)
+        |), cov AS (
+        |  SELECT doc_id, greatest(0, (s+4) - greatest(s-1,
+        |    coalesce(max(s+4) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1))) AS new_cov
+        |  FROM hit
+        |), pd AS (SELECT doc_id, sum(new_cov) AS covered FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+        |  CAST(coalesce(p.covered, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE) AS dup_coverage
+        |FROM tok t LEFT JOIN pd p USING (doc_id)""".stripMargin),
+    // PMI = ln((c_xy·T·T)/(B·c_x·c_y)): integer-valued double products
+    // (exact < 2^53), ONE division, then ln rounded to 6dp — the q_bm25
+    // ulp-drift precedent. Left-associated multiplies mirror Spark's.
+    "q_collocations" -> (TOK +
+      """, uni AS (
+        |  SELECT token, count(*) AS c1
+        |  FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY token
+        |), tot AS (
+        |  SELECT CAST(sum(len(toks)) AS BIGINT) AS t_tokens,
+        |         CAST(sum(greatest(len(toks)-1, 0)) AS BIGINT) AS t_pairs FROM tok
+        |), bi AS (
+        |  SELECT pair, count(*) AS pair_count FROM (
+        |    SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS pair
+        |    FROM tok WHERE len(toks) >= 2) GROUP BY pair
+        |  HAVING count(*) >= 5
+        |), sc AS (
+        |  SELECT b.pair, b.pair_count,
+        |    round(ln((CAST(b.pair_count AS DOUBLE) * CAST(t.t_tokens AS DOUBLE)
+        |              * CAST(t.t_tokens AS DOUBLE))
+        |           / (CAST(t.t_pairs AS DOUBLE) * CAST(lu.c1 AS DOUBLE)
+        |              * CAST(ru.c1 AS DOUBLE))), 6) AS pmi
+        |  FROM bi b, tot t, uni lu, uni ru
+        |  WHERE lu.token = split_part(b.pair, ' ', 1)
+        |    AND ru.token = split_part(b.pair, ' ', 2)
+        |), rk AS (
+        |  SELECT pair, pair_count, pmi,
+        |    CAST(row_number() OVER (ORDER BY pmi DESC, pair ASC) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT pair, pair_count, pmi, rank FROM rk WHERE rank <= 50""".stripMargin),
+    // the window form the bounded aggregator replaces — md5-of-id order is
+    // the shared deterministic randomness
+    "q_sample_bottomk" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents
+        |) SELECT lang, doc_id, CAST(rk AS INTEGER) AS sample_rank
+        |FROM r WHERE rk <= 10""".stripMargin,
     "q_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

@@ -419,4 +419,67 @@ object Dedup {
         greatest(col("doc_id"), col("d2")).as("doc2"),
         expr("CAST(bit_count(simhash ^ sh2) AS INT)").as("hamming"))
   }
+
+  // -- duplicated-span coverage ----------------------------------------------
+
+  /**
+   * Cross-document duplicated-span coverage — the per-document signal
+   * behind exact-substring dedup (Lee et al. '21, "Deduplicating Training
+   * Data Makes Language Models Better", arXiv:2107.06499, which builds a
+   * corpus-wide suffix array): a word `n`-gram occurring in ≥ 2 DISTINCT
+   * documents marks all `n` of its token positions as duplicated, and a
+   * document's coverage is the exact union of those spans over its token
+   * count. A suffix array doesn't distribute; fixed-width n-gram span
+   * union gives the same "how much of this text exists elsewhere" measure
+   * per document with only hash aggregates and one semi join — the usual
+   * production substitute (and n bounds the shortest detectable clone).
+   *
+   * Returns (doc_id, n_tokens, covered_tokens, dup_coverage) for EVERY
+   * document — zero-coverage rows included, because the downstream filter
+   * needs the clean docs too.
+   *
+   * Scale shape (100 TB): occurrences are a narrow explode, one row per
+   * n-gram start, carrying the gram only as its 8-byte hash (never the
+   * string); the duplicated-gram set is a distinct + count hash agg on
+   * that hash; survivors return via LEFT SEMI join on the same key (two
+   * shuffles on one key — AQE coalesces, partitioning reused). The span
+   * union is a doc-partitioned running-max window — interval arithmetic,
+   * so there is NO n× position explode and no global sort. Every stage is
+   * linear in corpus tokens.
+   */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2 && n <= 32, s"span n-gram width out of range: $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+    val parts = (0 until n).map(k => s"toks[s+$k]").mkString(", ")
+    val occ = toks
+      .where(col("n_tokens") >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks)-$n)")).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        expr(TextAnalysis.hash32Sql.format(s"concat_ws(' ', $parts)")).as("gh"))
+    val dup = occ.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).count()
+      .where(col("count") >= 2)
+      .select(col("gh"))
+    val hit = occ.join(dup, Seq("gh"), "left_semi")
+    // exact interval union of the [s, s+n-1] spans: a span's NEW coverage
+    // is its end minus the furthest end already seen (clamped at s-1)
+    val prior = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = hit
+      .withColumn("prev_end", max(col("s") + lit(n - 1)).over(prior))
+      .withColumn("new_cov", greatest(lit(0L),
+        (col("s") + lit(n - 1)) -
+          greatest(col("s") - lit(1), coalesce(col("prev_end"), lit(-1L)))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("new_cov")).as("covered_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).cast("long").as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_coverage"))
+  }
 }

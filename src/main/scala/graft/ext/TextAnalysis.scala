@@ -708,6 +708,87 @@ object TextAnalysis {
       .filter(col("rank") <= kPerLang)
   }
 
+  /**
+   * Per-language deterministic uniform k-sample on the bounded bottom-k
+   * aggregator ([[BottomKSample]]): sort key = portable md5 of the doc id,
+   * keep the k smallest per language. Same result as
+   * `row_number() OVER (PARTITION BY lang ORDER BY md5(id)) <= k` — which
+   * is what the oracle runs — but with NO per-group sort: each map task
+   * forwards ≤ k (hash, id) entries per language and the merge is a
+   * bounded sorted-list union. The hash is the randomness, so the sample
+   * is identical across runs, partitionings, and engines.
+   */
+  def bottomKSample(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("lang"), md5(col("doc_id").cast("string")).as("skey"),
+        col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new BottomKSample(k).toColumn.name("sample"))
+      .flatMap { case (lang, picks) =>
+        picks.zipWithIndex.map { case ((_, id), i) => (lang, id, i + 1) }
+      }
+      .toDF("lang", "doc_id", "sample_rank")
+      .withColumn("sample_rank", col("sample_rank").cast("int"))
+  }
+
+  /**
+   * PMI collocation mining over adjacent token pairs — the phrase/
+   * multi-word-expression detector a tokenizer-training pipeline runs
+   * before building its vocab (Church & Hanks '90 association ratio):
+   * pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c(xy)/B over
+   * adjacent-pair occurrences B and p(x) = c(x)/T over token occurrences
+   * T. Pairs below `minCount` are dropped (PMI's low-frequency blowup),
+   * and the top `k` by (pmi desc, pair asc) are ranked.
+   *
+   * Cross-engine determinism: c(xy), c(x), c(y), T, B are exact longs;
+   * the score is computed as ln((c_xy·T·T) / (B·c_x·c_y)) with the
+   * numerator and denominator each a left-associated double product of
+   * integer-valued doubles — exact below 2^53 — so ONE division and one
+   * `ln` are the only rounding steps; `ln` can drift a ulp between
+   * libm and DuckDB, hence the 6-dp round (the q_bm25 precedent).
+   *
+   * Scale shape: two hash aggs (pair grain, token grain) over narrow
+   * explodes; unigram counts are vocab-sized → broadcast joined onto the
+   * filtered pair counts; totals ride one 1-row broadcast. The final
+   * rank window runs on ≤ k rows after a TakeOrderedAndProject.
+   */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = withTokens(docs)
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val tot = toks.agg(
+      sum(size(col("toks"))).as("t_tokens"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).as("t_pairs"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val lu = uni.select(col("token").as("ltok"), col("c1").as("c_left"))
+    val ru = uni.select(col("token").as("rtok"), col("c1").as("c_right"))
+    bi
+      .withColumn("ltok", expr("split(pair, ' ')[0]"))
+      .withColumn("rtok", expr("split(pair, ' ')[1]"))
+      .join(broadcast(lu), "ltok")
+      .join(broadcast(ru), "rtok")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        (col("pair_count").cast("double") * col("t_tokens").cast("double") *
+          col("t_tokens").cast("double")) /
+        (col("t_pairs").cast("double") * col("c_left").cast("double") *
+          col("c_right").cast("double"))), 6))
+      .select(col("pair"), col("pair_count"), col("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pmi").desc, col("pair").asc)))
+  }
+
   /** Document-length histogram in fixed-width buckets. */
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 100): DataFrame =
     docs.groupBy((floor(col("n_chars") / bucketWidth) * bucketWidth).as("bucket_start"))

@@ -139,27 +139,20 @@ object TopK {
 }
 
 /**
- * EXACT per-group top-k as a map-side-combinable Aggregator — the
- * scale-correct alternative to the window-rank formulation
- * ([[graft.analytics.Items.topItemsRanked]]): a window rank SORTS every
- * group's full row set after the shuffle; this buffer holds only k
- * entries per group at every partial/merge stage, so the shuffle carries
- * ≤ k rows per group from each map task and there is no sort at all.
- * Total order (count desc, then item asc) makes the kept set and its
- * ordering deterministic — result-identical to the window form, which is
- * what its oracle pins.
- *
- * Input rows are (item, count) pairs that are ALREADY aggregated to the
- * (group, item) grain — compose as: count per (group, item) → groupByKey
- * (group) → this aggregator.
+ * Shared bounded-buffer core for exact "best k of a group" Aggregators —
+ * the scale-correct alternative to a window-rank formulation: a window
+ * rank SORTS every group's full row set after the shuffle; this buffer
+ * holds only k entries per group at every partial/merge stage, so the
+ * shuffle carries ≤ k rows per group from each map task and there is no
+ * sort at all. Subclasses supply the total order via [[beats]]; a total
+ * order makes the kept set and its ordering deterministic.
  */
-class GroupedTopK(k: Int)
+abstract class BoundedBestK(k: Int)
     extends Aggregator[(String, Long), List[(String, Long)], Seq[(String, Long)]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  /** True when `a` outranks `b`: higher count first, item asc tiebreak. */
-  private def beats(a: (String, Long), b: (String, Long)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  /** True when `a` outranks `b` — MUST be a strict total order. */
+  protected def beats(a: (String, Long), b: (String, Long)): Boolean
 
   override def zero: List[(String, Long)] = Nil
 
@@ -189,4 +182,38 @@ class GroupedTopK(k: Int)
     Encoders.kryo[List[(String, Long)]]
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     Encoders.kryo[Seq[(String, Long)]]
+}
+
+/**
+ * EXACT per-group top-k counts on the bounded buffer ([[BoundedBestK]]) —
+ * order: count desc, then item asc. Result-identical to the window-rank
+ * form ([[graft.analytics.Items.topItemsRanked]]), which is what its
+ * oracle pins.
+ *
+ * Input rows are (item, count) pairs that are ALREADY aggregated to the
+ * (group, item) grain — compose as: count per (group, item) → groupByKey
+ * (group) → this aggregator.
+ */
+class GroupedTopK(k: Int) extends BoundedBestK(k) {
+  /** Higher count first, item asc tiebreak. */
+  override protected def beats(a: (String, Long), b: (String, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+}
+
+/**
+ * Deterministic bounded-state uniform sampling: keep the k SMALLEST
+ * (sort_key, id) pairs per group. With sort_key = a content hash of the
+ * id, the kept set is a uniform k-sample of the group that is (a)
+ * reproducible across runs AND engines (no RNG state — the hash is the
+ * randomness), (b) mergeable — bottom-k of a union is the bottom-k of the
+ * parts' bottom-k's, the bottom-k sketch of Cohen & Kaplan '07 — and (c)
+ * bounded: each map task ships ≤ k entries per group, where the
+ * equivalent `row_number() OVER (ORDER BY hash)` formulation sorts every
+ * group's full row set after the shuffle. At 100 TB this is how you draw
+ * a reviewable corpus sample without a global sort.
+ */
+class BottomKSample(k: Int) extends BoundedBestK(k) {
+  /** Smaller sort key first; id asc tiebreak (md5 collisions included). */
+  override protected def beats(a: (String, Long), b: (String, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
 }

@@ -569,4 +569,63 @@ class ExtSpec extends SparkSpec {
     assert(feats(0).feature.toSeq === feats(3).feature.toSeq)
     assert(feats(0).feature.toSeq !== feats(2).feature.toSeq)
   }
+
+  test("dup-span coverage: overlapping shared 5-grams union exactly; clean doc scores 0") {
+    // docs 10/11 share the 5-grams "a b c d e" and "b c d e f":
+    //   doc 10 spans start at 0,1 -> union [0,5] = 6 of 8 tokens
+    //   doc 11 spans start at 1,2 -> union [1,6] = 6 of 8 tokens
+    val corpus = Seq(
+      (10L, "a b c d e f g h", "en"),
+      (11L, "x a b c d e f y", "en"),
+      (12L, "p q r s t u v w", "en"),  // no gram shared with anyone
+      (13L, "a b c", "en"))            // shorter than n: 0 grams, 0 coverage
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.dupSpanCoverage(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Double]("dup_coverage")))).toMap
+    assert(out(10L) === ((8L, 6L, 0.75)))
+    assert(out(11L) === ((8L, 6L, 0.75)))
+    assert(out(12L) === ((8L, 0L, 0.0)))
+    assert(out(13L) === ((3L, 0L, 0.0)))
+  }
+
+  test("pmi collocations: hand-computed score, deterministic ranking") {
+    // corpus "a b a b a b": T=6 tokens, B=5 adjacent pairs,
+    // c(a)=c(b)=3, c(a b)=3, c(b a)=2
+    //   pmi(a b) = ln(3*6*6 / (5*3*3)) = ln(2.4)
+    //   pmi(b a) = ln(2*6*6 / (5*3*3)) = ln(1.6)
+    val corpus = Seq((0L, "a b a b a b", "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.pmiCollocations(corpus, minCount = 1L).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("pair_count"),
+        r.getAs[Double]("pmi"), r.getAs[Int]("rank")))
+    assert(out.toSeq === Seq(
+      ("a b", 3L, BigDecimal(math.log(2.4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1),
+      ("b a", 2L, BigDecimal(math.log(1.6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 2)))
+  }
+
+  test("bottom-k sample: equals the window formulation, bounded per group, deterministic") {
+    val corpus = (0L until 40L).map(i =>
+      (i, s"doc number $i text", if (i % 3 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bottomKSample(corpus, k = 5).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rank")))
+      .sortBy(p => (p._1, p._3))
+    // brute-force reference: k smallest md5(id) per lang
+    val ref = corpus.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .map { case (l, id) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        (l, id, d.map("%02x".format(_)).mkString)
+      }
+      .groupBy(_._1).toSeq
+      .flatMap { case (l, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, id, _), i) => (l, id, i + 1) }
+      }
+      .sortBy(p => (p._1, p._3))
+    assert(got.toSeq === ref)
+    assert(got.count(_._1 == "en") === 5 && got.count(_._1 == "fr") === 5)
+  }
 }

@@ -126,6 +126,23 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan.take(1000))
   }
 
+  test("dup-span coverage plans doc-partitioned windows only; bottom-k sample plans no window at all") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (0L until 120L).map(i =>
+      (i, s"w${i % 11} a b c d e f w${i % 7} g h i j", "en"))
+      .toDF("doc_id", "text", "lang")
+    // span union must ride a doc-partitioned window — never a global one
+    val spans = graft.ext.Dedup.dupSpanCoverage(corpus)
+    val spanPlan = spans.queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("SinglePartition"), spanPlan.take(1200))
+    assert(spans.where(col("covered_tokens") > 0).count() > 0)
+    // the bounded sampler replaces the rank window outright
+    val sample = TextAnalysis.bottomKSample(corpus, k = 3)
+    val samplePlan = sample.queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("WindowExec"), samplePlan.take(1200))
+    assert(sample.count() === 3)
+  }
+
   test("hive-style partitioned layout: a stratum filter prunes partitions at the scan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
