@@ -149,6 +149,7 @@ object SparkEntry {
     "q_dup_spans" -> ((s, d) => Dedup.dupSpanCoverage(Tables.documents(s, d))),
     "q_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
     "q_sample_bottomk" -> ((s, d) => TextAnalysis.bottomKSample(Tables.documents(s, d))),
+    "q_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "q_incremental_rollup" -> (graft.ext.Incremental.eventRollupIncremental _),
     "q_ohlc_resample" -> ((s, d) => MinuteStats.ohlcResample(Tables.events(s, d))),
     "q_sliding_counts" -> ((s, d) => MinuteStats.slidingEventCounts(cs(s, d))),
@@ -1056,6 +1057,20 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY pmi DESC, pair ASC) AS INTEGER) AS rank
         |  FROM sc)
         |SELECT pair, pair_count, pmi, rank FROM rk WHERE rank <= 50""".stripMargin),
+    // chunk windows of 32 tokens every 24 (overlap 8); DuckDB's inclusive
+    // 1-based slice toks[s+1 : s+32] mirrors Spark's slice(toks, s+1, 32),
+    // both clamping at the list end; // is DuckDB integer division
+    "q_chunk" -> (TOK +
+      """, st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM tok
+        |), ch AS (
+        |  SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_id,
+        |    CAST(s AS BIGINT) AS chunk_start,
+        |    toks[s+1:least(s+32, len(toks))] AS ctoks
+        |  FROM st
+        |) SELECT doc_id, chunk_id, chunk_start,
+        |  CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ctoks, ' ') AS chunk_text FROM ch""".stripMargin),
     // the window form the bounded aggregator replaces — md5-of-id order is
     // the shared deterministic randomness
     "q_sample_bottomk" ->

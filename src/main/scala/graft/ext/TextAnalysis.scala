@@ -789,6 +789,36 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("pmi").desc, col("pair").asc)))
   }
 
+  /**
+   * Fixed-size token chunking with overlap — the context-window prep step
+   * (RAG indexing, long-doc training samples): each document is cut into
+   * windows of `chunkTokens` tokens starting every `chunkTokens - overlap`
+   * tokens, the final window(s) running short rather than padding. Every
+   * document emits at least one chunk. Output carries the token offsets
+   * so chunks can be mapped back to their source spans.
+   *
+   * Scale shape: a narrow per-doc explode of chunk starts followed by a
+   * projection — no shuffle at all; output rows ≈ corpus_tokens / stride.
+   * The chunk text re-joins the token slice (not a substring of the
+   * original), which is the tokenizer-faithful form downstream embedding
+   * and packing stages want.
+   */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"bad chunking params: chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    withTokens(docs)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks)-1, $stride)")).as("s"))
+      .select(col("doc_id"),
+        expr(s"CAST(s DIV $stride AS INT)").as("chunk_id"),
+        col("s").cast("long").as("chunk_start"),
+        expr(s"slice(toks, s+1, $chunkTokens)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        size(col("ctoks")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+  }
+
   /** Document-length histogram in fixed-width buckets. */
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 100): DataFrame =
     docs.groupBy((floor(col("n_chars") / bucketWidth) * bucketWidth).as("bucket_start"))

@@ -604,6 +604,25 @@ class ExtSpec extends SparkSpec {
       ("b a", 2L, BigDecimal(math.log(1.6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 2)))
   }
 
+  test("chunking: stride offsets, short tail, single-chunk doc, token-faithful text") {
+    val corpus = Seq(
+      (0L, (1 to 60).map(i => s"t$i").mkString(" "), "en"), // 60 toks: starts 0,24,48
+      (1L, "a b c", "en"))                                  // 3 toks: one chunk
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.chunkDocuments(corpus, chunkTokens = 32, overlap = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+      .sortBy(c => (c._1, c._2))
+    assert(out.map(c => (c._1, c._2, c._3, c._4)).toSeq === Seq(
+      (0L, 0, 0L, 32L), (0L, 1, 24L, 32L), (0L, 2, 48L, 12L),
+      (1L, 0, 0L, 3L)))
+    // overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    assert(out(1)._5.startsWith("t25 t26"))
+    assert(out(0)._5.endsWith("t31 t32"))
+    assert(out(3)._5 === "a b c")
+  }
+
   test("bottom-k sample: equals the window formulation, bounded per group, deterministic") {
     val corpus = (0L until 40L).map(i =>
       (i, s"doc number $i text", if (i % 3 == 0) "en" else "fr"))
