@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardOnCandidates(Tables.documents(s, d))),
+    "q_containment" -> ((s, d) => Dedup.containmentOnCandidates(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     // PRODUCTION banding (16-bit slices + bucket cap): the 8-bit test
     // layout has a 256-value band key space, so bucket occupancy — and the
@@ -771,6 +772,16 @@ object SparkEntry {
       """ SELECT pr.doc1, pr.doc2,
         |  len(list_intersect(a.shingles, b.shingles)) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        | FROM pr JOIN sh a ON pr.doc1 = a.doc_id JOIN sh b ON pr.doc2 = b.doc_id""".stripMargin),
+    // directional containment over the same candidate pairs and distinct
+    // shingle sets as q_ngram_jaccard; explicit double casts on both sides
+    "q_containment" -> (MINHASH_PAIRS +
+      """ SELECT pr.doc1, pr.doc2,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    CAST(len(a.shingles) AS DOUBLE) AS containment_1in2,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    CAST(len(b.shingles) AS DOUBLE) AS containment_2in1
         | FROM pr JOIN sh a ON pr.doc1 = a.doc_id JOIN sh b ON pr.doc2 = b.doc_id""".stripMargin),
     "q_simhash" -> (SIMHASH + " SELECT doc_id, simhash FROM sim"),
     // production layout: 2 bands × 16 bits, buckets over the occupancy cap

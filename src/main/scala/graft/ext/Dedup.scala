@@ -135,6 +135,35 @@ object Dedup {
   }
 
   /**
+   * Directional n-gram containment on the LSH candidate pairs:
+   * containment(A in B) = |A∩B| / |A| over distinct shingle sets.
+   * Asymmetric by design — a short document quoted wholesale inside a
+   * long one scores ~1.0 on the short side while its Jaccard (normalized
+   * by the union) stays low, so a Jaccard-threshold dedup misses exactly
+   * the quote-inclusion / boilerplate-wrapping duplicates this catches
+   * (Broder '97 distinguishes resemblance from containment for this
+   * reason). Emits both directions per candidate pair.
+   *
+   * Same scale shape as [[ngramJaccardOnCandidates]]: exact verification
+   * on LSH candidates only, never on the cross product. Candidates always
+   * have ≥ 1 shingle (docs without shingles generate no bands), so the
+   * divisions are safe.
+   */
+  def containmentOnCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles")).persist()
+    val pairs = minhashCandidatePairs(docs, shingleSize).select("doc1", "doc2")
+    pairs
+      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("n_common"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(col("sh1")).cast("double")).as("containment_1in2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(col("sh2")).cast("double")).as("containment_2in1"))
+  }
+
+  /**
    * Near-dup removal: keep every document that never appears as the larger
    * id of a candidate pair with estimated jaccard ≥ `threshold` (greedy
    * keep-lowest-id; with `doc1 < doc2` ordering this retains the minimum id
@@ -453,6 +482,12 @@ object Dedup {
     val toks = TextAnalysis.withTokens(docs)
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
     val parts = (0 until n).map(k => s"toks[s+$k]").mkString(", ")
+    // deliberately NOT persisted although two consumers read it: the
+    // lineage is one fully codegen'd scan+explode+md5, and caching the
+    // per-position frame measured ~1.9× SLOWER than recomputing it at
+    // both sf0.1 and sf1 (cache write+read of the widest frame in the
+    // query vs a cheap fused re-scan) — the opposite call from the
+    // sparse-cosine rework, where the branch lineage carried a shuffle
     val occ = toks
       .where(col("n_tokens") >= n)
       .select(col("doc_id"), col("toks"),

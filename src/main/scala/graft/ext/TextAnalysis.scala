@@ -758,6 +758,12 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = withTokens(docs)
+    // three passes over the corpus (token grain, totals, pair grain), each
+    // a fully codegen'd scan→agg span. Measured alternatives both lose:
+    // persisting the aggregates (~2× — cache write/read beats nothing
+    // here), and deriving T/B as sums of the aggregates (re-runs the
+    // explode aggs — 4 passes). The totals pass is the cheapest of the
+    // three (no explode, two running sums over a narrow scan).
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c1"))
     val tot = toks.agg(

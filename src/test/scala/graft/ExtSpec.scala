@@ -604,6 +604,18 @@ class ExtSpec extends SparkSpec {
       ("b a", 2L, BigDecimal(math.log(1.6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 2)))
   }
 
+  test("containment: exact-dup pair scores 1.0 both ways; near-dup is asymmetric-capable") {
+    val out = Dedup.containmentOnCandidates(docs).collect()
+      .map(r => ((r.getAs[Long]("doc1"), r.getAs[Long]("doc2")),
+        (r.getAs[Double]("containment_1in2"), r.getAs[Double]("containment_2in1")))).toMap
+    // docs 0 and 3 are exact duplicates: full containment in both directions
+    assert(out((0L, 3L)) === ((1.0, 1.0)))
+    // directional scores divide by each side's own shingle count
+    out.values.foreach { case (c12, c21) =>
+      assert(c12 > 0.0 && c12 <= 1.0 && c21 > 0.0 && c21 <= 1.0)
+    }
+  }
+
   test("chunking: stride offsets, short tail, single-chunk doc, token-faithful text") {
     val corpus = Seq(
       (0L, (1 to 60).map(i => s"t$i").mkString(" "), "en"), // 60 toks: starts 0,24,48
