@@ -331,6 +331,10 @@ object SparkEntry {
   /** Portable 32-bit hash in DuckDB syntax (== TextAnalysis.hash32). */
   private def h32(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
 
+  /** 60-bit portable hash (== TextAnalysis.hash60Sql) — for hard
+    * membership keys where 32 bits would saturate at corpus scale. */
+  private def h60(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
   /** documents + lower-cased whitespace tokens (== TextAnalysis.withTokens). */
   private val TOK =
     """WITH tok AS (
@@ -1012,17 +1016,18 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INTEGER) AS rank FROM fr)
         |SELECT pair, cnt, rank FROM rk WHERE rank <= 50""".stripMargin),
     // duplicated-span coverage: 5-gram occurrences carried as the portable
-    // 32-bit hash; interval union via the same running-max window Spark
-    // runs (spans sorted by start within a doc; a span's new coverage is
-    // its end minus the furthest end already seen). toks[s+1:s+5] is the
-    // 1-indexed inclusive slice of the 0-based start s — 5 tokens.
+    // 60-bit hash (h60 — a hard membership key, 32 bits would saturate);
+    // interval union via the same running-max window Spark runs (spans
+    // sorted by start within a doc; a span's new coverage is its end minus
+    // the furthest end already seen). toks[s+1:s+5] is the 1-indexed
+    // inclusive slice of the 0-based start s — 5 tokens.
     "q_dup_spans" -> (TOK +
-      """, occ0 AS (
+      s""", occ0 AS (
         |  SELECT doc_id, toks, unnest(range(len(toks)-4)) AS s
         |  FROM tok WHERE len(toks) >= 5
         |), occ AS (
         |  SELECT doc_id, CAST(s AS BIGINT) AS s,
-        |    ('0x'||substr(md5(array_to_string(toks[s+1:s+5], ' ')),1,8))::BIGINT AS gh
+        |    ${h60("array_to_string(toks[s+1:s+5], ' ')")} AS gh
         |  FROM occ0
         |), dup AS (
         |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gh)

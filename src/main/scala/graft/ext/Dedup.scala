@@ -123,15 +123,21 @@ object Dedup {
    * only (the scale-correct pattern: cheap sketch filter → exact verify on
    * the survivors, never on the cross product).
    */
-  def ngramJaccardOnCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles")).persist()
-    val pairs = minhashCandidatePairs(docs, shingleSize).select("doc1", "doc2")
-    pairs
-      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
+  def ngramJaccardOnCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame =
+    candidateShinglePairs(docs, shingleSize)
       .select(col("doc1"), col("doc2"),
         (size(array_intersect(col("sh1"), col("sh2"))) /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+
+  /** Shared verification scaffold for the exact-measure-on-candidates
+    * family: LSH candidate pairs joined with each side's distinct shingle
+    * set → (doc1, doc2, sh1, sh2). The shingle frame is persisted because
+    * both joins read it (cache lifetime caller-owned, as elsewhere). */
+  private def candidateShinglePairs(docs: DataFrame, shingleSize: Int): DataFrame = {
+    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles")).persist()
+    minhashCandidatePairs(docs, shingleSize).select("doc1", "doc2")
+      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
   }
 
   /**
@@ -150,11 +156,7 @@ object Dedup {
    * divisions are safe.
    */
   def containmentOnCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles")).persist()
-    val pairs = minhashCandidatePairs(docs, shingleSize).select("doc1", "doc2")
-    pairs
-      .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
+    candidateShinglePairs(docs, shingleSize)
       .select(col("doc1"), col("doc2"),
         size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("n_common"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
@@ -493,7 +495,10 @@ object Dedup {
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(0, size(toks)-$n)")).as("s"))
       .select(col("doc_id"), col("s").cast("long").as("s"),
-        expr(TextAnalysis.hash32Sql.format(s"concat_ws(' ', $parts)")).as("gh"))
+        // 60-bit, not 32: the census below is a HARD "seen in 2+ docs"
+        // decision on this key — at corpus scale a 32-bit space saturates
+        // by birthday and would flag every gram as duplicated
+        expr(TextAnalysis.hash60Sql.format(s"concat_ws(' ', $parts)")).as("gh"))
     val dup = occ.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).count()
       .where(col("count") >= 2)

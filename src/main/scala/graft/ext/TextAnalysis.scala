@@ -28,6 +28,15 @@ object TextAnalysis {
   /** SQL fragment of [[hash32]] usable inside higher-order lambdas. */
   val hash32Sql: String = "CAST(conv(substr(md5(%s), 1, 8), 16, 10) AS BIGINT)"
 
+  /** Portable 60-bit hash (first 15 md5 hex digits). Use where the hash is
+    * a HARD membership key rather than a sketch ingredient: 32 bits
+    * saturate by birthday at corpus scale (at 10^12-10^13 distinct
+    * n-grams every 2^32 bucket holds unrelated collisions and a
+    * "seen twice" census flags everything), while 60 bits keep the
+    * colliding mass ~n/2^60 — negligible — and still parse into a SIGNED
+    * 64-bit integer in any engine (16 hex digits would overflow). */
+  val hash60Sql: String = "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
+
   /** Lower-cased whitespace tokens. */
   def withTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("toks", split(trim(lower(col(textCol))), "\\s+"))
@@ -751,9 +760,10 @@ object TextAnalysis {
    * libm and DuckDB, hence the 6-dp round (the q_bm25 precedent).
    *
    * Scale shape: two hash aggs (pair grain, token grain) over narrow
-   * explodes; unigram counts are vocab-sized → broadcast joined onto the
-   * filtered pair counts; totals ride one 1-row broadcast. The final
-   * rank window runs on ≤ k rows after a TakeOrderedAndProject.
+   * explodes; the unigram joins carry no broadcast hint — raw whitespace
+   * vocabulary is unbounded on web text, so the optimizer picks broadcast
+   * vs shuffle from measured sizes; totals ride one 1-row broadcast. The
+   * final rank window runs on ≤ k rows after a TakeOrderedAndProject.
    */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -777,11 +787,15 @@ object TextAnalysis {
       .filter(col("pair_count") >= minCount)
     val lu = uni.select(col("token").as("ltok"), col("c1").as("c_left"))
     val ru = uni.select(col("token").as("rtok"), col("c1").as("c_right"))
+    // no broadcast HINT on the unigram joins: raw whitespace vocabulary is
+    // unbounded on web text (Heaps' law), so forcing a broadcast would OOM
+    // at exactly the scale this operator targets — the optimizer/AQE
+    // broadcasts when the measured size permits and shuffle-joins when not
     bi
       .withColumn("ltok", expr("split(pair, ' ')[0]"))
       .withColumn("rtok", expr("split(pair, ' ')[1]"))
-      .join(broadcast(lu), "ltok")
-      .join(broadcast(ru), "rtok")
+      .join(lu, "ltok")
+      .join(ru, "rtok")
       .crossJoin(broadcast(tot))
       .withColumn("pmi", round(log(
         (col("pair_count").cast("double") * col("t_tokens").cast("double") *

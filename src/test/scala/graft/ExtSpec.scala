@@ -635,6 +635,14 @@ class ExtSpec extends SparkSpec {
     assert(out(3)._5 === "a b c")
   }
 
+  test("chunking: a NULL-text document emits no chunks (matches the oracle's empty unnest)") {
+    val corpus = Seq((0L, null.asInstanceOf[String], "en"), (1L, "a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.chunkDocuments(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk_text")))
+    assert(out.toSeq === Seq((1L, "a b c")))
+  }
+
   test("bottom-k sample: equals the window formulation, bounded per group, deterministic") {
     val corpus = (0L until 40L).map(i =>
       (i, s"doc number $i text", if (i % 3 == 0) "en" else "fr"))
