@@ -148,6 +148,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
     // -- round 6: span-level dedup, collocations, bounded-state sampling --
     "q_dup_spans" -> ((s, d) => Dedup.dupSpanCoverage(Tables.documents(s, d))),
+    "q_dup_spans_filter" -> ((s, d) => Dedup.dropHighDupSpanDocs(Tables.documents(s, d))),
     "q_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
     "q_sample_bottomk" -> ((s, d) => TextAnalysis.bottomKSample(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
@@ -334,6 +335,31 @@ object SparkEntry {
   /** 60-bit portable hash (== TextAnalysis.hash60Sql) — for hard
     * membership keys where 32 bits would saturate at corpus scale. */
   private def h60(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** Duplicated-span coverage chain (== Dedup.dupSpanCoverage): 5-gram
+    * occurrences as 60-bit hashes, cross-doc census, interval-union
+    * window, per-doc covered sums in `pd` — shared by q_dup_spans and its
+    * filter action. */
+  private lazy val DUPSPAN = TOK +
+    s""", occ0 AS (
+      |  SELECT doc_id, toks, unnest(range(len(toks)-4)) AS s
+      |  FROM tok WHERE len(toks) >= 5
+      |), occ AS (
+      |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+      |    ${h60("array_to_string(toks[s+1:s+5], ' ')")} AS gh
+      |  FROM occ0
+      |), dup AS (
+      |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gh)
+      |  WHERE nd >= 2
+      |), hit AS (
+      |  SELECT doc_id, s FROM occ WHERE gh IN (SELECT gh FROM dup)
+      |), cov AS (
+      |  SELECT doc_id, greatest(0, (s+4) - greatest(s-1,
+      |    coalesce(max(s+4) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1))) AS new_cov
+      |  FROM hit
+      |), pd AS (SELECT doc_id, sum(new_cov) AS covered FROM cov GROUP BY doc_id)
+      |""".stripMargin
 
   /** documents + lower-cased whitespace tokens (== TextAnalysis.withTokens). */
   private val TOK =
@@ -1021,29 +1047,18 @@ object SparkEntry {
     // sorted by start within a doc; a span's new coverage is its end minus
     // the furthest end already seen). toks[s+1:s+5] is the 1-indexed
     // inclusive slice of the 0-based start s — 5 tokens.
-    "q_dup_spans" -> (TOK +
-      s""", occ0 AS (
-        |  SELECT doc_id, toks, unnest(range(len(toks)-4)) AS s
-        |  FROM tok WHERE len(toks) >= 5
-        |), occ AS (
-        |  SELECT doc_id, CAST(s AS BIGINT) AS s,
-        |    ${h60("array_to_string(toks[s+1:s+5], ' ')")} AS gh
-        |  FROM occ0
-        |), dup AS (
-        |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gh)
-        |  WHERE nd >= 2
-        |), hit AS (
-        |  SELECT doc_id, s FROM occ WHERE gh IN (SELECT gh FROM dup)
-        |), cov AS (
-        |  SELECT doc_id, greatest(0, (s+4) - greatest(s-1,
-        |    coalesce(max(s+4) OVER (PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1))) AS new_cov
-        |  FROM hit
-        |), pd AS (SELECT doc_id, sum(new_cov) AS covered FROM cov GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+    "q_dup_spans" -> (DUPSPAN +
+      """SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
         |  CAST(coalesce(p.covered, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE) AS dup_coverage
         |FROM tok t LEFT JOIN pd p USING (doc_id)""".stripMargin),
+    // the filter action: drop docs whose span coverage exceeds 0.5; NULL
+    // coverage (no duplicated gram) never enters the drop set
+    "q_dup_spans_filter" -> (DUPSPAN +
+      """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT t.doc_id FROM tok t JOIN pd p USING (doc_id)
+        |  WHERE CAST(p.covered AS DOUBLE) / CAST(len(t.toks) AS DOUBLE) > 0.5)""".stripMargin),
     // PMI = ln((c_xy·T·T)/(B·c_x·c_y)): integer-valued double products
     // (exact < 2^53), ONE division, then ln rounded to 6dp — the q_bm25
     // ulp-drift precedent. Left-associated multiplies mirror Spark's.

@@ -522,4 +522,17 @@ object Dedup {
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_coverage"))
   }
+
+  /** The filter action on [[dupSpanCoverage]]: drop documents whose
+    * duplicated-span coverage exceeds `maxCoverage` (the Lee et al. '21
+    * pipeline step — remove texts that mostly exist elsewhere, keep the
+    * clean tail). left_anti keeps zero-coverage docs by construction. */
+  def dropHighDupSpanDocs(docs: DataFrame, maxCoverage: Double = 0.5,
+                          n: Int = 5): DataFrame =
+    docs.join(
+      dupSpanCoverage(docs, n)
+        .where(col("dup_coverage") > maxCoverage)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
 }

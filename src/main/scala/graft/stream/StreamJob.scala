@@ -197,4 +197,30 @@ object StreamJob {
       .select(new graft.ext.SpaceSavingTopK(k, capacity).toColumn.name("topk"))
       .toDF()
   }
+
+  /**
+   * Streaming uniform sample: the bounded bottom-k aggregator
+   * ([[graft.ext.BottomKSample]]) as a complete-mode global aggregate —
+   * per trigger, one row with the k stream elements whose md5(key) is
+   * smallest over everything seen so far. Because bottom-k state is
+   * mergeable and ORDER-INSENSITIVE, the sample after any number of
+   * micro-batches equals the batch sample of the union — a uniform,
+   * reproducible k-subset of an unbounded stream in O(k) state (the
+   * reservoir-sampling role, without RNG state in checkpoints).
+   */
+  def streamingSample(events: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    // the aggregator's input is (sortKey: String, payload: Long); the key
+    // itself rides appended to its own md5 (32 hex chars, so the key
+    // starts at position 34 — no delimiter ambiguity) and is peeled back
+    // out of the finished sample
+    events.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .select(concat(md5(col("k")), lit("|"), col("k")).as("skey"))
+      .as[String]
+      .map(s => (s, 0L))
+      .select(new graft.ext.BottomKSample(k).toColumn.name("sample"))
+      .map(_.map(_._1.substring(33)))
+      .toDF("sampled_keys")
+  }
 }

@@ -590,6 +590,17 @@ class ExtSpec extends SparkSpec {
     assert(out(13L) === ((3L, 0L, 0.0)))
   }
 
+  test("dup-span filter drops over-threshold docs, keeps clean and short ones") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h", "en", 15L),   // coverage 0.75 -> dropped
+      (11L, "x a b c d e f y", "en", 15L),   // coverage 0.75 -> dropped
+      (12L, "p q r s t u v w", "en", 15L),   // 0.0 -> kept
+      (13L, "a b c", "en", 5L))              // no grams -> kept
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val kept = Dedup.dropHighDupSpanDocs(corpus).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq === Seq(12L, 13L))
+  }
+
   test("pmi collocations: hand-computed score, deterministic ranking") {
     // corpus "a b a b a b": T=6 tokens, B=5 adjacent pairs,
     // c(a)=c(b)=3, c(a b)=3, c(b a)=2

@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec {
     assert(top === Seq(("hot", 3L), ("cold", 1L)))
   }
 
+  test("streaming sample: bottom-k state is order-insensitive across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamJob.streamingSample(ms.toDF(), "itemid", k = 3)
+      .writeStream.outputMode("complete").format("memory").queryName("sample_stream").start()
+    val items = (1 to 10).map(i => s"item$i")
+    try {
+      // two cuts, reverse order — the final sample must not care
+      ms.addData(items.drop(6).map(it => Ev("u", ts(1), "view", it)): _*)
+      q.processAllAvailable()
+      ms.addData(items.take(6).map(it => Ev("u", ts(2), "view", it)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sample_stream").collect().head.getSeq[String](0)
+    // batch reference: 3 smallest md5(key), md5-order
+    val ref = items.map { it =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(it.getBytes("UTF-8"))
+      (d.map("%02x".format(_)).mkString, it)
+    }.sortBy(_._1).take(3).map(_._2)
+    assert(got.toSeq === ref)
+  }
+
   test("streaming CMS: sketch state merges across micro-batches (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
