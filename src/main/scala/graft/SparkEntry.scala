@@ -119,6 +119,8 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
     "q_multimodal_real_meta" -> ((s, d) =>
       Multimodal.realImageMeta(s, Tables.documents(s, d))),
+    "q_multimodal_audio_meta" -> ((s, d) =>
+      Multimodal.realAudioMeta(s, Tables.documents(s, d))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     // partition-wise decode path (deterministic stub features). The stub's
@@ -959,6 +961,20 @@ object SparkEntry {
         |  ELSE
         |    CASE (doc_id // 2) % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
         |  END AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
+    // WAV layout mirror: the engine parses these fields back out of real
+    // RIFF bytes; data_bytes = samples × channels × bytes/sample and
+    // n_samples re-derives from the parsed fields (exact integers, so the
+    // double division casts identically in both engines)
+    "q_multimodal_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+        |    AS INTEGER) AS sample_rate,
+        |  CAST(CASE (doc_id // 2) % 2 WHEN 0 THEN 8 ELSE 16 END AS INTEGER) AS bits_per_sample,
+        |  CAST((n_chars % 200 + 1) * (doc_id % 2 + 1)
+        |    * (CASE (doc_id // 2) % 2 WHEN 0 THEN 1 ELSE 2 END) AS INTEGER) AS data_bytes,
+        |  CAST(n_chars % 200 + 1 AS INTEGER) AS n_samples
         |FROM documents""".stripMargin,
     // Mirrors the decode stub's modular rolling hash per 8-byte lane:
     // acc = (acc*31 + byte) % 1000003, flattened residues mod 1000.

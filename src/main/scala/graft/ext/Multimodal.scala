@@ -211,6 +211,64 @@ object Multimodal {
     b.array()
   }
 
+  /** REAL, spec-valid WAV bytes: RIFF header, canonical 16-byte PCM
+    * `fmt ` chunk, zero-filled `data` chunk of
+    * nSamples × channels × bits/8 bytes — playable by any WAV reader. */
+  def encodeWav(channels: Int, sampleRate: Int, bits: Int,
+                nSamples: Int): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && (bits == 8 || bits == 16) && nSamples >= 0,
+      s"bad wav params: $channels ch, $sampleRate Hz, $bits bits, $nSamples samples")
+    val dataBytes = nSamples * channels * (bits / 8)
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(sampleRate * channels * (bits / 8))
+      .putShort((channels * (bits / 8)).toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    b.array() // samples stay zeroed (silence)
+  }
+
+  /**
+   * Header-parse metadata over REAL audio bytes — the audio leg of the
+   * non-stub multimodal surface (q_multimodal_audio_meta): each document
+   * deterministically becomes a genuine PCM WAV (layout derived from
+   * doc_id/n_chars) and the chunk-walking [[graft.functions.WavHeader]]
+   * expressions parse channels/rate/depth/payload back OUT at scan speed.
+   * The oracle recomputes the same fields from the doc columns directly,
+   * so encoder and parser certify each other; `n_samples` is derived IN
+   * SQL from three parsed fields, exercising the arithmetic path a real
+   * asset inventory runs. Same scale shape as [[realImageMeta]]: one
+   * scan, zero shuffles.
+   */
+  def realAudioMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.Shim
+    import graft.functions.{WavHeader, WavHeaderInt}
+    val assets = docs
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .map { case (id, nChars) =>
+        (id, encodeWav(
+          channels = (id % 2).toInt + 1,
+          sampleRate = Array(8000, 16000, 44100)((id % 3).toInt),
+          bits = Array(8, 16)(((id / 2) % 2).toInt),
+          nSamples = (nChars % 200) + 1))
+      }
+      .toDF("doc_id", "payload")
+    def hdr(f: Int) = Shim.column(WavHeaderInt(Shim.expression(col("payload")), f))
+    assets.select(
+      col("doc_id"),
+      hdr(WavHeader.Channels).as("channels"),
+      hdr(WavHeader.SampleRate).as("sample_rate"),
+      hdr(WavHeader.BitsPerSample).as("bits_per_sample"),
+      hdr(WavHeader.DataBytes).as("data_bytes"))
+      .withColumn("n_samples",
+        (col("data_bytes") / (col("channels") * (col("bits_per_sample") / 8))).cast("int"))
+  }
+
   /**
    * Header-parse metadata over REAL image bytes — the non-stub multimodal
    * pass (q_multimodal_real_meta): each document deterministically becomes

@@ -49,6 +49,32 @@ object StreamDedup {
     events
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /**
+   * Streaming NEAR-duplicate suppression: drop a document whose 32-bit
+   * SimHash sketch ([[graft.ext.Dedup.simhash]] — insensitive to small
+   * edits, so near-identical texts collide at hamming 0) equals an
+   * earlier document's sketch within the watermark. First arrival wins;
+   * state is one entry per distinct sketch inside the watermark window,
+   * evicted as the watermark advances — the streaming leg of the batch
+   * near-dup family (exact-sketch regime; banded candidate generation
+   * stays a batch job because a streaming pair join would need unbounded
+   * two-sided state).
+   */
+  def bySimhashWithinWatermark(docs: org.apache.spark.sql.DataFrame,
+                               textCol: String = "text",
+                               timeCol: String = "event_time",
+                               watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.SketchExprs.register(docs.sparkSession)
+    docs
+      .withColumn("toks", split(trim(lower(col(textCol))), "\\s+"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("simhash", expr("graft_simhash32(graft_token_hash(toks))"))
+      .drop("toks")
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
 }
 
 object GlobalSessions {

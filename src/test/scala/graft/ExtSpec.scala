@@ -590,6 +590,36 @@ class ExtSpec extends SparkSpec {
     assert(out(13L) === ((3L, 0L, 0.0)))
   }
 
+  test("dup-span coverage matches brute-force interval union on seeded random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val raw = (0 until 30).map { id =>
+        val n = 3 + rnd.nextInt(22)
+        (id.toLong, (0 until n).map(_ => "w" + rnd.nextInt(4)).mkString(" "))
+      }
+      val got = Dedup.dupSpanCoverage(raw.map { case (id, t) => (id, t, "en") }
+          .toDF("doc_id", "text", "lang")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens")))).toMap
+      val toks = raw.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val grams = toks.map { case (id, ts) =>
+        id -> (if (ts.size < 5) Seq.empty[(Int, Seq[String])]
+               else (0 to ts.size - 5).map(s => (s, ts.slice(s, s + 5))))
+      }
+      val docsPerGram = grams.toSeq
+        .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val expected = toks.map { case (id, ts) =>
+        val covered = scala.collection.mutable.Set[Int]()
+        grams(id).foreach { case (s, g) =>
+          if (docsPerGram(g) >= 2) (s until s + 5).foreach(covered += _)
+        }
+        id -> ((ts.size.toLong, covered.size.toLong))
+      }
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("dup-span filter drops over-threshold docs, keeps clean and short ones") {
     val corpus = Seq(
       (10L, "a b c d e f g h", "en", 15L),   // coverage 0.75 -> dropped

@@ -100,4 +100,40 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("channels") > 0)
     }
   }
+
+  test("wav parser: canonical file, chunk-walk past a LIST chunk, garbage -> NULL") {
+    import graft.functions.WavHeader
+    def f(b: Array[Byte], sel: Int): Integer = WavHeader.field(b, sel)
+    val wav = Multimodal.encodeWav(channels = 2, sampleRate = 44100, bits = 16, nSamples = 10)
+    assert(f(wav, WavHeader.Channels) === 2)
+    assert(f(wav, WavHeader.SampleRate) === 44100)
+    assert(f(wav, WavHeader.BitsPerSample) === 16)
+    assert(f(wav, WavHeader.DataBytes) === 40) // 10 samples x 2 ch x 2 bytes
+    // non-canonical layout: a LIST chunk between WAVE and fmt must be walked
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val shifted = wav.take(12) ++ list ++ wav.drop(12)
+    // RIFF size field now stale, but the walker only trusts chunk bounds
+    assert(f(shifted, WavHeader.SampleRate) === 44100)
+    assert(f(shifted, WavHeader.DataBytes) === 40)
+    // garbage and truncation classify as NULL, never throw
+    assert(f("not audio at all".getBytes, WavHeader.Channels) === null)
+    assert(f(wav.take(20), WavHeader.Channels) === null)
+    assert(f(Array.empty[Byte], WavHeader.SampleRate) === null)
+    // a WAV with no data chunk: fmt fields parse, data is NULL
+    assert(f(wav.take(36), WavHeader.BitsPerSample) === 16)
+    assert(f(wav.take(36), WavHeader.DataBytes) === null)
+  }
+
+  test("realAudioMeta round trip on the documents table") {
+    val out = Multimodal.realAudioMeta(spark,
+      Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("channels") === (id % 2 + 1).toInt)
+      assert(r.getAs[Int]("sample_rate") === Array(8000, 16000, 44100)((id % 3).toInt))
+      assert(r.getAs[Int]("n_samples") ===
+        r.getAs[Int]("data_bytes") / (r.getAs[Int]("channels") * r.getAs[Int]("bits_per_sample") / 8))
+    }
+  }
 }

@@ -16,6 +16,8 @@ class StreamingSpec extends SparkSpec {
   private case class Ev(visitorid: String, event_time: java.sql.Timestamp,
                         event: String, itemid: String)
 
+  private case class Doc(text: String, event_time: java.sql.Timestamp)
+
   test("foreachBatch parity: sessions split at batch boundaries, ids collide") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
@@ -90,6 +92,30 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     // counts span both batches: the aggregator state merged, not reset
     assert(top === Seq(("hot", 3L), ("cold", 1L)))
+  }
+
+  test("streaming near-dup: equal-sketch docs are suppressed across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = StreamDedup.bySimhashWithinWatermark(ms.toDF(), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_stream").start()
+    val same = "the quick brown fox jumps over the lazy dog today"
+    val other = "completely different words about shuffles and partitions here"
+    try {
+      ms.addData(Doc(same, ts(10)), Doc(other, ts(20)))
+      q.processAllAvailable()
+      // identical text in a LATER batch -> same sketch -> suppressed
+      ms.addData(Doc(same, ts(30)), Doc(other + " extended", ts(40)))
+      q.processAllAvailable()
+      // flush: watermark-held rows emit once a far-future event advances it
+      ms.addData(Doc("flush marker far in the future", ts(100000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.table("neardup_stream").collect().map(_.getAs[String]("text"))
+    assert(texts.count(_ == same) === 1)
+    assert(texts.count(_.startsWith("completely different")) === 2)
+    // the sketch column rides along for downstream audit
+    assert(spark.table("neardup_stream").columns.contains("simhash"))
   }
 
   test("streaming sample: bottom-k state is order-insensitive across micro-batches") {
