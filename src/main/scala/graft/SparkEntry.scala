@@ -154,6 +154,8 @@ object SparkEntry {
     "q_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
     "q_sample_bottomk" -> ((s, d) => TextAnalysis.bottomKSample(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
+    "q_key_skew" -> ((s, d) => TextAnalysis.keySkewProfile(Tables.events(s, d), "user_id")),
     "q_incremental_rollup" -> (graft.ext.Incremental.eventRollupIncremental _),
     "q_ohlc_resample" -> ((s, d) => MinuteStats.ohlcResample(Tables.events(s, d))),
     "q_sliding_counts" -> ((s, d) => MinuteStats.slidingEventCounts(cs(s, d))),
@@ -1118,6 +1120,43 @@ object SparkEntry {
         |) SELECT doc_id, chunk_id, chunk_start,
         |  CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(ctoks, ' ') AS chunk_text FROM ch""".stripMargin),
+    // Heaps-law curve: first occurrence = min(doc_id) per token (order-free
+    // aggregation); windows run over the BUCKET grain only
+    "q_vocab_growth" -> (TOK +
+      """, fs AS (
+        |  SELECT token, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM tok) GROUP BY token
+        |), nb AS (
+        |  SELECT first_doc - first_doc % 100 AS bucket_start, count(*) AS n_new_tokens
+        |  FROM fs GROUP BY 1
+        |), ob AS (
+        |  SELECT doc_id - doc_id % 100 AS bucket_start, count(*) AS n_docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS n_occurrences
+        |  FROM tok GROUP BY 1
+        |) SELECT o.bucket_start, o.n_docs,
+        |  CAST(coalesce(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens, o.n_occurrences,
+        |  CAST(sum(coalesce(n.n_new_tokens, 0)) OVER (ORDER BY o.bucket_start) AS BIGINT) AS vocab_size,
+        |  CAST(sum(o.n_occurrences) OVER (ORDER BY o.bucket_start) AS BIGINT) AS tokens_seen
+        |FROM ob o LEFT JOIN nb n USING (bucket_start)""".stripMargin),
+    // entropy as an INTEGER sum of per-key micro-unit terms (order-free);
+    // the ratios are exact-integer divisions, ln rounds once per term
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows_t FROM c),
+        |e AS (
+        |  SELECT c.c, t.n_rows_t,
+        |    CAST(round((CAST(c.c AS DOUBLE) / CAST(t.n_rows_t AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(t.n_rows_t AS DOUBLE))
+        |      * (-1000000.0)) AS BIGINT) AS term_e6
+        |  FROM c, t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(min(n_rows_t) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(min(n_rows_t) AS DOUBLE), 6) AS top1_share,
+        |  CAST(sum(term_e6) AS DOUBLE) / 1000000.0 AS entropy
+        |FROM e""".stripMargin,
     // the window form the bounded aggregator replaces — md5-of-id order is
     // the shared deterministic randomness
     "q_sample_bottomk" ->

@@ -839,6 +839,72 @@ object TextAnalysis {
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
 
+  /**
+   * Vocabulary-growth curve (the empirical Heaps'-law measurement a
+   * tokenizer-sizing pass runs): corpus read in doc_id order, bucketed
+   * every `bucketDocs` documents; per bucket, the number of NEVER-before-
+   * seen tokens and the running vocabulary/occurrence totals. A token's
+   * first occurrence is `min(doc_id)` over its postings — an aggregation,
+   * not a scan-order dependency, so the measurement is deterministic under
+   * any partitioning.
+   *
+   * Scale shape: one token-grain hash agg (min doc per token), one
+   * occurrence-count agg, then windows over the BUCKET grain only
+   * (corpus_docs / bucketDocs rows — thousands, not billions).
+   */
+  def vocabGrowth(docs: DataFrame, bucketDocs: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = withTokens(docs)
+    val firstSeen = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy((col("first_doc") - col("first_doc") % bucketDocs).as("bucket_start"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    val occ = toks
+      .groupBy((col("doc_id") - col("doc_id") % bucketDocs).as("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("n_occurrences"))
+    val w = Window.orderBy(col("bucket_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(firstSeen, Seq("bucket_start"), "left")
+      .select(col("bucket_start"), col("n_docs"),
+        coalesce(col("n_new_tokens"), lit(0L)).cast("long").as("n_new_tokens"),
+        col("n_occurrences"))
+      .withColumn("vocab_size", sum(col("n_new_tokens")).over(w).cast("long"))
+      .withColumn("tokens_seen", sum(col("n_occurrences")).over(w).cast("long"))
+  }
+
+  /**
+   * Key-skew profile — the "do I need to salt this join/agg?" diagnostic,
+   * one row per profiled column: distinct-key count, max and top-1 share
+   * of the hottest key, and the Shannon entropy of the key distribution
+   * (ln units, 6-dp rounded; uniform → ln(n_keys), a single hot key → 0).
+   * Runs entirely on the aggregated key grain: one hash agg over the
+   * data, then one pass over |keys| rows — the profile itself never
+   * shuffles the raw table twice.
+   */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n_rows_t"))
+    // each key's -p·ln(p) term is rounded to micro-units and summed as an
+    // INTEGER — double summation is order-dependent across partitionings,
+    // an integer sum of per-term-rounded values is not (the same trick as
+    // the integer PageRank); one final division rescales
+    counts.crossJoin(broadcast(tot))
+      .withColumn("term_e6", round(
+        (col("c").cast("double") / col("n_rows_t").cast("double")) *
+          log(col("c").cast("double") / col("n_rows_t").cast("double")) *
+          lit(-1000000.0)).cast("long"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_count"),
+        min(col("n_rows_t")).as("n_rows"),
+        sum(col("term_e6")).as("entropy_e6"))
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        round(col("max_count").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top1_share"),
+        (col("entropy_e6").cast("double") / lit(1000000.0)).as("entropy"))
+  }
+
   /** Document-length histogram in fixed-width buckets. */
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 100): DataFrame =
     docs.groupBy((floor(col("n_chars") / bucketWidth) * bucketWidth).as("bucket_start"))

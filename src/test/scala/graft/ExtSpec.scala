@@ -684,6 +684,31 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a b c")))
   }
 
+  test("vocab growth: first-occurrence buckets, running vocabulary, short corpus") {
+    val corpus = Seq(
+      (0L, "a b", "en"), (1L, "a c", "en"),   // bucket 0: new a,b,c
+      (2L, "b d", "en"), (3L, "d e", "en"))   // bucket 2: new d,e
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.vocabGrowth(corpus, bucketDocs = 2L).collect()
+      .map(r => (r.getAs[Long]("bucket_start"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_new_tokens"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("vocab_size"), r.getAs[Long]("tokens_seen")))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 2L, 3L, 4L, 3L, 4L), (2L, 2L, 2L, 4L, 5L, 8L)))
+  }
+
+  test("key-skew profile: uniform keys hit ln(n) entropy, a constant key hits 0") {
+    val uniform = (1 to 400).map(i => ("k" + (i % 8), i)).toDF("key", "v")
+    val u = TextAnalysis.keySkewProfile(uniform, "key").collect().head
+    assert(u.getAs[Long]("n_keys") === 8L)
+    assert(u.getAs[Long]("n_rows") === 400L)
+    assert(u.getAs[Double]("top1_share") === 0.125)
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(8)) < 1e-5)
+    val constant = (1 to 50).map(i => ("only", i)).toDF("key", "v")
+    val c = TextAnalysis.keySkewProfile(constant, "key").collect().head
+    assert(c.getAs[Double]("entropy") === 0.0 && c.getAs[Double]("top1_share") === 1.0)
+  }
+
   test("bottom-k sample: equals the window formulation, bounded per group, deterministic") {
     val corpus = (0L until 40L).map(i =>
       (i, s"doc number $i text", if (i % 3 == 0) "en" else "fr"))
