@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, broadcast, col, concat_ws, count, expr, lit, md5, round}
+import org.apache.spark.sql.functions.{abs, broadcast, col, concat, concat_ws, count, expr, lit, md5, round, when}
 
 import graft.analytics._
 import graft.clean.CleanStage
@@ -162,6 +162,17 @@ object SparkEntry {
     "q_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     "q_doclen_quantiles" -> ((s, d) => TextAnalysis.doclenQuantiles(Tables.documents(s, d))),
     "q_neardup_dedup" -> ((s, d) => Dedup.dropNearDups(Tables.documents(s, d))),
+    "q_neardup_keepbest" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
+    // snapshot diff demo: "old" dump misses doc_id%7==0, "new" misses %5==0
+    // and carries a v2 edit on %11==0 — every status class populated
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.corpusDiff(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    }),
     "q_neardup_components" -> ((s, d) => Dedup.nearDupComponents(Tables.documents(s, d))),
     "q_ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
@@ -1226,6 +1237,30 @@ object SparkEntry {
     // exactly the min-label-propagation fixpoint the Spark side iterates to
     "q_neardup_components" ->
       (NEARDUP_REACH + " SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id"),
+    // keep-best policy: longest doc per duplicate cluster (n_chars desc,
+    // doc_id asc) — same component labels as q_neardup_components
+    "q_neardup_keepbest" -> (NEARDUP_REACH +
+      """, comp AS (
+        |  SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id
+        |), rk AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, comp.component,
+        |    row_number() OVER (PARTITION BY comp.component
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        |  FROM documents d JOIN comp USING (doc_id)
+        |) SELECT doc_id, lang, n_chars, component FROM rk WHERE rk = 1""".stripMargin),
+    // snapshot diff: statuses from content-hash comparison over the same
+    // deterministic old/new derivation the engine runs
+    "q_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+        |), n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |) SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // duplicate-cluster size census: components → sizes → size histogram
     "q_component_sizes" -> (NEARDUP_REACH +
       """, comp AS (

@@ -523,6 +523,51 @@ object Dedup {
           col("n_tokens").cast("double")).as("dup_coverage"))
   }
 
+  /**
+   * Near-dup collapse keeping the BEST representative per duplicate
+   * cluster rather than the arbitrary minimum id ([[dropNearDups]]):
+   * within each connected component of the near-dup graph
+   * ([[nearDupComponents]]), keep the longest document (n_chars desc,
+   * doc_id asc tiebreak — a stand-in for any quality score). This is the
+   * production dedup policy: near-duplicate crawls keep the most complete
+   * capture, not whichever arrived with the smallest id.
+   *
+   * Scale shape: the component labeling is the bounded label-propagation
+   * core; the winner election is a window PARTITIONED by component —
+   * groups are duplicate clusters, inherently small (and capped upstream
+   * by the banding guards).
+   */
+  def dedupKeepBest(docs: DataFrame, threshold: Double = 0.5,
+                    shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = nearDupComponents(docs, threshold, shingleSize)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.join(comp, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("component"))
+  }
+
+  /**
+   * Corpus snapshot diff — dataset versioning for training-data dumps:
+   * full-outer join of two snapshots on doc_id comparing portable content
+   * hashes → per-doc status `added` / `removed` / `changed` / `unchanged`.
+   * One shuffle join carrying only (id, md5); at 100 TB this is how a
+   * monthly crawl refresh reports what actually moved before any
+   * reprocessing is scheduled.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** The filter action on [[dupSpanCoverage]]: drop documents whose
     * duplicated-span coverage exceeds `maxCoverage` (the Lee et al. '21
     * pipeline step — remove texts that mostly exist elsewhere, keep the

@@ -620,6 +620,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("keep-best dedup elects the longest doc per cluster; corpus diff labels all statuses") {
+    // docs fixture: 0,1,3 form a near-dup cluster (0 and 3 exact); 2 alone.
+    // lengths equal -> doc_id asc tiebreak elects 0; 2 survives as itself
+    val withChars = docs.withColumn("n_chars",
+      org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))
+    val kept = Dedup.dedupKeepBest(withChars).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq === Seq(0L, 2L))
+    val old = withChars.filter($"doc_id" =!= 3L)
+    val nw = withChars.filter($"doc_id" =!= 2L)
+      .withColumn("text", org.apache.spark.sql.functions.when($"doc_id" === 1L,
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" v2"))).otherwise($"text"))
+    val st = Dedup.corpusDiff(old, nw).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(st === Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed", 3L -> "added"))
+  }
+
   test("dup-span filter drops over-threshold docs, keeps clean and short ones") {
     val corpus = Seq(
       (10L, "a b c d e f g h", "en", 15L),   // coverage 0.75 -> dropped
