@@ -351,11 +351,20 @@ object SparkEntry {
     * membership keys where 32 bits would saturate at corpus scale. */
   private def h60(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** documents + lower-cased whitespace tokens (== TextAnalysis.withTokens). */
+  private val TOK =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, text,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
   /** Duplicated-span coverage chain (== Dedup.dupSpanCoverage): 5-gram
     * occurrences as 60-bit hashes, cross-doc census, interval-union
     * window, per-doc covered sums in `pd` — shared by q_dup_spans and its
-    * filter action. */
-  private lazy val DUPSPAN = TOK +
+    * filter action. (Declared AFTER the strict TOK it splices in —
+    * initialization order, not alphabetical taste.) */
+  private val DUPSPAN = TOK +
     s""", occ0 AS (
       |  SELECT doc_id, toks, unnest(range(len(toks)-4)) AS s
       |  FROM tok WHERE len(toks) >= 5
@@ -375,14 +384,6 @@ object SparkEntry {
       |  FROM hit
       |), pd AS (SELECT doc_id, sum(new_cov) AS covered FROM cov GROUP BY doc_id)
       |""".stripMargin
-
-  /** documents + lower-cased whitespace tokens (== TextAnalysis.withTokens). */
-  private val TOK =
-    """WITH tok AS (
-      |  SELECT doc_id, lang, text,
-      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      |  FROM documents
-      |)""".stripMargin
 
   /** + distinct word-3-gram shingles (== TextAnalysis.withShingles). */
   private val SH = TOK +
@@ -1258,8 +1259,8 @@ object SparkEntry {
         |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
         |  FROM documents WHERE doc_id % 5 <> 0
         |) SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-        |  CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
-        |       WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+        |  CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged' ELSE 'changed' END AS status
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // duplicate-cluster size census: components → sizes → size histogram
     "q_component_sizes" -> (NEARDUP_REACH +

@@ -558,13 +558,18 @@ object Dedup {
    * reprocessing is scheduled.
    */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"))
-    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    // presence comes from explicit flags, NOT hash nullness: md5(NULL) is
+    // NULL, so a NULL-text doc present in both snapshots must still read
+    // as unchanged (null-safe hash compare), never as added/removed
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"),
+      lit(true).as("in_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_hash"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") === col("new_hash"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("old_hash") <=> col("new_hash"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -154,12 +154,21 @@ abstract class BoundedBestK(k: Int)
   /** True when `a` outranks `b` — MUST be a strict total order. */
   protected def beats(a: (String, Long), b: (String, Long)): Boolean
 
+  /** When true, an element equal to one already buffered is NOT inserted
+    * again — set-semantics bottom-k/top-k. Required when the same element
+    * can arrive many times (stream keys); inconsequential when inputs are
+    * already at the element grain. */
+  protected def distinctElements: Boolean = false
+
   override def zero: List[(String, Long)] = Nil
 
-  // buffer kept best-first and trimmed to k — insertion keeps it sorted
+  // buffer kept best-first and trimmed to k — insertion keeps it sorted;
+  // under a strict total order an equal element sits exactly at the
+  // insertion point, so the duplicate check is O(1) there
   override def reduce(buf: List[(String, Long)], x: (String, Long)): List[(String, Long)] = {
     val (better, worse) = buf.span(beats(_, x))
-    (better ::: x :: worse).take(k)
+    if (distinctElements && worse.headOption.contains(x)) buf
+    else (better ::: x :: worse).take(k)
   }
 
   override def merge(a: List[(String, Long)], b: List[(String, Long)]): List[(String, Long)] = {
@@ -168,7 +177,9 @@ abstract class BoundedBestK(k: Int)
     var (xa, xb) = (a, b)
     var n = 0
     while (n < k && (xa.nonEmpty || xb.nonEmpty)) {
-      if (xb.isEmpty || (xa.nonEmpty && beats(xa.head, xb.head))) {
+      if (distinctElements && xa.nonEmpty && xb.nonEmpty && xa.head == xb.head) {
+        out += xa.head; xa = xa.tail; xb = xb.tail
+      } else if (xb.isEmpty || (xa.nonEmpty && beats(xa.head, xb.head))) {
         out += xa.head; xa = xa.tail
       } else { out += xb.head; xb = xb.tail }
       n += 1
@@ -216,4 +227,9 @@ class BottomKSample(k: Int) extends BoundedBestK(k) {
   /** Smaller sort key first; id asc tiebreak (md5 collisions included). */
   override protected def beats(a: (String, Long), b: (String, Long)): Boolean =
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** Set semantics: a key arriving many times (stream dedup keys, repeated
+    * ids) fills ONE slot, not k — the sample stays a k-subset of the
+    * DISTINCT elements, which is what "uniform sample" promises. */
+  override protected def distinctElements: Boolean = true
 }

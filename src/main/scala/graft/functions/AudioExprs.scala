@@ -68,7 +68,11 @@ object WavHeader {
       if (d < 0) null
       else {
         val size = le32(b, d - 4)
-        if (size > Int.MaxValue) null else Integer.valueOf(size.toInt)
+        // a declared size the payload can't back is truncation → NULL
+        // (same contract as the fmt fields); a consumer sizing a read
+        // buffer from this value must never over-read
+        if (size > Int.MaxValue || d + size > b.length) null
+        else Integer.valueOf(size.toInt)
       }
     } else {
       val fmt = findChunk(b, "fmt ")

@@ -67,13 +67,20 @@ object StreamDedup {
                                watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.SketchExprs.register(docs.sparkSession)
-    docs
-      .withColumn("toks", split(trim(lower(col(textCol))), "\\s+"))
-      .filter(size(col("toks")) > 0)
+    // this is a pass-through FILTER: docs it cannot sketch (NULL text)
+    // must still flow out, not silently vanish — they bypass the dedup
+    // with a NULL sketch (a NULL text is not a near-duplicate of anything
+    // sketchable). Tokenization is the shared canonical rule, so stream
+    // and batch sketches can never drift.
+    val sketchable = graft.ext.TextAnalysis
+      .withTokens(docs.filter(col(textCol).isNotNull), textCol)
       .withColumn("simhash", expr("graft_simhash32(graft_token_hash(toks))"))
       .drop("toks")
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
+    val passthrough = docs.filter(col(textCol).isNull)
+      .withColumn("simhash", lit(null).cast("long"))
+    sketchable.unionByName(passthrough)
   }
 }
 

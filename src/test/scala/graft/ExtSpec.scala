@@ -635,6 +635,14 @@ class ExtSpec extends SparkSpec {
     val st = Dedup.corpusDiff(old, nw).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
     assert(st === Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed", 3L -> "added"))
+    // presence must come from the join, not hash nullness: a NULL-text doc
+    // in both snapshots is unchanged; NULL-text present on one side only
+    // still classifies by presence
+    val nt = Seq((7L, null.asInstanceOf[String], "en"), (8L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val stNull = Dedup.corpusDiff(nt, nt.filter($"doc_id" === 7L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(stNull === Map(7L -> "unchanged", 8L -> "removed"))
   }
 
   test("dup-span filter drops over-threshold docs, keeps clean and short ones") {

@@ -122,6 +122,10 @@ class MultimodalSpec extends SparkSpec {
     // a WAV with no data chunk: fmt fields parse, data is NULL
     assert(f(wav.take(36), WavHeader.BitsPerSample) === 16)
     assert(f(wav.take(36), WavHeader.DataBytes) === null)
+    // truncated mid-data: declared size has no backing payload -> NULL,
+    // a consumer sizing a read buffer from it must never over-read
+    assert(f(wav.take(50), WavHeader.DataBytes) === null)
+    assert(f(wav.take(50), WavHeader.SampleRate) === 44100)
   }
 
   test("realAudioMeta round trip on the documents table") {

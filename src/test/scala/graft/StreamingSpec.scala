@@ -104,16 +104,22 @@ class StreamingSpec extends SparkSpec {
     try {
       ms.addData(Doc(same, ts(10)), Doc(other, ts(20)))
       q.processAllAvailable()
-      // identical text in a LATER batch -> same sketch -> suppressed
-      ms.addData(Doc(same, ts(30)), Doc(other + " extended", ts(40)))
+      // identical text in a LATER batch -> same sketch -> suppressed;
+      // NULL text is unsketchable and must PASS THROUGH, never vanish
+      ms.addData(Doc(same, ts(30)), Doc(other + " extended", ts(40)),
+        Doc(null, ts(45)), Doc(null, ts(46)))
       q.processAllAvailable()
       // flush: watermark-held rows emit once a far-future event advances it
       ms.addData(Doc("flush marker far in the future", ts(100000)))
       q.processAllAvailable()
     } finally q.stop()
-    val texts = spark.table("neardup_stream").collect().map(_.getAs[String]("text"))
+    val rows = spark.table("neardup_stream").collect()
+    val texts = rows.map(_.getAs[String]("text"))
     assert(texts.count(_ == same) === 1)
-    assert(texts.count(_.startsWith("completely different")) === 2)
+    assert(texts.count(t => t != null && t.startsWith("completely different")) === 2)
+    // both NULL-text docs flow out with a NULL sketch (not dedup'd away)
+    assert(rows.count(r => r.getAs[String]("text") == null
+      && r.isNullAt(r.fieldIndex("simhash"))) === 2)
     // the sketch column rides along for downstream audit
     assert(spark.table("neardup_stream").columns.contains("simhash"))
   }
@@ -125,8 +131,10 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("complete").format("memory").queryName("sample_stream").start()
     val items = (1 to 10).map(i => s"item$i")
     try {
-      // two cuts, reverse order — the final sample must not care
+      // two cuts, reverse order — the final sample must not care; item1
+      // repeats many times and must still fill at most ONE slot
       ms.addData(items.drop(6).map(it => Ev("u", ts(1), "view", it)): _*)
+      ms.addData((1 to 20).map(i => Ev("u", ts(1), "view", "item1")): _*)
       q.processAllAvailable()
       ms.addData(items.take(6).map(it => Ev("u", ts(2), "view", it)): _*)
       q.processAllAvailable()
