@@ -151,6 +151,7 @@ object SparkEntry {
     // -- round 6: span-level dedup, collocations, bounded-state sampling --
     "q_dup_spans" -> ((s, d) => Dedup.dupSpanCoverage(Tables.documents(s, d))),
     "q_dup_spans_filter" -> ((s, d) => Dedup.dropHighDupSpanDocs(Tables.documents(s, d))),
+    "q_dup_spans_remove" -> ((s, d) => Dedup.removeDupSpans(Tables.documents(s, d))),
     "q_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
     "q_sample_bottomk" -> ((s, d) => TextAnalysis.bottomKSample(Tables.documents(s, d))),
     "q_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
@@ -1082,6 +1083,29 @@ object SparkEntry {
         |  CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
         |  CAST(coalesce(p.covered, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE) AS dup_coverage
         |FROM tok t LEFT JOIN pd p USING (doc_id)""".stripMargin),
+    // the removal action: cut every covered token position, reassemble the
+    // text in position order (string_agg ORDER BY == Spark's sort_array
+    // over (pos, tok) structs); fully-cut docs keep an empty string
+    "q_dup_spans_remove" -> (DUPSPAN +
+      """, cpos AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, unnest(range(s, s+5)) AS p FROM hit)
+        |), tp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM tok)
+        |), keptp AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cpos c WHERE c.doc_id = tp.doc_id AND c.pos = tp.pos)
+        |), kt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text,
+        |    count(*) AS kept_tokens
+        |  FROM keptp GROUP BY doc_id
+        |) SELECT t.doc_id,
+        |  coalesce(k.scrubbed_text, '') AS scrubbed_text,
+        |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  CAST(len(t.toks) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens
+        |FROM tok t LEFT JOIN kt k USING (doc_id)""".stripMargin),
     // the filter action: drop docs whose span coverage exceeds 0.5; NULL
     // coverage (no duplicated gram) never enters the drop set
     "q_dup_spans_filter" -> (DUPSPAN +

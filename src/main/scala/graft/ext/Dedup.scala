@@ -573,6 +573,56 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /**
+   * Span REMOVAL — the full "Deduplicating Training Data" action
+   * ([[dupSpanCoverage]] is the measurement; this rewrites the text):
+   * every token position covered by a cross-document duplicated `n`-gram
+   * is cut, and the document is re-assembled from the surviving tokens
+   * (plus the count removed, for audit). Documents losing every token
+   * keep an empty string rather than disappearing — the corpus row set
+   * is stable through the rewrite.
+   *
+   * Scale shape: the dup census is the [[dupSpanCoverage]] core; covered
+   * positions explode ≤ n× the duplicated occurrences (linear); the
+   * rebuild is the ordered-array pattern proven by user_paths —
+   * sort_array over a per-doc collect_list of (pos, token) structs, one
+   * hash agg, no windows.
+   */
+  def removeDupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2 && n <= 32, s"span n-gram width out of range: $n")
+    val toks = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+    val parts = (0 until n).map(k => s"toks[s+$k]").mkString(", ")
+    val occ = toks
+      .where(col("n_tokens") >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks)-$n)")).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        expr(TextAnalysis.hash60Sql.format(s"concat_ws(' ', $parts)")).as("gh"))
+    val dup = occ.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).count()
+      .where(col("count") >= 2)
+      .select(col("gh"))
+    val covered = occ.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${n - 1})")).as("pos"))
+      .distinct()
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val kept = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr("concat_ws(' ', transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok))")
+        .as("scrubbed_text"),
+        count(lit(1)).as("kept_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"),
+        coalesce(col("kept_tokens"), lit(0L)).cast("long").as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).cast("long")
+          .as("removed_tokens"))
+  }
+
   /** The filter action on [[dupSpanCoverage]]: drop documents whose
     * duplicated-span coverage exceeds `maxCoverage` (the Lee et al. '21
     * pipeline step — remove texts that mostly exist elsewhere, keep the

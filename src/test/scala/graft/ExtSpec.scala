@@ -645,6 +645,23 @@ class ExtSpec extends SparkSpec {
     assert(stNull === Map(7L -> "unchanged", 8L -> "removed"))
   }
 
+  test("dup-span removal cuts exactly the covered positions, keeps order") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h", "en"),  // covered [0,5] -> keeps "g h"
+      (11L, "x a b c d e f y", "en"),  // covered [1,6] -> keeps "x y"
+      (12L, "p q r s t u v w", "en"),  // untouched
+      (13L, "a b c", "en"))            // too short for grams -> untouched
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.removeDupSpans(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("scrubbed_text"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("removed_tokens")))).toMap
+    assert(out(10L) === (("g h", 2L, 6L)))
+    assert(out(11L) === (("x y", 2L, 6L)))
+    assert(out(12L) === (("p q r s t u v w", 8L, 0L)))
+    assert(out(13L) === (("a b c", 3L, 0L)))
+  }
+
   test("dup-span filter drops over-threshold docs, keeps clean and short ones") {
     val corpus = Seq(
       (10L, "a b c d e f g h", "en", 15L),   // coverage 0.75 -> dropped

@@ -128,6 +128,30 @@ class MultimodalSpec extends SparkSpec {
     assert(f(wav.take(50), WavHeader.SampleRate) === 44100)
   }
 
+  test("header parsers never throw on arbitrary bytes (seeded fuzz)") {
+    import graft.functions.WavHeader
+    val rnd = new scala.util.Random(7)
+    val probes: Seq[Array[Byte]] =
+      (0 until 200).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b); b
+      } ++
+      // structured-prefix mutants: valid signatures with garbage after
+      (0 until 50).map { _ =>
+        val tail = new Array[Byte](rnd.nextInt(48)); rnd.nextBytes(tail)
+        "RIFF".getBytes ++ tail
+      } ++
+      (0 until 50).map { _ =>
+        val wav = Multimodal.encodeWav(1, 8000, 8, 4)
+        val i = rnd.nextInt(wav.length)
+        wav.updated(i, rnd.nextInt(256).toByte)
+      }
+    probes.foreach { b =>
+      (WavHeader.Channels to WavHeader.DataBytes).foreach(f => WavHeader.field(b, f))
+      ImageHeader.format(b)
+      (ImageHeader.Width to ImageHeader.Channels).foreach(f => ImageHeader.field(b, f))
+    }
+  }
+
   test("realAudioMeta round trip on the documents table") {
     val out = Multimodal.realAudioMeta(spark,
       Tables.documents(spark, "/root/testdata/sf0.001")).collect()
