@@ -144,6 +144,24 @@ class MultimodalSpec extends SparkSpec {
         val wav = Multimodal.encodeWav(1, 8000, 8, 4)
         val i = rnd.nextInt(wav.length)
         wav.updated(i, rnd.nextInt(256).toByte)
+      } ++
+      // image-side mutants: byte-flipped REAL png/bmp (past the signature,
+      // into the chunk/DIB parse paths) and valid-signature garbage tails
+      (0 until 50).map { _ =>
+        val png = realPng
+        png.updated(rnd.nextInt(png.length), rnd.nextInt(256).toByte)
+      } ++
+      (0 until 50).map { _ =>
+        val bmp = Multimodal.encodeBmp(3, 2, 24)
+        bmp.updated(rnd.nextInt(bmp.length), rnd.nextInt(256).toByte)
+      } ++
+      (0 until 25).map { _ =>
+        val tail = new Array[Byte](rnd.nextInt(30)); rnd.nextBytes(tail)
+        realPng.take(8) ++ tail // PNG signature, mangled IHDR region
+      } ++
+      (0 until 25).map { _ =>
+        val tail = new Array[Byte](rnd.nextInt(40)); rnd.nextBytes(tail)
+        "BM".getBytes ++ tail
       }
     probes.foreach { b =>
       (WavHeader.Channels to WavHeader.DataBytes).foreach(f => WavHeader.field(b, f))
