@@ -86,6 +86,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     // -- LLM-pipeline: deduplication --
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
+    "q_dedup_normalized" -> ((s, d) => Dedup.normalizedExactDedup(Tables.documents(s, d))),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardOnCandidates(Tables.documents(s, d))),
     "q_containment" -> ((s, d) => Dedup.containmentOnCandidates(Tables.documents(s, d))),
@@ -811,6 +812,21 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // normalized-exact: case-folded, punctuation-stripped, space-collapsed
+    // before hashing — regex classes chosen to evaluate identically in
+    // Java regex and RE2
+    "q_dedup_normalized" ->
+      """WITH nm AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM documents
+        |), cn AS (
+        |  SELECT norm_hash, min(doc_id) AS canonical_id, count(*) AS cluster_size
+        |  FROM nm GROUP BY norm_hash
+        |) SELECT nm.doc_id, cn.canonical_id, cn.cluster_size,
+        |  nm.doc_id <> cn.canonical_id AS is_dup
+        |FROM nm JOIN cn USING (norm_hash)""".stripMargin,
     "q_minhash_pairs" -> (MINHASH_PAIRS +
       """ SELECT pr.doc1, pr.doc2,
         |  len(list_filter(range(16), i -> s1.sig[i+1] = s2.sig[i+1])) / 16 AS est_jaccard

@@ -524,6 +524,30 @@ object Dedup {
   }
 
   /**
+   * Normalized-exact dedup — the fidelity between byte-exact and near-dup:
+   * case-folded, punctuation-stripped, whitespace-collapsed text hashed to
+   * a canonical form, so trivially-reformatted copies (capitalization,
+   * stray punctuation, double spaces) collapse that byte-exact dedup
+   * misses while true edits still separate. Emits every document with its
+   * cluster's canonical (minimum) doc_id and a dup flag — callers either
+   * filter `is_dup` or group on `canonical_id`.
+   *
+   * Scale shape: a narrow normalize+hash projection then one hash agg on
+   * the 16-byte digest joined back — the exactGroups shape with a
+   * normalization in front.
+   */
+  def normalizedExactDedup(docs: DataFrame): DataFrame = {
+    val normed = docs.select(col("doc_id"),
+      md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " "))).as("norm_hash"))
+    val canon = normed.groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cluster_size"))
+    normed.join(canon, "norm_hash")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /**
    * Near-dup collapse keeping the BEST representative per duplicate
    * cluster rather than the arbitrary minimum id ([[dropNearDups]]):
    * within each connected component of the near-dup graph

@@ -620,6 +620,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("normalized dedup collapses reformatted copies, keeps true edits apart") {
+    val corpus = Seq(
+      (0L, "The quick  brown fox!", "en"),
+      (1L, "the quick brown fox", "en"),     // same after normalization
+      (2L, "THE QUICK,   BROWN FOX.", "en"), // same after normalization
+      (3L, "the quick brown wolf", "en"))    // a real edit
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.normalizedExactDedup(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_dup")))).toMap
+    assert(out(0L) === ((0L, 3L, false)))
+    assert(out(1L) === ((0L, 3L, true)))
+    assert(out(2L) === ((0L, 3L, true)))
+    assert(out(3L) === ((3L, 1L, false)))
+  }
+
   test("keep-best dedup elects the longest doc per cluster; corpus diff labels all statuses") {
     // docs fixture: 0,1,3 form a near-dup cluster (0 and 3 exact); 2 alone.
     // lengths equal -> doc_id asc tiebreak elects 0; 2 survives as itself
