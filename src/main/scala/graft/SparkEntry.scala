@@ -122,6 +122,8 @@ object SparkEntry {
       Multimodal.realImageMeta(s, Tables.documents(s, d))),
     "q_multimodal_audio_meta" -> ((s, d) =>
       Multimodal.realAudioMeta(s, Tables.documents(s, d))),
+    "q_multimodal_pixels" -> ((s, d) =>
+      Multimodal.decodePixels(s, Tables.documents(s, d))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     // partition-wise decode path (deterministic stub features). The stub's
@@ -993,6 +995,23 @@ object SparkEntry {
         |    CASE (doc_id // 2) % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
         |  END AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+    // the engine decodes REAL PNG rasters via javax.imageio; the oracle is
+    // the pattern's closed form (x+y) mod 256 over the pixel grid — one
+    // division (exact ints) for the mean, identical in both engines
+    "q_multimodal_pixels" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        |    CAST(n_chars % 48 + 1 AS INTEGER) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, width, height,
+        |    unnest(flatten(list_transform(range(height), y ->
+        |      list_transform(range(width), x -> (x + y) % 256)))) AS v
+        |  FROM dims
+        |) SELECT doc_id, width, height,
+        |  CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(sum(v) AS DOUBLE) / CAST(width * CAST(height AS BIGINT) AS DOUBLE) AS pixel_mean
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
     // WAV layout mirror: the engine parses these fields back out of real
     // RIFF bytes; data_bytes = samples × channels × bytes/sample and
     // n_samples re-derives from the parsed fields (exact integers, so the

@@ -170,6 +170,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pattern PNG decodes pixel-exact through the JDK codec") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePngPattern(5, 4)))
+    assert(img.getWidth === 5 && img.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(img.getRaster.getSample(x, y, 0) === (x + y) % 256,
+        s"pixel ($x,$y)")
+  }
+
+  test("decodePixels: real raster decode matches the pattern's closed form") {
+    val out = Multimodal.decodePixels(spark,
+      Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val expect = (for (y <- 0 until h; x <- 0 until w) yield (x + y) % 256).map(_.toLong).sum
+      assert(r.getAs[Long]("pixel_sum") === expect, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Double]("pixel_mean") === expect.toDouble / (w.toLong * h))
+    }
+  }
+
   test("realAudioMeta round trip on the documents table") {
     val out = Multimodal.realAudioMeta(spark,
       Tables.documents(spark, "/root/testdata/sf0.001")).collect()
