@@ -814,14 +814,17 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    // normalized-exact: case-folded, punctuation-stripped, space-collapsed
-    // before hashing — regex classes chosen to evaluate identically in
-    // Java regex and RE2
+    // normalized-exact: non-alnum runs → one space, then trim; empty
+    // normalizations fall back to the raw hash, NULL text to per-doc keys
+    // (regex class chosen to evaluate identically in Java regex and RE2)
     "q_dedup_normalized" ->
       """WITH nm AS (
         |  SELECT doc_id,
-        |    md5(trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |    CASE WHEN text IS NULL THEN 'null:' || CAST(doc_id AS VARCHAR)
+        |      WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+        |        THEN 'raw:' || md5(text)
+        |      ELSE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    END AS norm_hash
         |  FROM documents
         |), cn AS (
         |  SELECT norm_hash, min(doc_id) AS canonical_id, count(*) AS cluster_size

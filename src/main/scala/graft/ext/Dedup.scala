@@ -537,9 +537,16 @@ object Dedup {
    * normalization in front.
    */
   def normalizedExactDedup(docs: DataFrame): DataFrame = {
+    // non-alnum RUNS become one space (so line-wrapping collapses instead
+    // of concatenating words); docs whose normalization is empty (non-Latin
+    // scripts, punctuation-only) fall back to the RAW content hash — they
+    // must not all merge into one fake cluster — and NULL-text docs get
+    // per-doc keys so every input row survives to the output
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     val normed = docs.select(col("doc_id"),
-      md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", ""), " +", " "))).as("norm_hash"))
+      when(col("text").isNull, concat(lit("null:"), col("doc_id").cast("string")))
+        .when(norm === "", concat(lit("raw:"), md5(col("text"))))
+        .otherwise(md5(norm)).as("norm_hash"))
     val canon = normed.groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cluster_size"))
     normed.join(canon, "norm_hash")

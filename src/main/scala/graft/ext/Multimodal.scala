@@ -40,6 +40,13 @@ final case class MediaFeatures(
  */
 object Multimodal {
 
+  /** Synthetic asset dimensions derived from doc columns — the ONE
+    * definition shared by the image-meta and pixel-decode passes (each
+    * oracle mirrors it; a drift between Scala copies would be invisible
+    * to compare because each copy is checked against its own mirror). */
+  private def assetDims(id: Long, nChars: Int): (Int, Int) =
+    ((id % 64).toInt + 1, (nChars % 48) + 1)
+
   /** Wrap the documents table as a media table: payload = UTF-8 bytes of
     * `text` standing in for an encoded asset. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
@@ -163,9 +170,13 @@ object Multimodal {
     * (each row = filter byte 0 + width×channels zero samples at bit depth
     * 8), IEND. Used as the genuine-bytes source for the header-parse
     * oracle query and as a test fixture generator. */
-  def encodePng(width: Int, height: Int, colorType: Int = 6): Array[Byte] =
+  def encodePng(width: Int, height: Int, colorType: Int = 6): Array[Byte] = {
+    // validate BEFORE the raster allocation: a negative or overflowing
+    // size must fail as "bad dims", not NegativeArraySizeException
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
     encodePngRaster(width, height, colorType,
       new Array[Byte](height * (1 + width * pngChannelCount(colorType))))
+  }
 
   /** REAL PNG carrying the deterministic grayscale test pattern
     * `pixel(x,y) = (x+y) mod 256` — the raster a pixel-decode pass can be
@@ -276,8 +287,13 @@ object Multimodal {
     docs.select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
       .as[(Long, Int)]
       .mapPartitions { it =>
+        // once per task, not per row: the default ImageIO disk cache wraps
+        // every read in a temp-FILE-backed stream — per-row disk I/O in a
+        // pass whose point is staying narrow and in-memory
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, nChars) =>
-          val bytes = encodePngPattern((id % 64).toInt + 1, (nChars % 48) + 1)
+          val (w0, h0) = assetDims(id, nChars)
+          val bytes = encodePngPattern(w0, h0)
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           val raster = img.getRaster
           val (w, h) = (img.getWidth, img.getHeight)
@@ -356,8 +372,7 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
       .as[(Long, Int)]
       .map { case (id, nChars) =>
-        val w = (id % 64).toInt + 1
-        val h = (nChars % 48) + 1
+        val (w, h) = assetDims(id, nChars)
         val payload =
           if (id % 2 == 0) encodePng(w, h, Array(6, 2, 0, 4)(((id / 2) % 4).toInt))
           else encodeBmp(w, h, Array(24, 32, 8)(((id / 2) % 3).toInt))

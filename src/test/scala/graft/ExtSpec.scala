@@ -623,18 +623,25 @@ class ExtSpec extends SparkSpec {
   test("normalized dedup collapses reformatted copies, keeps true edits apart") {
     val corpus = Seq(
       (0L, "The quick  brown fox!", "en"),
-      (1L, "the quick brown fox", "en"),     // same after normalization
-      (2L, "THE QUICK,   BROWN FOX.", "en"), // same after normalization
-      (3L, "the quick brown wolf", "en"))    // a real edit
+      (1L, "the quick brown fox", "en"),      // same after normalization
+      (2L, "THE QUICK,\n  BROWN FOX.", "en"), // line-wrapped copy collapses too
+      (3L, "the quick brown wolf", "en"),     // a real edit
+      (4L, "!!!", "en"),                      // empty normalization: raw-hash fallback
+      (5L, "???", "en"),                      // ...so these two must NOT merge
+      (6L, null.asInstanceOf[String], "en"))  // NULL text survives as its own row
       .toDF("doc_id", "text", "lang")
     val out = Dedup.normalizedExactDedup(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"),
           r.getAs[Boolean]("is_dup")))).toMap
+    assert(out.size === 7)
     assert(out(0L) === ((0L, 3L, false)))
     assert(out(1L) === ((0L, 3L, true)))
     assert(out(2L) === ((0L, 3L, true)))
     assert(out(3L) === ((3L, 1L, false)))
+    assert(out(4L) === ((4L, 1L, false)))
+    assert(out(5L) === ((5L, 1L, false)))
+    assert(out(6L) === ((6L, 1L, false)))
   }
 
   test("keep-best dedup elects the longest doc per cluster; corpus diff labels all statuses") {
