@@ -124,6 +124,8 @@ object SparkEntry {
       Multimodal.realAudioMeta(s, Tables.documents(s, d))),
     "q_multimodal_pixels" -> ((s, d) =>
       Multimodal.decodePixels(s, Tables.documents(s, d))),
+    "q_multimodal_conv" -> ((s, d) =>
+      Multimodal.decodeConvFeatures(s, Tables.documents(s, d))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     // partition-wise decode path (deterministic stub features). The stub's
@@ -998,6 +1000,38 @@ object SparkEntry {
         |    CASE (doc_id // 2) % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
         |  END AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+    // conv bank over REAL decoded rasters: pattern (x+2y) mod 256 depends
+    // only on t = x+2y, so each kernel's response collapses to a linear
+    // combination of m(d) = (t+d) mod 256 over tap-offset sums d = i+2j;
+    // LEFT JOIN keeps no-interior docs (w<3 or h<3) at zero response
+    "q_multimodal_conv" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+        |    CAST(n_chars % 48 + 1 AS INTEGER) AS h
+        |  FROM documents
+        |), cells AS (
+        |  SELECT doc_id, CAST(p % w AS BIGINT) AS x, CAST(p // w AS BIGINT) AS y
+        |  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM dims)
+        |  WHERE p % w BETWEEN 1 AND w - 2 AND p // w BETWEEN 1 AND h - 2
+        |), f AS (
+        |  SELECT doc_id,
+        |    (x+2*y-3)%256 AS m3, (x+2*y-2)%256 AS m2, (x+2*y-1)%256 AS m1,
+        |    (x+2*y)%256 AS m0, (x+2*y+1)%256 AS p1, (x+2*y+2)%256 AS p2,
+        |    (x+2*y+3)%256 AS p3
+        |  FROM cells
+        |), agg AS (
+        |  SELECT doc_id,
+        |    sum(m3 + m2 + 2*m1 + m0 + 2*p1 + p2 + p3) AS b,
+        |    sum(-m3 - m1 + p1 + p3) AS sx,
+        |    sum(-m3 - 2*m2 - m1 + p1 + 2*p2 + p3) AS sy,
+        |    sum(m2 + m1 - 4*m0 + p1 + p2) AS lp
+        |  FROM f GROUP BY doc_id
+        |) SELECT d.doc_id, d.w AS width, d.h AS height,
+        |  CAST(coalesce(a.b, 0) AS BIGINT) AS f_box,
+        |  CAST(coalesce(a.sx, 0) AS BIGINT) AS f_sobel_x,
+        |  CAST(coalesce(a.sy, 0) AS BIGINT) AS f_sobel_y,
+        |  CAST(coalesce(a.lp, 0) AS BIGINT) AS f_laplace
+        |FROM dims d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // the engine decodes REAL PNG rasters via javax.imageio; the oracle is
     // the pattern's closed form (x+y) mod 256 over the pixel grid — one
     // division (exact ints) for the mean, identical in both engines

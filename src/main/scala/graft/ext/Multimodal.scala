@@ -179,10 +179,12 @@ object Multimodal {
   }
 
   /** REAL PNG carrying the deterministic grayscale test pattern
-    * `pixel(x,y) = (x+y) mod 256` — the raster a pixel-decode pass can be
-    * certified against in closed form (the zero raster would let a broken
-    * decoder pass trivially). */
-  def encodePngPattern(width: Int, height: Int): Array[Byte] = {
+    * `pixel(x,y) = (x + yCoef·y) mod 256` — a raster a pixel-decode pass
+    * can be certified against in closed form (the zero raster would let a
+    * broken decoder pass trivially). `yCoef = 2` breaks the x/y symmetry
+    * so direction-sensitive checks (Sobel-x vs Sobel-y) certify
+    * independently; the default 1 is the q_multimodal_pixels pattern. */
+  def encodePngPattern(width: Int, height: Int, yCoef: Int = 1): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     val raw = new Array[Byte](height * (1 + width))
     var i = 0
@@ -191,7 +193,7 @@ object Multimodal {
       raw(i) = 0 // per-row filter byte: None
       i += 1
       var x = 0
-      while (x < width) { raw(i) = ((x + y) % 256).toByte; i += 1; x += 1 }
+      while (x < width) { raw(i) = ((x + yCoef * y) % 256).toByte; i += 1; x += 1 }
       y += 1
     }
     encodePngRaster(width, height, 0, raw)
@@ -308,6 +310,66 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "width", "height", "pixel_sum", "pixel_mean")
+  }
+
+  /** Fixed 3×3 kernels for [[decodeConvFeatures]] — box, Sobel-x, Sobel-y,
+    * Laplacian. Integer taps ⇒ exact arithmetic, so the oracle can state
+    * the expected response in closed form. Row-major (j = row offset). */
+  private val ConvKernels: Array[Array[Int]] = Array(
+    Array(1, 1, 1, 1, 1, 1, 1, 1, 1),     // box
+    Array(-1, 0, 1, -2, 0, 2, -1, 0, 1),  // sobel-x
+    Array(-1, -2, -1, 0, 0, 0, 1, 2, 1),  // sobel-y
+    Array(0, 1, 0, 1, -4, 1, 0, 1, 0))    // laplacian
+
+  /**
+   * REAL feature extraction over REAL decoded pixels — closes the last
+   * stubbed layer: the raster comes out of `javax.imageio` (true PNG
+   * decode, as in [[decodePixels]]) and a fixed-weight 3×3 convolution
+   * bank (box / Sobel-x / Sobel-y / Laplacian, integer taps, valid region
+   * only) reduces it to one global response sum per kernel — a genuine,
+   * deterministic image descriptor with no model weights to ship. The
+   * oracle restates each response in closed form over the pattern raster,
+   * so a decoder OR extractor that mis-reads any pixel hash-mismatches.
+   *
+   * Scale shape: identical to [[decodePixels]] — one narrow mapPartitions
+   * pass, decoder configured once per task, zero shuffles.
+   */
+  def decodeConvFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, nChars) =>
+          val (w, h) = assetDims(id, nChars)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodePngPattern(w, h, yCoef = 2)))
+          val raster = img.getRaster
+          val sums = new Array[Long](ConvKernels.length)
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              var k = 0
+              while (k < ConvKernels.length) {
+                val taps = ConvKernels(k)
+                var acc = 0L
+                var t = 0
+                while (t < 9) {
+                  acc += taps(t) * raster.getSample(x + t % 3 - 1, y + t / 3 - 1, 0)
+                  t += 1
+                }
+                sums(k) += acc
+                k += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, sums(0), sums(1), sums(2), sums(3))
+        }
+      }
+      .toDF("doc_id", "width", "height", "f_box", "f_sobel_x", "f_sobel_y", "f_laplace")
   }
 
   /**

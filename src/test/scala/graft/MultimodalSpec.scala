@@ -191,6 +191,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("conv features: real decode + kernel bank matches a brute-force reference") {
+    val out = Multimodal.decodeConvFeatures(spark,
+      Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(out.nonEmpty)
+    val kernels = Seq(
+      ("f_box", Array(1, 1, 1, 1, 1, 1, 1, 1, 1)),
+      ("f_sobel_x", Array(-1, 0, 1, -2, 0, 2, -1, 0, 1)),
+      ("f_sobel_y", Array(-1, -2, -1, 0, 0, 0, 1, 2, 1)),
+      ("f_laplace", Array(0, 1, 0, 1, -4, 1, 0, 1, 0)))
+    var sawInterior = false
+    var sawEmpty = false
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      def v(x: Int, y: Int): Long = (x + 2 * y) % 256
+      kernels.foreach { case (name, taps) =>
+        val expect = (for {
+          y <- 1 until h - 1; x <- 1 until w - 1; t <- 0 until 9
+        } yield taps(t) * v(x + t % 3 - 1, y + t / 3 - 1)).sum
+        assert(r.getAs[Long](name) === expect, s"$name doc ${r.getAs[Long]("doc_id")}")
+      }
+      if (w >= 3 && h >= 3) sawInterior = true
+      if (w < 3 || h < 3) { sawEmpty = true; assert(r.getAs[Long]("f_box") === 0L) }
+      // the asymmetric pattern must split the two Sobel directions
+      if (w >= 4 && h >= 4) assert(r.getAs[Long]("f_sobel_x") !== r.getAs[Long]("f_sobel_y"))
+    }
+    assert(sawInterior)
+  }
+
   test("realAudioMeta round trip on the documents table") {
     val out = Multimodal.realAudioMeta(spark,
       Tables.documents(spark, "/root/testdata/sf0.001")).collect()
