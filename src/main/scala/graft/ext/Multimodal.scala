@@ -284,32 +284,41 @@ object Multimodal {
    * (decoder state per partition, never per row; payloads never cross a
    * serialization boundary to another runtime); zero shuffles.
    */
-  def decodePixels(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
+  /** Shared decode scaffold for the real-pixel passes: per doc, generate
+    * the pattern asset and decode it through `javax.imageio`, handing the
+    * caller (id, width, height, raster) to reduce. The disk cache is
+    * disabled once per task — the default wraps every read in a
+    * temp-FILE-backed stream, per-row disk I/O in a pass whose point is
+    * staying narrow and in-memory. */
+  private def decodedRasters[T](docs: DataFrame, yCoef: Int)(
+      reduce: (Long, Int, Int, java.awt.image.Raster) => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
       .as[(Long, Int)]
       .mapPartitions { it =>
-        // once per task, not per row: the default ImageIO disk cache wraps
-        // every read in a temp-FILE-backed stream — per-row disk I/O in a
-        // pass whose point is staying narrow and in-memory
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, nChars) =>
           val (w0, h0) = assetDims(id, nChars)
-          val bytes = encodePngPattern(w0, h0)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-            y += 1
-          }
-          (id, w, h, sum, sum.toDouble / (w.toLong * h))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodePngPattern(w0, h0, yCoef)))
+          reduce(id, img.getWidth, img.getHeight, img.getRaster)
         }
       }
-      .toDF("doc_id", "width", "height", "pixel_sum", "pixel_mean")
+  }
+
+  def decodePixels(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodedRasters(docs, yCoef = 1) { (id, w, h, raster) =>
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (id, w, h, sum, sum.toDouble / (w.toLong * h))
+    }.toDF("doc_id", "width", "height", "pixel_sum", "pixel_mean")
   }
 
   /** Fixed 3×3 kernels for [[decodeConvFeatures]] — box, Sobel-x, Sobel-y,
@@ -336,40 +345,36 @@ object Multimodal {
    */
   def decodeConvFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, Int)]
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, nChars) =>
-          val (w, h) = assetDims(id, nChars)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(encodePngPattern(w, h, yCoef = 2)))
-          val raster = img.getRaster
-          val sums = new Array[Long](ConvKernels.length)
-          var y = 1
-          while (y < h - 1) {
-            var x = 1
-            while (x < w - 1) {
-              var k = 0
-              while (k < ConvKernels.length) {
-                val taps = ConvKernels(k)
-                var acc = 0L
-                var t = 0
-                while (t < 9) {
-                  acc += taps(t) * raster.getSample(x + t % 3 - 1, y + t / 3 - 1, 0)
-                  t += 1
-                }
-                sums(k) += acc
-                k += 1
-              }
-              x += 1
-            }
-            y += 1
+    decodedRasters(docs, yCoef = 2) { (id, w, h, raster) =>
+      val sums = new Array[Long](ConvKernels.length)
+      val window = new Array[Int](9)
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          // read the 3×3 window ONCE, apply all four kernels to it —
+          // getSample is a virtual per-sample accessor, so this cuts the
+          // decode-path reads 4× vs per-kernel sampling
+          var t = 0
+          while (t < 9) {
+            window(t) = raster.getSample(x + t % 3 - 1, y + t / 3 - 1, 0)
+            t += 1
           }
-          (id, w, h, sums(0), sums(1), sums(2), sums(3))
+          var k = 0
+          while (k < ConvKernels.length) {
+            val taps = ConvKernels(k)
+            var acc = 0L
+            t = 0
+            while (t < 9) { acc += taps(t) * window(t); t += 1 }
+            sums(k) += acc
+            k += 1
+          }
+          x += 1
         }
+        y += 1
       }
-      .toDF("doc_id", "width", "height", "f_box", "f_sobel_x", "f_sobel_y", "f_laplace")
+      (id, w, h, sums(0), sums(1), sums(2), sums(3))
+    }.toDF("doc_id", "width", "height", "f_box", "f_sobel_x", "f_sobel_y", "f_laplace")
   }
 
   /**
