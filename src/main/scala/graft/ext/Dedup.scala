@@ -218,14 +218,27 @@ object Dedup {
    * scalar action per round, no row-level diff join); `maxRounds` bounds
    * adversarial graphs. The corpus itself is never re-shuffled — every
    * round touches the edge list and the (doc_id, component) table only.
+   *
+   * `cacheDir`/`datasetTag` memoize the (doc_id, component) label table
+   * via [[FrameCache]]: a production dedup pipeline labels components
+   * ONCE per corpus snapshot and reuses the labels for the size census,
+   * the keep-best collapse, and the drop action — labeling is the
+   * multi-shuffle iterative core, and its output is two long columns.
+   * Labels are a deterministic fixpoint (component = min doc_id reachable),
+   * so a cache hit is bit-identical to a recompute.
    */
   def nearDupComponents(docs: DataFrame, threshold: Double = 0.5,
-                        shingleSize: Int = 3, maxRounds: Int = 20): DataFrame = {
-    val edges = minhashCandidatePairs(docs, shingleSize)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("doc1"), col("doc2"))
-    componentsFromEdges(docs.select(col("doc_id")), edges, maxRounds)
-  }
+                        shingleSize: Int = 3, maxRounds: Int = 20,
+                        cacheDir: Option[String] = None,
+                        datasetTag: String = ""): DataFrame =
+    FrameCache.cached(docs.sparkSession, cacheDir,
+        s"neardup_components_t${threshold}_sh${shingleSize}_r$maxRounds",
+        datasetTag) {
+      val edges = minhashCandidatePairs(docs, shingleSize)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("doc1"), col("doc2"))
+      componentsFromEdges(docs.select(col("doc_id")), edges, maxRounds)
+    }
 
   /** Min-label propagation over an explicit (doc1, doc2) edge list —
     * the iterative core of [[nearDupComponents]], factored out so the
@@ -478,31 +491,22 @@ object Dedup {
    * so there is NO n× position explode and no global sort. Every stage is
    * linear in corpus tokens.
    */
-  def dupSpanCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+  def dupSpanCoverage(docs: DataFrame, n: Int = 5,
+                      cacheDir: Option[String] = None,
+                      datasetTag: String = ""): DataFrame = {
     require(n >= 2 && n <= 32, s"span n-gram width out of range: $n")
     import org.apache.spark.sql.expressions.Window
-    val toks = TextAnalysis.withTokens(docs)
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
-    val parts = (0 until n).map(k => s"toks[s+$k]").mkString(", ")
+    FrameCache.cached(docs.sparkSession, cacheDir, s"dup_span_cov_n$n",
+        datasetTag) {
+    val toks = spanToks(docs)
     // deliberately NOT persisted although two consumers read it: the
     // lineage is one fully codegen'd scan+explode+md5, and caching the
     // per-position frame measured ~1.9× SLOWER than recomputing it at
     // both sf0.1 and sf1 (cache write+read of the widest frame in the
     // query vs a cheap fused re-scan) — the opposite call from the
     // sparse-cosine rework, where the branch lineage carried a shuffle
-    val occ = toks
-      .where(col("n_tokens") >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, size(toks)-$n)")).as("s"))
-      .select(col("doc_id"), col("s").cast("long").as("s"),
-        // 60-bit, not 32: the census below is a HARD "seen in 2+ docs"
-        // decision on this key — at corpus scale a 32-bit space saturates
-        // by birthday and would flag every gram as duplicated
-        expr(TextAnalysis.hash60Sql.format(s"concat_ws(' ', $parts)")).as("gh"))
-    val dup = occ.select(col("gh"), col("doc_id")).distinct()
-      .groupBy(col("gh")).count()
-      .where(col("count") >= 2)
-      .select(col("gh"))
+    val occ = spanOccurrences(toks, n)
+    val dup = dupGrams(occ, n, cacheDir, datasetTag)
     val hit = occ.join(dup, Seq("gh"), "left_semi")
     // exact interval union of the [s, s+n-1] spans: a span's NEW coverage
     // is its end minus the furthest end already seen (clamped at s-1)
@@ -521,7 +525,45 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).cast("long").as("covered_tokens"),
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_coverage"))
+    }
   }
+
+  /** Tokenized docs projected to the span-census grain — shared prefix of
+    * [[dupSpanCoverage]] and [[removeDupSpans]]. */
+  private def spanToks(docs: DataFrame): DataFrame =
+    TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+
+  /** One narrow row per word-`n`-gram start position: (doc_id, s, gh)
+    * where `gh` is the 60-bit gram hash — 60 bits, not 32, because the
+    * census downstream makes a HARD "seen in 2+ docs" decision on this
+    * key, and a 32-bit space saturates by birthday at corpus scale. */
+  private def spanOccurrences(toks: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n).map(k => s"toks[s+$k]").mkString(", ")
+    toks
+      .where(col("n_tokens") >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks)-$n)")).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        expr(TextAnalysis.hash60Sql.format(s"concat_ws(' ', $parts)")).as("gh"))
+  }
+
+  /** The duplicated-gram census: gram hashes appearing in ≥ 2 DISTINCT
+    * documents. [[FrameCache]]-memoized when `cacheDir` is set — the
+    * census is the shuffle-heavy stage (distinct + count over every gram
+    * occurrence in the corpus) with a one-column output, the exact
+    * "narrow result of expensive lineage" shape the cache exists for,
+    * and it is shared verbatim by the coverage report, the document
+    * filter, and the span-removal rewrite. */
+  private def dupGrams(occ: DataFrame, n: Int, cacheDir: Option[String],
+                       datasetTag: String): DataFrame =
+    FrameCache.cached(occ.sparkSession, cacheDir, s"dup_grams_n$n",
+        datasetTag) {
+      occ.select(col("gh"), col("doc_id")).distinct()
+        .groupBy(col("gh")).count()
+        .where(col("count") >= 2)
+        .select(col("gh"))
+    }
 
   /**
    * Normalized-exact dedup — the fidelity between byte-exact and near-dup:
@@ -569,9 +611,12 @@ object Dedup {
    * by the banding guards).
    */
   def dedupKeepBest(docs: DataFrame, threshold: Double = 0.5,
-                    shingleSize: Int = 3): DataFrame = {
+                    shingleSize: Int = 3,
+                    cacheDir: Option[String] = None,
+                    datasetTag: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = nearDupComponents(docs, threshold, shingleSize)
+    val comp = nearDupComponents(docs, threshold, shingleSize,
+      cacheDir = cacheDir, datasetTag = datasetTag)
     val w = Window.partitionBy(col("component"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     docs.join(comp, "doc_id")
@@ -619,21 +664,15 @@ object Dedup {
    * sort_array over a per-doc collect_list of (pos, token) structs, one
    * hash agg, no windows.
    */
-  def removeDupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+  def removeDupSpans(docs: DataFrame, n: Int = 5,
+                     cacheDir: Option[String] = None,
+                     datasetTag: String = ""): DataFrame = {
     require(n >= 2 && n <= 32, s"span n-gram width out of range: $n")
-    val toks = TextAnalysis.withTokens(docs)
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
-    val parts = (0 until n).map(k => s"toks[s+$k]").mkString(", ")
-    val occ = toks
-      .where(col("n_tokens") >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, size(toks)-$n)")).as("s"))
-      .select(col("doc_id"), col("s").cast("long").as("s"),
-        expr(TextAnalysis.hash60Sql.format(s"concat_ws(' ', $parts)")).as("gh"))
-    val dup = occ.select(col("gh"), col("doc_id")).distinct()
-      .groupBy(col("gh")).count()
-      .where(col("count") >= 2)
-      .select(col("gh"))
+    val toks = spanToks(docs)
+    val occ = spanOccurrences(toks, n)
+    // only the CENSUS is memoized — the rewritten-text output is as wide
+    // as the corpus itself, exactly the frame shape the cache loses on
+    val dup = dupGrams(occ, n, cacheDir, datasetTag)
     val covered = occ.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"), explode(expr(s"sequence(s, s + ${n - 1})")).as("pos"))
       .distinct()
@@ -659,9 +698,11 @@ object Dedup {
     * pipeline step — remove texts that mostly exist elsewhere, keep the
     * clean tail). left_anti keeps zero-coverage docs by construction. */
   def dropHighDupSpanDocs(docs: DataFrame, maxCoverage: Double = 0.5,
-                          n: Int = 5): DataFrame =
+                          n: Int = 5,
+                          cacheDir: Option[String] = None,
+                          datasetTag: String = ""): DataFrame =
     docs.join(
-      dupSpanCoverage(docs, n)
+      dupSpanCoverage(docs, n, cacheDir, datasetTag)
         .where(col("dup_coverage") > maxCoverage)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")

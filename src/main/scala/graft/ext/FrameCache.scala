@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Fingerprint-keyed parquet memo for small deterministic frames — the
+ * generalization of the IVF codebook cache ([[Similarity.trainedCodebook]])
+ * to any stage whose output amortizes across queries against the same
+ * corpus snapshot: near-dup component labels, the duplicated-n-gram
+ * census, span-coverage summaries. This is the production shape — a
+ * dedup pipeline labels components ONCE per corpus snapshot and reuses
+ * the labels for the size census, the keep-best collapse, and the drop
+ * action, instead of re-running label propagation per report.
+ *
+ * Correctness contract: `compute` MUST be deterministic (all current
+ * users are — min-label propagation, hash censuses, k-means with fixed
+ * seeds), so a cache hit is bit-identical to a recompute and the DuckDB
+ * oracle cannot tell the difference. `datasetTag` MUST identify the
+ * corpus snapshot content (use [[Similarity.fileFingerprint]], which
+ * folds every file's name/length/mtime — a regenerated file at the same
+ * path misses the cache instead of poisoning it).
+ *
+ * Concurrency: writers stage to a temp dir and ATOMIC_MOVE it into the
+ * final path, so existence implies completeness; a concurrent writer
+ * losing the rename race simply discards its (identical) result.
+ *
+ * Kill switch: set env `GRAFT_NO_FRAME_CACHE` or system property
+ * `graft.frame.cache.disable` to bypass the cache entirely — used when
+ * measuring true per-query cost (PLANS.md reports both regimes).
+ */
+private[graft] object FrameCache {
+
+  /** Bump when ANY cached frame's algorithm changes semantics — a stale
+    * /tmp cache from an older build must miss, never poison. */
+  val FormatVersion = 1
+
+  private def disabled: Boolean =
+    sys.env.contains("GRAFT_NO_FRAME_CACHE") ||
+      sys.props.get("graft.frame.cache.disable").exists(_ != "false")
+
+  /** Memoize `compute` under `cacheDir` keyed on (key, FormatVersion,
+    * md5(datasetTag)). `cacheDir = None` (the library default — unit
+    * tests exercise the real computation) or the kill switch runs
+    * `compute` directly. `key` must encode every parameter that changes
+    * the output (e.g. `"neardup_components_t0.5_sh3"`). */
+  def cached(spark: SparkSession, cacheDir: Option[String], key: String,
+             datasetTag: String)(compute: => DataFrame): DataFrame =
+    cacheDir match {
+      case Some(dir) if !disabled =>
+        require(datasetTag.nonEmpty,
+          s"FrameCache($key): datasetTag must identify the corpus snapshot " +
+            "when cacheDir is set (e.g. Similarity.fileFingerprint of the " +
+            "dataset path) — an empty tag would silently share one cached " +
+            "frame across different corpora in the same cacheDir")
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(datasetTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        val path = s"$dir/${key}_fv${FormatVersion}_$tag"
+        val target = java.nio.file.Paths.get(path)
+        // writers only ever ATOMIC_MOVE a fully-written directory into the
+        // final path, so existence implies completeness — no partial reads,
+        // and genuine IO errors propagate instead of masquerading as misses
+        if (!java.nio.file.Files.exists(target)) {
+          val tmp = s"$path.tmp_${System.nanoTime()}"
+          compute.write.mode("overwrite").parquet(tmp)
+          try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException =>
+              // a concurrent writer won the race: compute is deterministic,
+              // so its frame equals ours — drop ours
+              scala.util.Using.resource(
+                  java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))) { s =>
+                s.sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => java.nio.file.Files.delete(p))
+              }
+          }
+        }
+        spark.read.parquet(path)
+      case _ => compute
+    }
+}

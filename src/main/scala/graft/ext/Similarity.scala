@@ -337,47 +337,16 @@ object Similarity {
    * against the same corpus snapshot, instead of retraining per query.
    * `datasetTag` MUST identify the corpus snapshot (e.g. its path);
    * training is deterministic, so cache hit vs retrain is bit-identical.
+   * The memo mechanics (atomic move, race handling, kill switch) live in
+   * [[FrameCache]].
    */
   def trainedCodebook(embeddings: DataFrame, numCentroids: Int = 8,
                       iters: Int = 2, cacheDir: Option[String] = None,
-                      datasetTag: String = ""): DataFrame = {
-    require(cacheDir.isEmpty || datasetTag.nonEmpty,
-      "trainedCodebook: datasetTag must identify the corpus snapshot when " +
-        "cacheDir is set (e.g. Similarity.fileFingerprint of the dataset " +
-        "path) — an empty tag would silently share one codebook across " +
-        "different corpora in the same cacheDir")
-    val spark = embeddings.sparkSession
-    def train() = kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
-    cacheDir match {
-      case Some(dir) =>
-        val tag = java.security.MessageDigest.getInstance("MD5")
-          .digest(datasetTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        val path = s"$dir/codebook_v${CodebookFormatVersion}_c${numCentroids}_i${iters}_$tag"
-        val target = java.nio.file.Paths.get(path)
-        // writers only ever ATOMIC_MOVE a fully-written directory into the
-        // final path, so existence implies completeness — no partial reads,
-        // and genuine IO errors propagate instead of masquerading as misses
-        if (!java.nio.file.Files.exists(target)) {
-          val tmp = s"$path.tmp_${System.nanoTime()}"
-          train().write.mode("overwrite").parquet(tmp)
-          try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException =>
-              // a concurrent trainer won the race: training is
-              // deterministic, so its codebook equals ours — drop ours
-              scala.util.Using.resource(
-                  java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))) { s =>
-                s.sorted(java.util.Comparator.reverseOrder())
-                  .forEach(p => java.nio.file.Files.delete(p))
-              }
-          }
-        }
-        spark.read.parquet(path)
-      case None => train()
+                      datasetTag: String = ""): DataFrame =
+    FrameCache.cached(embeddings.sparkSession, cacheDir,
+        s"codebook_v${CodebookFormatVersion}_c${numCentroids}_i$iters", datasetTag) {
+      kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
     }
-  }
 
   /** Filesystem fingerprint of a dataset path (file or directory): folds
     * every file's (name, length, mtime) — metadata only, no data scan.

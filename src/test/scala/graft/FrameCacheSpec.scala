@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.ext.{Dedup, FrameCache}
+
+/** The fingerprint-keyed parquet memo shared by the dedup families
+  * (components labels, dup-gram census) and the IVF codebook. The
+  * contract under test: a hit is bit-identical to a recompute, keys and
+  * tags isolate entries, and the kill switch restores direct compute. */
+class FrameCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_fc").toString
+
+  test("miss computes and writes once; hit rereads without recomputing") {
+    val dir = tmp()
+    var calls = 0
+    def frame = { calls += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val first = FrameCache.cached(spark, Some(dir), "k1", "tag") { frame }
+      .orderBy(col("id")).collect().toSeq
+    val second = FrameCache.cached(spark, Some(dir), "k1", "tag") { frame }
+      .orderBy(col("id")).collect().toSeq
+    assert(calls === 1) // the by-name compute never ran for the hit
+    assert(second === first)
+    // exactly one entry landed, under the versioned key
+    val entries = new java.io.File(dir).listFiles()
+    assert(entries.length === 1 &&
+      entries.head.getName.startsWith(s"k1_fv${FrameCache.FormatVersion}_"))
+  }
+
+  test("distinct keys and distinct dataset tags are separate entries") {
+    val dir = tmp()
+    var calls = 0
+    def frame = { calls += 1; Seq(calls).toDF("n") }
+    FrameCache.cached(spark, Some(dir), "k", "tagA") { frame }.collect()
+    FrameCache.cached(spark, Some(dir), "k2", "tagA") { frame }.collect()
+    val tagB = FrameCache.cached(spark, Some(dir), "k", "tagB") { frame }.collect()
+    assert(calls === 3)
+    assert(tagB.head.getInt(0) === 3) // tagB's entry holds its own compute
+    // and the tagA entry was not poisoned by tagB's write
+    val again = FrameCache.cached(spark, Some(dir), "k", "tagA") { frame }.collect()
+    assert(calls === 3 && again.head.getInt(0) === 1)
+  }
+
+  test("cacheDir without a dataset tag is refused") {
+    val e = intercept[IllegalArgumentException] {
+      FrameCache.cached(spark, Some(tmp()), "k", "") { Seq(1).toDF("n") }
+    }
+    assert(e.getMessage.contains("datasetTag"))
+  }
+
+  test("kill switch bypasses the cache entirely") {
+    val dir = tmp()
+    var calls = 0
+    def frame = { calls += 1; Seq(1).toDF("n") }
+    sys.props("graft.frame.cache.disable") = "true"
+    try {
+      FrameCache.cached(spark, Some(dir), "k", "tag") { frame }.collect()
+      FrameCache.cached(spark, Some(dir), "k", "tag") { frame }.collect()
+    } finally sys.props.remove("graft.frame.cache.disable")
+    assert(calls === 2) // recomputed every time
+    assert(new java.io.File(dir).listFiles().isEmpty) // and wrote nothing
+  }
+
+  test("cached near-dup components and span census match the direct paths") {
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // components: labels are a deterministic fixpoint, so the memoized
+    // frame must equal the direct computation row-for-row
+    val direct = sortedRows(Dedup.nearDupComponents(docs))
+    val viaMiss = sortedRows(Dedup.nearDupComponents(docs,
+      cacheDir = Some(dir), datasetTag = "docs1"))
+    val viaHit = sortedRows(Dedup.nearDupComponents(docs,
+      cacheDir = Some(dir), datasetTag = "docs1"))
+    assert(viaMiss === direct && viaHit === direct)
+    // span family: coverage via cache (miss then hit) equals direct, and
+    // the rewrite reuses the same census entry without changing output
+    val covDirect = sortedRows(Dedup.dupSpanCoverage(docs))
+    assert(sortedRows(Dedup.dupSpanCoverage(docs,
+      cacheDir = Some(dir), datasetTag = "docs1")) === covDirect)
+    assert(sortedRows(Dedup.dupSpanCoverage(docs,
+      cacheDir = Some(dir), datasetTag = "docs1")) === covDirect)
+    val rmDirect = sortedRows(Dedup.removeDupSpans(docs))
+    assert(sortedRows(Dedup.removeDupSpans(docs,
+      cacheDir = Some(dir), datasetTag = "docs1")) === rmDirect)
+  }
+}
