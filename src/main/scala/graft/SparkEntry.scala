@@ -127,7 +127,12 @@ object SparkEntry {
       Tables.embeddings(s, d),
       planesPerBand = Similarity.ProductionPlanesPerBand,
       maxBucketSize = Dedup.ProductionMaxBucketSize)),
-    "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d))),
+    // PRODUCTION banding + occupancy cap, same rationale as
+    // q_embed_neardup_lsh above: the 4-plane layout's candidate join is
+    // quadratic in corpus size (it failed outright at the 50× sweep)
+    "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d),
+      planesPerBand = Similarity.ProductionPlanesPerBand,
+      maxBucketSize = Dedup.ProductionMaxBucketSize)),
     // -- LLM-pipeline: multimodal metadata (decode itself is stubbed) --
     "q_multimodal_meta" -> ((s, d) => Multimodal.meta(Tables.documents(s, d))),
     "q_multimodal_real_meta" -> ((s, d) =>
@@ -953,10 +958,14 @@ object SparkEntry {
         |) SELECT id1, id2, cosine FROM cand WHERE cosine >= 0.35""".stripMargin),
     // embedding-space connected components: same LSH candidate CTEs, then
     // the recursive flood + min() — mirrors Similarity.embeddingComponents
-    "q_embed_components" -> ((EMB + LSH_SIG +
-      """, bnd AS (
+    "q_embed_components" -> ((EMB + LSH_SIG_P16 +
+      """, bnd0 AS (
         |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
         |  FROM sig, (SELECT unnest(range(4)) AS b) t
+        |), bnd AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS _n FROM bnd0
+        |  ) WHERE _n <= 10000
         |), pr AS (
         |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
         |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.band_key = c.band_key AND a.vec_id < c.vec_id
@@ -1496,9 +1505,13 @@ object SparkEntry {
         |FROM c, t WHERE cnt * 16 > 2 * n""".stripMargin),
     // same assignment CTEs as q_ann_topk_ivf; drop = larger id of any
     // within-cluster pair clearing the cosine threshold (keep-min greedy)
+    // centroid count mirrors the engine's auto-sizing: k = max(8,
+    // ceil(n/2048)) — at the sf0.01 gate n < 2048·8 so k = 8, the
+    // historical layout; at larger SFs both sides grow k together
     "q_semantic_dedup" -> (EMB +
       """, cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e WHERE vec_id < 8
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e
+        |  WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 2048.0) AS BIGINT)) FROM embeddings)
         |), ar AS (
         |  SELECT e.vec_id, c.cent_id,
         |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY

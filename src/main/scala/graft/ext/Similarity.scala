@@ -130,25 +130,29 @@ object Similarity {
                       numBands: Int = NumBands,
                       planesPerBand: Int = PlanesPerBand,
                       maxBucketSize: Option[Int] = None): DataFrame = {
-    val sig = withLshBands(embeddings, dim, numBands, planesPerBand).persist()
+    // embeddings ride along INTO the bucket join so the cosine is computed
+    // as the candidate streams out of it, and only thresholded survivors
+    // ever reach a shuffle. The previous shape (pair ids → distinct →
+    // join embeddings twice) shuffled the full candidate set three times —
+    // at the 50× sweep that was 187M pairs ≈ 100 GB of exchange for 730k
+    // survivors. A pair sharing multiple bands now computes its cosine
+    // once per shared band (≤ numBands×, bit-identical doubles, deduped by
+    // the final distinct) — redundant codegen'd arithmetic traded for the
+    // wide exchanges, the right trade at any scale.
+    val sig = withLshBands(embeddings, dim, numBands, planesPerBand)
     val bands = Dedup.capBuckets(
-      sig.select(col("vec_id"), posexplode(col("bands")))
+      sig.select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),
       maxBucketSize)
-    val b1 = bands.select(col("band").as("b1_band"), col("band_key").as("b1_key"),
-      col("vec_id").as("id1"))
-    val b2 = bands.select(col("band").as("b2_band"), col("band_key").as("b2_key"),
-      col("vec_id").as("id2"))
-    val pairs = b1.join(b2,
-        col("b1_band") === col("b2_band") && col("b1_key") === col("b2_key") &&
-          col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val e1 = sig.select(col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
-    val e2 = sig.select(col("vec_id").as("id2"), col("embedding").as("emb2"), col("nrm").as("nrm2"))
-    pairs.join(e1, "id1").join(e2, "id2")
+    val b1 = bands.select(col("band"), col("band_key"),
+      col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
+    val b2 = bands.select(col("band"), col("band_key"),
+      col("vec_id").as("id2"), col("embedding").as("emb2"), col("nrm").as("nrm2"))
+    b1.join(b2, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
       .withColumn("cosine", dot("emb1", "emb2") / (col("nrm1") * col("nrm2")))
       .filter(col("cosine") >= threshold)
-      .select("id1", "id2", "cosine")
+      .select("id1", "id2", "cosine").distinct()
   }
 
   /**
@@ -419,10 +423,27 @@ object Similarity {
    * a real k-means codebook ([[kmeansCodebook]]) clusters are balanced;
    * the seeded stand-in keeps the oracle deterministic.
    */
-  def semanticDedup(embeddings: DataFrame, numCentroids: Int = 8,
+  /** Auto-sizing target for [[semanticDedup]]'s cluster blocking: with k
+    * clusters of expected size c = n/k, the pair join does Σ cluster² ≈
+    * n·c work — CONSTANT k makes that n²/k, quadratic in the corpus (the
+    * sf5 sweep measured 282× at 50× data with k = 8). Holding c at this
+    * target instead makes the work n·c, linear in n, which is how IVF
+    * deployments size their codebooks (k grows with the corpus). */
+  val SemanticDedupTargetClusterSize = 2048
+
+  def semanticDedup(embeddings: DataFrame, numCentroids: Int = 0,
                     threshold: Double = 0.35): DataFrame = {
     val base = withNorms(embeddings).persist()
-    val cents = initCentroids(base, numCentroids)
+    // numCentroids = 0 (the default) sizes the codebook from the corpus:
+    // k = max(8, ceil(n / target-cluster-size)). The count is one
+    // metadata-cheap job; the floor keeps tiny corpora on the historical
+    // 8-centroid layout (the sf0.01 correctness gate lands there, so the
+    // auto path is oracle-pinned end-to-end).
+    val k =
+      if (numCentroids > 0) numCentroids
+      else math.max(8, math.ceil(
+        base.count().toDouble / SemanticDedupTargetClusterSize).toInt)
+    val cents = initCentroids(base, k)
     val assign = base.crossJoin(broadcast(cents))
       .withColumn("arank", centRank).filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cluster"))
@@ -449,8 +470,18 @@ object Similarity {
    * edge⋈label shuffle over the candidate-pair list only.
    */
   def embeddingComponents(embeddings: DataFrame, threshold: Double = 0.35,
-                          dim: Int = 64, maxRounds: Int = 20): DataFrame = {
-    val edges = lshNearDupPairs(embeddings, threshold, dim)
+                          dim: Int = 64, maxRounds: Int = 20,
+                          numBands: Int = NumBands,
+                          planesPerBand: Int = PlanesPerBand,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    // band layout + occupancy cap pass straight through to the candidate
+    // generator: at corpus scale this MUST run the production layout
+    // (16 planes/band + ProductionMaxBucketSize) — the 4-plane test
+    // layout's 16-value key space makes bucket occupancy, and the
+    // in-bucket pair join, grow quadratically with corpus size (the sf5
+    // sweep killed exactly this configuration)
+    val edges = lshNearDupPairs(embeddings, threshold, dim,
+        numBands, planesPerBand, maxBucketSize)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
     Dedup.componentsFromEdges(
         embeddings.select(col("vec_id").as("doc_id")), edges, maxRounds)
