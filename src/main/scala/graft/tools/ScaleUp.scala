@@ -17,15 +17,34 @@ import org.apache.spark.sql.functions._
  * LSH bucket gains 10× members → candidate pairs grow 100×, a quadratic
  * artifact of the duplication, not of the algorithms):
  *  - documents: for replica r>0 every 3rd token is rewritten to a
- *    replica-seeded vocabulary token. Within-replica near-dup pairs are
- *    preserved (both members get the same positional rewrite), while
- *    cross-replica 3-shingle overlap drops to ~0 — per-capita near-dup
- *    density stays at the original corpus's level.
+ *    REPLICA-UNIQUE token (a seeded vocabulary word suffixed with the
+ *    replica number). Within-replica near-dup pairs are preserved (both
+ *    members get the same positional rewrite), while cross-replica
+ *    3-shingle overlap is exactly 0 — every 3-gram spans three
+ *    consecutive positions, hence contains a rewritten token. The
+ *    suffix is load-bearing: an earlier version drew replacements from
+ *    the corpus's own closed 31-token vocabulary, which (a) made
+ *    replicas r and r+31 byte-identical twins (the rewrite pattern is
+ *    periodic in r mod 31) and (b) kept the global shingle space at 31³
+ *    values, so every shingle's document frequency grew linearly with
+ *    corpus size and frequency-based pruning (prefix filtering) went
+ *    quadratic — both artifacts of the generator, not of a genuinely
+ *    larger corpus, and the 50× sweep hit both (q_prefix_jaccard's
+ *    candidate join spilled past the disk). Replica-unique tokens also
+ *    give the corpus Heaps-law vocabulary growth, which is what a real
+ *    50× crawl has.
  *  - embeddings: replica r's vectors are circularly rotated by r
- *    positions. Norms and within-replica geometry (cosines, clusters)
- *    are EXACTLY preserved; cosine between a vector and its rotated
- *    copy is that of two unrelated vectors, so no cross-replica
- *    components form.
+ *    positions AND sign-flipped per dimension by a replica-seeded ±1
+ *    pattern. Both maps are orthogonal, so norms and within-replica
+ *    geometry (cosines, clusters) are EXACTLY preserved. The sign
+ *    flips are load-bearing: rotation alone leaves any
+ *    uniform-across-dimensions mean component invariant (a circular
+ *    shift of a near-constant vector is near-itself), so vectors from
+ *    different replicas all kept their shared mean direction and the
+ *    50× sweep measured cross-replica cosine ≥ 0.35 pair counts
+ *    growing quadratically (2615×) — again a generator artifact. A
+ *    seeded sign flip decorrelates the mean directions, and (unlike
+ *    rotation, periodic in r mod dim) is twin-free at any factor.
  *
  * Usage: runMain graft.tools.ScaleUp <srcDir> <destDir> [replicas=10]
  */
@@ -90,7 +109,8 @@ object ScaleUp {
         s"""CASE WHEN _r = 0 THEN text ELSE
            |  concat_ws(' ', transform(split(trim(text), '\\\\s+'),
            |    (t, i) -> IF(i % 3 = 0,
-           |      element_at($vocabArr, CAST(1 + (i + 7 * _r) % ${Vocab.size} AS INT)),
+           |      concat(element_at($vocabArr, CAST(1 + (i + 7 * _r) % ${Vocab.size} AS INT)),
+           |             'r', CAST(_r AS STRING)),
            |      t))) END""".stripMargin))
       .withColumn("n_chars",
         when(col("_r") === 0, col("n_chars")).otherwise(length(col("text"))))
@@ -106,6 +126,14 @@ object ScaleUp {
         """IF(rot = 0, embedding,
           |  concat(slice(embedding, rot + 1, dim - rot), slice(embedding, 1, rot)))"""
           .stripMargin))
+      // replica-seeded ±1 per (replica, dimension): the same LCG-parity
+      // arithmetic as the engine's LSH planes — portable, deterministic,
+      // and an orthogonal map, so within-replica cosines are untouched
+      .withColumn("embedding", expr(
+        """IF(_r = 0, embedding,
+          |  transform(embedding, (x, i) ->
+          |    IF((CAST(1103515245 AS BIGINT) * (_r * 128 + i) + 12345) % 2147483648
+          |         < 1073741824, x, -x)))""".stripMargin))
       .select((col("vec_id") + col("_r") * Offset).as("vec_id"),
         col("embedding"), col("label"))
     write(emb, "embeddings", 4)
