@@ -940,13 +940,13 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |) SELECT id1, id2, cosine FROM cand WHERE cosine >= 0.35""".stripMargin),
     "q_embed_neardup_lsh" -> (EMB + LSH_SIG_P16 +
-      """, bnd0 AS (
+      s""", bnd0 AS (
         |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
         |  FROM sig, (SELECT unnest(range(4)) AS b) t
         |), bnd AS (
         |  SELECT * FROM (
         |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS _n FROM bnd0
-        |  ) WHERE _n <= 10000
+        |  ) WHERE _n <= ${graft.ext.Dedup.ProductionMaxBucketSize.get}
         |), pr AS (
         |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
         |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.band_key = c.band_key AND a.vec_id < c.vec_id
@@ -959,13 +959,13 @@ object SparkEntry {
     // embedding-space connected components: same LSH candidate CTEs, then
     // the recursive flood + min() — mirrors Similarity.embeddingComponents
     "q_embed_components" -> ((EMB + LSH_SIG_P16 +
-      """, bnd0 AS (
+      s""", bnd0 AS (
         |  SELECT vec_id, CAST(b AS INTEGER) AS band, bands[b+1] AS band_key
         |  FROM sig, (SELECT unnest(range(4)) AS b) t
         |), bnd AS (
         |  SELECT * FROM (
         |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS _n FROM bnd0
-        |  ) WHERE _n <= 10000
+        |  ) WHERE _n <= ${graft.ext.Dedup.ProductionMaxBucketSize.get}
         |), pr AS (
         |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
         |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.band_key = c.band_key AND a.vec_id < c.vec_id

@@ -54,6 +54,18 @@ object Dedup {
     * exact dedup should have collapsed first). */
   val ProductionMaxBucketSize: Option[Int] = Some(10000)
 
+  /** Semantic version of the dedup family's [[FrameCache]] frames
+    * (component labels, dup-gram census, span coverage). Bump on ANY
+    * change to what those frames contain — the tokenizer
+    * ([[TextAnalysis.withTokens]]), the 60-bit gram hash, minhash
+    * banding, or the label-propagation rule — so a host's existing
+    * /tmp cache from an older build MISSES instead of silently serving
+    * the old algorithm's output. (The codebook family has its own
+    * [[Similarity.CodebookFormatVersion]] for the same reason; the
+    * global [[FrameCache.FormatVersion]] only covers the cache
+    * mechanics, not any one family's semantics.) */
+  private[graft] val DedupFrameVersion = 1
+
   /**
    * MinHash signatures: per doc, `sig[j] = min over shingles of
    * ((2j+1)*h + (104729j+12345)) mod P` with the portable md5-derived
@@ -232,7 +244,7 @@ object Dedup {
                         cacheDir: Option[String] = None,
                         datasetTag: String = ""): DataFrame =
     FrameCache.cached(docs.sparkSession, cacheDir,
-        s"neardup_components_t${threshold}_sh${shingleSize}_r$maxRounds",
+        s"neardup_components_v${DedupFrameVersion}_t${threshold}_sh${shingleSize}_r$maxRounds",
         datasetTag) {
       val edges = minhashCandidatePairs(docs, shingleSize)
         .filter(col("est_jaccard") >= threshold)
@@ -496,8 +508,8 @@ object Dedup {
                       datasetTag: String = ""): DataFrame = {
     require(n >= 2 && n <= 32, s"span n-gram width out of range: $n")
     import org.apache.spark.sql.expressions.Window
-    FrameCache.cached(docs.sparkSession, cacheDir, s"dup_span_cov_n$n",
-        datasetTag) {
+    FrameCache.cached(docs.sparkSession, cacheDir,
+        s"dup_span_cov_v${DedupFrameVersion}_n$n", datasetTag) {
     val toks = spanToks(docs)
     // deliberately NOT persisted although two consumers read it: the
     // lineage is one fully codegen'd scan+explode+md5, and caching the
@@ -557,8 +569,8 @@ object Dedup {
     * filter, and the span-removal rewrite. */
   private def dupGrams(occ: DataFrame, n: Int, cacheDir: Option[String],
                        datasetTag: String): DataFrame =
-    FrameCache.cached(occ.sparkSession, cacheDir, s"dup_grams_n$n",
-        datasetTag) {
+    FrameCache.cached(occ.sparkSession, cacheDir,
+        s"dup_grams_v${DedupFrameVersion}_n$n", datasetTag) {
       occ.select(col("gh"), col("doc_id")).distinct()
         .groupBy(col("gh")).count()
         .where(col("count") >= 2)

@@ -34,9 +34,14 @@ private[graft] object FrameCache {
     * /tmp cache from an older build must miss, never poison. */
   val FormatVersion = 1
 
-  private def disabled: Boolean =
-    sys.env.contains("GRAFT_NO_FRAME_CACHE") ||
-      sys.props.get("graft.frame.cache.disable").exists(_ != "false")
+  /** "0"/"false" mean NOT disabled, in both the env var and the sys
+    * prop — `GRAFT_NO_FRAME_CACHE=0` must not silently turn the cache
+    * off the way a bare presence check would. */
+  private def disabled: Boolean = {
+    def on(v: String) = v != "0" && v != "false"
+    sys.env.get("GRAFT_NO_FRAME_CACHE").exists(on) ||
+      sys.props.get("graft.frame.cache.disable").exists(on)
+  }
 
   /** Memoize `compute` under `cacheDir` keyed on (key, FormatVersion,
     * md5(datasetTag)). `cacheDir = None` (the library default — unit
@@ -46,12 +51,17 @@ private[graft] object FrameCache {
   def cached(spark: SparkSession, cacheDir: Option[String], key: String,
              datasetTag: String)(compute: => DataFrame): DataFrame =
     cacheDir match {
-      case Some(dir) if !disabled =>
+      case None => compute
+      case Some(dir) =>
+        // the tag contract is validated even when the kill switch then
+        // bypasses the cache — a caller must not pass CI with the switch
+        // set and start throwing the day it is removed
         require(datasetTag.nonEmpty,
           s"FrameCache($key): datasetTag must identify the corpus snapshot " +
             "when cacheDir is set (e.g. Similarity.fileFingerprint of the " +
             "dataset path) — an empty tag would silently share one cached " +
             "frame across different corpora in the same cacheDir")
+        if (disabled) return compute
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(datasetTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
         val path = s"$dir/${key}_fv${FormatVersion}_$tag"
@@ -77,6 +87,5 @@ private[graft] object FrameCache {
           }
         }
         spark.read.parquet(path)
-      case _ => compute
     }
 }

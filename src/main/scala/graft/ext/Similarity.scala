@@ -140,10 +140,14 @@ object Similarity {
     // the final distinct) — redundant codegen'd arithmetic traded for the
     // wide exchanges, the right trade at any scale.
     val sig = withLshBands(embeddings, dim, numBands, planesPerBand)
+    // persisted because BOTH sides of the self-join read it: b1/b2 are
+    // different projections of the same lineage, so ReuseExchange does
+    // not apply — without the persist the scan + 64-plane signature pass
+    // (and the cap window's shuffle) would execute twice per query
     val bands = Dedup.capBuckets(
       sig.select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),
-      maxBucketSize)
+      maxBucketSize).persist()
     val b1 = bands.select(col("band"), col("band_key"),
       col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
     val b2 = bands.select(col("band"), col("band_key"),
@@ -408,6 +412,14 @@ object Similarity {
                |                  ELSE CAST(x AS DOUBLE) / (amax / 127) END) AS INT)))""".stripMargin)
           .as("qvec_str"))
 
+  /** Auto-sizing target for [[semanticDedup]]'s cluster blocking: with k
+    * clusters of expected size c = n/k, the pair join does Σ cluster² ≈
+    * n·c work — CONSTANT k makes that n²/k, quadratic in the corpus (the
+    * sf5 sweep measured 282× at 50× data with k = 8). Holding c at this
+    * target instead makes the work n·c, linear in n, which is how IVF
+    * deployments size their codebooks (k grows with the corpus). */
+  val SemanticDedupTargetClusterSize = 2048
+
   /**
    * Semantic deduplication (SemDeDup-shaped): assign every vector to its
    * nearest coarse centroid, compare pairs ONLY within a cluster, and drop
@@ -422,28 +434,28 @@ object Similarity {
    * clustering IS the blocking step, exactly like IVF search probes. With
    * a real k-means codebook ([[kmeansCodebook]]) clusters are balanced;
    * the seeded stand-in keeps the oracle deterministic.
+   *
+   * `numCentroids` = 0 (the default) sizes the codebook from the corpus,
+   * k = max(8, ⌈n / [[SemanticDedupTargetClusterSize]]⌉), as a LAZY
+   * 1-row broadcast (the count job runs only when the frame executes,
+   * and the shape mirrors the oracle's scalar subquery). The floor keeps
+   * tiny corpora on the historical 8-centroid layout — the sf0.01
+   * correctness gate lands there, so the auto path is oracle-pinned
+   * end-to-end.
    */
-  /** Auto-sizing target for [[semanticDedup]]'s cluster blocking: with k
-    * clusters of expected size c = n/k, the pair join does Σ cluster² ≈
-    * n·c work — CONSTANT k makes that n²/k, quadratic in the corpus (the
-    * sf5 sweep measured 282× at 50× data with k = 8). Holding c at this
-    * target instead makes the work n·c, linear in n, which is how IVF
-    * deployments size their codebooks (k grows with the corpus). */
-  val SemanticDedupTargetClusterSize = 2048
-
   def semanticDedup(embeddings: DataFrame, numCentroids: Int = 0,
                     threshold: Double = 0.35): DataFrame = {
     val base = withNorms(embeddings).persist()
-    // numCentroids = 0 (the default) sizes the codebook from the corpus:
-    // k = max(8, ceil(n / target-cluster-size)). The count is one
-    // metadata-cheap job; the floor keeps tiny corpora on the historical
-    // 8-centroid layout (the sf0.01 correctness gate lands there, so the
-    // auto path is oracle-pinned end-to-end).
-    val k =
-      if (numCentroids > 0) numCentroids
-      else math.max(8, math.ceil(
-        base.count().toDouble / SemanticDedupTargetClusterSize).toInt)
-    val cents = initCentroids(base, k)
+    val cents =
+      if (numCentroids > 0) initCentroids(base, numCentroids)
+      else {
+        val kDf = embeddings.agg(greatest(lit(8L),
+          ceil(count(lit(1)).cast("double") / lit(SemanticDedupTargetClusterSize))
+            .cast("long")).as("_k"))
+        base.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("_k"))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+            col("nrm").as("cent_nrm"))
+      }
     val assign = base.crossJoin(broadcast(cents))
       .withColumn("arank", centRank).filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cluster"))

@@ -42,7 +42,8 @@ object LshProbe {
         expr("CAST(percentile_approx(occ, 0.5) AS DOUBLE)").as("p50"),
         expr("CAST(percentile_approx(occ, 0.99) AS DOUBLE)").as("p99"),
         sum(expr("occ * (occ - 1) DIV 2")).as("cand_uncapped"),
-        sum(expr("CASE WHEN occ <= 10000 THEN occ * (occ - 1) DIV 2 ELSE 0 END"))
+        sum(expr(s"CASE WHEN occ <= ${Dedup.ProductionMaxBucketSize.get} " +
+            "THEN occ * (occ - 1) DIV 2 ELSE 0 END"))
           .as("cand_capped")).head
       val out = Similarity.lshNearDupPairs(emb,
         planesPerBand = Similarity.ProductionPlanesPerBand,

@@ -126,14 +126,19 @@ object ScaleUp {
         """IF(rot = 0, embedding,
           |  concat(slice(embedding, rot + 1, dim - rot), slice(embedding, 1, rot)))"""
           .stripMargin))
-      // replica-seeded ±1 per (replica, dimension): the same LCG-parity
-      // arithmetic as the engine's LSH planes — portable, deterministic,
-      // and an orthogonal map, so within-replica cosines are untouched
+      // replica-seeded ±1 per (replica, dimension): LCG-parity arithmetic
+      // (portable, deterministic), an orthogonal map, so within-replica
+      // cosines are untouched. The constants are DELIBERATELY a different
+      // LCG (Numerical Recipes) from the engine's LSH planeSign family —
+      // with the plane family's own constants, replica r's flip vector
+      // would be bit-identical to hyperplane 2r, collapsing that plane's
+      // LSH bit to sign(Σ components) for all of replica r and handing
+      // one band a bucket-skew artifact of the generator's own making
       .withColumn("embedding", expr(
         """IF(_r = 0, embedding,
           |  transform(embedding, (x, i) ->
-          |    IF((CAST(1103515245 AS BIGINT) * (_r * 128 + i) + 12345) % 2147483648
-          |         < 1073741824, x, -x)))""".stripMargin))
+          |    IF((CAST(1664525 AS BIGINT) * (_r * 128 + i) + 1013904223) % 4294967296
+          |         < 2147483648, x, -x)))""".stripMargin))
       .select((col("vec_id") + col("_r") * Offset).as("vec_id"),
         col("embedding"), col("label"))
     write(emb, "embeddings", 4)

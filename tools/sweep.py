@@ -41,8 +41,12 @@ def bench(sf_dir):
     # a stale file would silently make every ratio 1.0x
     if os.path.exists(artifact):
         os.remove(artifact)
+    # frame cache OFF by default: scaling sweeps measure true per-query
+    # compute, and a cache hit would hide a regression in the cached
+    # stage (export GRAFT_NO_FRAME_CACHE=0 to sweep the cached regime)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
-               SPARK_GRAFT_BENCH_RUNS=runs)
+               SPARK_GRAFT_BENCH_RUNS=runs,
+               GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
     print(f"[sweep] benching {sf_dir} (runs={runs})", flush=True)
     run(["sbt", "-batch", "runMain graft.Bench"], env=env)
     if not os.path.exists(artifact):
