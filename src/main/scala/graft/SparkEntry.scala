@@ -256,7 +256,13 @@ object SparkEntry {
     "q_length_filter" -> ((s, d) => TextAnalysis.lengthBoundsFilter(Tables.documents(s, d))),
     "q_customer_quartiles" -> ((s, d) => Relational.customerQuartiles(s, d)),
     "q_source_reputation" -> ((s, d) => TextAnalysis.sourceReputation(Tables.documents(s, d))),
-    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    // auto-k TRAINED codebook (2 Lloyd passes), memoized per corpus
+    // snapshot alongside the IVF codebooks — at the sf0.01 gate auto-k
+    // floors to 8 so the cached codebook is the SAME frame
+    // q_ann_topk_ivf_trained trains (shared key, bit-identical trainer)
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+      cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
+      datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))),
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "q_orders_grouping_sets" -> ((s, d) => Relational.ordersGroupingSets(s, d)),
     "q_customer_standing" -> ((s, d) => Relational.customerBalanceStanding(s, d)),
@@ -424,7 +430,19 @@ object SparkEntry {
       |  FROM tok
       |)""".stripMargin
 
-  /** + minhash signatures and LSH band keys (== Dedup.minhash*). */
+  /** Rank-based seed codebook CTE (== `Similarity.initCentroids`): the k
+    * SMALLEST vec_ids, not `vec_id < k` — robust to offset/sparse id
+    * spaces (ScaleUp replicas start at r·10M), identical rows on the
+    * dense 0-based test ids. `kExpr` is any SQL expression for k (a
+    * literal or a scalar subquery). */
+  private def seedCentsSql(out: String, kExpr: String): String =
+    s""", $out AS (
+       |  SELECT cent_id, cent_emb, cent_nrm FROM (
+       |    SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm,
+       |      row_number() OVER (ORDER BY vec_id) AS _rk FROM e)
+       |  WHERE _rk <= ($kExpr)
+       |)""".stripMargin
+
   /** One Lloyd-iteration CTE block for the q_ann_topk_ivf_trained oracle:
     * assign every vector to its nearest `prev` centroid (cosine desc,
     * cent_id tiebreak), fold per-dimension means as sequential doubles in
@@ -906,9 +924,8 @@ object SparkEntry {
         |  FROM cand
         |) SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin),
     "q_ann_topk_ivf" -> (EMB +
-      """, cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e WHERE vec_id < 8
-        |), ar AS (
+      seedCentsSql("cents", "8") +
+      """, ar AS (
         |  SELECT e.vec_id, c.cent_id,
         |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |      list_sum(list_transform(range(len(e.embedding)), i ->
@@ -1503,16 +1520,20 @@ object SparkEntry {
         |t AS (SELECT count(*) AS n FROM amp)
         |SELECT token, cnt AS exact_cnt, TRUE AS reported, TRUE AS within_eps
         |FROM c, t WHERE cnt * 16 > 2 * n""".stripMargin),
-    // same assignment CTEs as q_ann_topk_ivf; drop = larger id of any
-    // within-cluster pair clearing the cosine threshold (keep-min greedy)
-    // centroid count mirrors the engine's auto-sizing: k = max(8,
-    // ceil(n/2048)) — at the sf0.01 gate n < 2048·8 so k = 8, the
-    // historical layout; at larger SFs both sides grow k together
+    // rank-based seed + the same two Lloyd passes as q_ann_topk_ivf_trained
+    // (shared per-iteration SQL emitter — structurally identical by
+    // construction), then assignment CTEs as q_ann_topk_ivf; drop = larger
+    // id of any within-cluster pair clearing the cosine threshold
+    // (keep-min greedy). Centroid count mirrors the engine's auto-sizing:
+    // k = max(8, ceil(n/2048)) — at the sf0.01 gate n < 2048·8 so k = 8,
+    // the historical layout; at larger SFs both sides grow k together AND
+    // train the codebook, so clusters stay balanced (Σ cluster² ≈ linear)
     "q_semantic_dedup" -> (EMB +
-      """, cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e
-        |  WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 2048.0) AS BIGINT)) FROM embeddings)
-        |), ar AS (
+      seedCentsSql("cents0",
+        "SELECT greatest(8, CAST(ceil(count(*) / 2048.0) AS BIGINT)) FROM embeddings") +
+      lloydIterSql(0, prev = "cents0", out = "cents1") +
+      lloydIterSql(1, prev = "cents1", out = "cents") +
+      """, ar AS (
         |  SELECT e.vec_id, c.cent_id,
         |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |      list_sum(list_transform(range(len(e.embedding)), i ->
@@ -1677,9 +1698,7 @@ object SparkEntry {
     // the iterations can never drift apart) — then the standard IVF
     // probe/search over the trained centroids
     "q_ann_topk_ivf_trained" -> (EMB +
-      """, cents0 AS (
-        |  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm FROM e WHERE vec_id < 8
-        |)""".stripMargin +
+      seedCentsSql("cents0", "8") +
       lloydIterSql(0, prev = "cents0", out = "cents1") +
       lloydIterSql(1, prev = "cents1", out = "cents") +
       """, ar AS (

@@ -542,7 +542,7 @@ object Dedup {
 
   /** Tokenized docs projected to the span-census grain — shared prefix of
     * [[dupSpanCoverage]] and [[removeDupSpans]]. */
-  private def spanToks(docs: DataFrame): DataFrame =
+  private[graft] def spanToks(docs: DataFrame): DataFrame =
     TextAnalysis.withTokens(docs)
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
 
@@ -550,7 +550,7 @@ object Dedup {
     * where `gh` is the 60-bit gram hash — 60 bits, not 32, because the
     * census downstream makes a HARD "seen in 2+ docs" decision on this
     * key, and a 32-bit space saturates by birthday at corpus scale. */
-  private def spanOccurrences(toks: DataFrame, n: Int): DataFrame = {
+  private[graft] def spanOccurrences(toks: DataFrame, n: Int): DataFrame = {
     val parts = (0 until n).map(k => s"toks[s+$k]").mkString(", ")
     toks
       .where(col("n_tokens") >= n)
@@ -576,6 +576,14 @@ object Dedup {
         .where(col("count") >= 2)
         .select(col("gh"))
     }
+
+  /** Public batch form of the duplicated-gram census — one column `gh` of
+    * 60-bit gram hashes appearing in ≥ 2 distinct documents. The ground
+    * truth the STREAMING census ([[graft.stream.StreamCensus]]) must
+    * converge to after ingesting the same corpus in any micro-batch
+    * cuts. */
+  def dupGramCensus(docs: DataFrame, n: Int = 5): DataFrame =
+    dupGrams(spanOccurrences(spanToks(docs), n), n, None, "")
 
   /**
    * Normalized-exact dedup — the fidelity between byte-exact and near-dup:

@@ -47,12 +47,33 @@ private[graft] object FrameCache {
     * md5(datasetTag)). `cacheDir = None` (the library default — unit
     * tests exercise the real computation) or the kill switch runs
     * `compute` directly. `key` must encode every parameter that changes
-    * the output (e.g. `"neardup_components_t0.5_sh3"`). */
+    * the output (e.g. `"neardup_components_t0.5_sh3"`).
+    *
+    * EAGER ON MISS: a miss executes the entire computation (parquet
+    * write) at DataFrame-CONSTRUCTION time, not at first action — the
+    * memo must be complete before the returned frame can read it. A
+    * caller that builds a cached frame and never acts on it still pays
+    * full compute, and a harness that times construction separately from
+    * the action attributes the cost to construction (Bench times the two
+    * together, so its numbers are unaffected).
+    *
+    * LOCAL FILESYSTEM ONLY: the memo's existence check and atomic
+    * publish run through `java.nio.file`, which never consults the
+    * Hadoop filesystem layer — an `hdfs://`/`s3a://` cacheDir would skip
+    * the existence check and then die in the rename. Rejected up front;
+    * a cluster deployment points cacheDir at a shared POSIX mount (or
+    * ports these four calls to Hadoop `FileSystem`, which supports the
+    * same atomic-rename contract on HDFS). */
   def cached(spark: SparkSession, cacheDir: Option[String], key: String,
              datasetTag: String)(compute: => DataFrame): DataFrame =
     cacheDir match {
       case None => compute
       case Some(dir) =>
+        require(!dir.contains("://"),
+          s"FrameCache cacheDir must be a local filesystem path, got '$dir' — " +
+            "the memo uses java.nio.file existence/ATOMIC_MOVE, which a " +
+            "scheme'd URI (hdfs://, s3a://) silently bypasses; mount the " +
+            "cache dir locally or port the memo to Hadoop FileSystem")
         // the tag contract is validated even when the kill switch then
         // bypasses the cache — a caller must not pass CI with the switch
         // set and start throwing the day it is removed

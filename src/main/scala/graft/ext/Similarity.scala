@@ -129,7 +129,9 @@ object Similarity {
                       dim: Int = 64,
                       numBands: Int = NumBands,
                       planesPerBand: Int = PlanesPerBand,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+                      maxBucketSize: Option[Int] = None,
+                      bandsStorage: org.apache.spark.storage.StorageLevel =
+                        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // embeddings ride along INTO the bucket join so the cosine is computed
     // as the candidate streams out of it, and only thresholded survivors
     // ever reach a shuffle. The previous shape (pair ids → distinct →
@@ -143,11 +145,19 @@ object Similarity {
     // persisted because BOTH sides of the self-join read it: b1/b2 are
     // different projections of the same lineage, so ReuseExchange does
     // not apply — without the persist the scan + 64-plane signature pass
-    // (and the cap window's shuffle) would execute twice per query
+    // (and the cap window's shuffle) would execute twice per query.
+    // NOTE the frame carries the embedding per (vector, band) — numBands×
+    // the embedding bytes of a slim (band, key, id) persist. That is the
+    // deliberate trade (the slim form re-joins embeddings onto the FULL
+    // candidate stream — the 100 GB exchange this shape exists to avoid),
+    // but it multiplies executor cache pressure; the default
+    // MEMORY_AND_DISK spills gracefully, and callers at very large SFs
+    // can pass `bandsStorage = DISK_ONLY` to keep the block cache free
+    // for the bucket join's hash maps.
     val bands = Dedup.capBuckets(
       sig.select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),
-      maxBucketSize).persist()
+      maxBucketSize).persist(bandsStorage)
     val b1 = bands.select(col("band"), col("band_key"),
       col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
     val b2 = bands.select(col("band"), col("band_key"),
@@ -211,9 +221,15 @@ object Similarity {
     ivfSearch(base, initCentroids(base, numCentroids), numQueries, k, nprobe)
   }
 
-  /** First `numCentroids` vectors as the deterministic seed codebook. */
+  /** The `numCentroids` SMALLEST vec_ids as the deterministic seed
+    * codebook. Rank-based (orderBy + limit → a distributed TakeOrdered,
+    * never a global sort), NOT `vec_id < k`: on corpora with offset or
+    * sparse ids (ScaleUp replicas start at r·10M) the predicate form
+    * silently yields |ids < k| ≪ k centroids, defeating the cluster-size
+    * bound auto-sizing exists to provide. On dense 0-based ids the two
+    * forms pick identical rows. */
   private def initCentroids(base: DataFrame, numCentroids: Int): DataFrame =
-    base.filter(col("vec_id") < numCentroids)
+    base.orderBy(col("vec_id")).limit(numCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         col("nrm").as("cent_nrm"))
 
@@ -431,31 +447,40 @@ object Similarity {
    * dedup can't see (paraphrases, translations, templated rewrites). Scale
    * shape: assignment is one broadcast-codebook pass; the pair join is
    * keyed on `cluster`, so work is Σ cluster² instead of n² — the
-   * clustering IS the blocking step, exactly like IVF search probes. With
-   * a real k-means codebook ([[kmeansCodebook]]) clusters are balanced;
-   * the seeded stand-in keeps the oracle deterministic.
+   * clustering IS the blocking step, exactly like IVF search probes. The
+   * codebook is a real trained k-means ([[kmeansFromBase]]) so clusters
+   * stay balanced — training is deterministic, so the oracle mirrors it
+   * bit for bit.
    *
    * `numCentroids` = 0 (the default) sizes the codebook from the corpus,
-   * k = max(8, ⌈n / [[SemanticDedupTargetClusterSize]]⌉), as a LAZY
-   * 1-row broadcast (the count job runs only when the frame executes,
-   * and the shape mirrors the oracle's scalar subquery). The floor keeps
-   * tiny corpora on the historical 8-centroid layout — the sf0.01
-   * correctness gate lands there, so the auto path is oracle-pinned
-   * end-to-end.
+   * k = max(8, ⌈n / [[SemanticDedupTargetClusterSize]]⌉). The count runs
+   * EAGERLY at construction (parquet row-group metadata — no data scan):
+   * k must be a concrete number because the codebook is now TRAINED, not
+   * seeded — `iters` Lloyd passes ([[kmeansFromBase]]) so clusters stay
+   * balanced at large k (first-k seeds on a skewed corpus re-grow
+   * Σ cluster² work precisely where auto-k is supposed to bound it).
+   * With `cacheDir` set the codebook memoizes via [[trainedCodebook]]
+   * (train once per corpus snapshot, eager-on-miss — see [[FrameCache]]).
+   * The floor keeps tiny corpora on the historical 8-centroid layout —
+   * the sf0.01 correctness gate lands there, so the auto path is
+   * oracle-pinned end-to-end (the oracle mirrors the training loop
+   * through the same per-iteration SQL emitter as q_ann_topk_ivf_trained).
    */
   def semanticDedup(embeddings: DataFrame, numCentroids: Int = 0,
-                    threshold: Double = 0.35): DataFrame = {
+                    threshold: Double = 0.35, iters: Int = 2,
+                    cacheDir: Option[String] = None,
+                    datasetTag: String = ""): DataFrame = {
     val base = withNorms(embeddings).persist()
-    val cents =
-      if (numCentroids > 0) initCentroids(base, numCentroids)
+    val k =
+      if (numCentroids > 0) numCentroids
       else {
-        val kDf = embeddings.agg(greatest(lit(8L),
-          ceil(count(lit(1)).cast("double") / lit(SemanticDedupTargetClusterSize))
-            .cast("long")).as("_k"))
-        base.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("_k"))
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-            col("nrm").as("cent_nrm"))
+        val n = embeddings.count()
+        math.max(8L, math.ceil(n.toDouble / SemanticDedupTargetClusterSize).toLong).toInt
       }
+    val cents = cacheDir match {
+      case Some(_) => trainedCodebook(embeddings, k, iters, cacheDir, datasetTag)
+      case None => kmeansFromBase(base, k, iters)
+    }
     val assign = base.crossJoin(broadcast(cents))
       .withColumn("arank", centRank).filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cluster"))

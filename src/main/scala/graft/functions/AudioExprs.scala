@@ -46,14 +46,18 @@ object WavHeader {
     b.length >= 12 && id4(b, 0, "RIFF") && id4(b, 8, "WAVE")
 
   /** Offset of the named chunk's PAYLOAD, or -1. Bounded walk (a garbage
-    * size field cannot loop forever), sizes word-aligned per the spec. */
+    * size field cannot loop forever), sizes word-aligned per the spec.
+    * The size sanity check runs BEFORE the id match, so every returned
+    * offset has a validated size — a matching chunk whose declared size
+    * exceeds the buffer is truncation/garbage and yields -1 here rather
+    * than relying on each caller's downstream bounds checks. */
   private def findChunk(b: Array[Byte], name: String): Int = {
     var pos = 12
     var steps = 0
     while (pos + 8 <= b.length && steps < 64) {
       val size = le32(b, pos + 4)
-      if (id4(b, pos, name)) return pos + 8
       if (size < 0 || size > b.length) return -1
+      if (id4(b, pos, name)) return pos + 8
       pos += 8 + size.toInt + (size.toInt & 1)
       steps += 1
     }

@@ -337,10 +337,12 @@ object Relational {
    * Scale shape: one orders scan → per-customer hash agg (all-algebraic:
    * max/count/decimal-sum), the corpus-wide reference date is a 1-row
    * broadcast, and the three rank windows are global-ORDER-BY ntiles —
-   * the one construct here that serializes; at 100 TB swap them for
-   * `percent_rank`-free bucketing off percentile bounds — implemented as
-   * the runnable [[rfmScoresBucketed]] (q_rfm_bucketed). Every window
-   * carries the custkey tiebreak so ranks are total-ordered.
+   * the one construct here that serializes. THIS FORM IS THE ORACLE-EXACT
+   * PARITY PATH ONLY — [[rfmScoresBucketed]] (q_rfm_bucketed, broadcast
+   * percentile bounds, no window at all) is the default at scale; the
+   * ScaleSpec registry audit pins this pair as the only queries allowed
+   * an unbounded global window. Every window carries the custkey
+   * tiebreak so ranks are total-ordered.
    * Monetary routes through DECIMAL(18,2) (order-independent sum), cast
    * back to DOUBLE at the end.
    */
@@ -391,10 +393,13 @@ object Relational {
    * "top-80 %-of-revenue" membership flag. The running sum is an exact
    * decimal window (order-independent); the only double ops are the final
    * two casts and one division — bit-identical. The global ORDER BY window
-   * serializes like [[rfmScores]]' ntiles; the 100 TB swap (percentile
-   * revenue bounds → broadcast bucketing) is the runnable
-   * [[revenueConcentrationBucketed]] (q_revenue_concentration_bucketed);
-   * the total is a 1-row broadcast, not a whole-frame window.
+   * serializes like [[rfmScores]]' ntiles — THIS FORM IS THE ORACLE-EXACT
+   * PARITY PATH ONLY; [[revenueConcentrationBucketed]]
+   * (q_revenue_concentration_bucketed, percentile revenue bounds →
+   * broadcast bucketing) is the default at scale, and the ScaleSpec
+   * registry audit pins this pair as the only queries allowed an
+   * unbounded global window. The total is a 1-row broadcast, not a
+   * whole-frame window.
    */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)

@@ -364,4 +364,37 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(byDecile(1) - 1.0) < 1e-12) // bottom decile: whole total above it
     assert(byDecile(10) < byDecile(9))
   }
+
+  test("registry audit: only the exact RFM/Pareto parity forms carry an UNBOUNDED global window") {
+    // Global-ORDER-BY windows plan Exchange SinglePartition + WindowExec —
+    // the one shape that serializes a whole frame through one reducer.
+    // Audit EVERY registered query's optimized plan and classify each
+    // global window by its input bound:
+    //  - bounded: the window's subtree contains a LIMIT (top-k rank
+    //    stamping over ≤ k rows — vocabTopK/bpePairs/collocations) or a
+    //    parameter-bounded grain the operator documents (vocabGrowth's
+    //    bucket grain, funnelDropoff's |steps|-row grain). Harmless at
+    //    any SF.
+    //  - UNBOUNDED: the window runs over a corpus-proportional frame.
+    //    Exactly the two oracle-parity forms (q_rfm, q_revenue_
+    //    concentration) are allowed to stay in this class — their
+    //    scale-safe bucketed twins (q_rfm_bucketed, q_revenue_
+    //    concentration_bucketed) are the documented default at scale —
+    //    and any NEW query joining it fails this audit.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    val sf = "/root/testdata/sf0.001"
+    def hasLimit(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
+    // operators whose global window runs on a PARAMETER-bounded grain
+    // (documented in their scaladoc), not on corpus rows
+    val boundedGrain = Set("q_vocab_growth", "q_funnel_dropoff")
+    val unbounded = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val globalWindows = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (globalWindows.nonEmpty && !globalWindows.forall(w => hasLimit(w.child))
+          && !boundedGrain.contains(name)) Some(name) else None
+    }
+    assert(unbounded.toSet === Set("q_rfm", "q_revenue_concentration"),
+      s"unbounded global windows outside the parity allowlist: $unbounded")
+  }
 }

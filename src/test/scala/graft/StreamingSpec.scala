@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.schema.Schemas
 import graft.stream.{GlobalSessions, SessionEvent, StreamDedup, StreamJob}
@@ -550,4 +551,58 @@ class StreamingSpec extends SparkSpec {
       s"session count diverged: stream=${streamed.size} batch=${batch.size}")
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
+
+  test("streaming incremental dup-gram census equals the batch census after 3 forced cuts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamCensus
+    val stateDir = java.nio.file.Files.createTempDirectory("census-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("census-ckpt").toString
+    // real corpus split into thirds, plus a handcrafted CROSS-CUT clone
+    // pair (same 7-token span, different cuts) so the census must merge
+    // per-batch increments to see it — a per-batch-only census would miss
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[CDoc].collect().toSeq
+    val span = "alpha beta gamma delta epsilon zeta eta"
+    val third = corpus.size / 3
+    val cuts = Seq(
+      corpus.take(third) :+ CDoc(900001L, s"$span lone tail one"),
+      corpus.slice(third, 2 * third) :+ CDoc(900002L, s"head two $span"),
+      corpus.drop(2 * third))
+    assert(cuts.size === 3 && cuts.forall(_.nonEmpty))
+    val ms = MemoryStream[CDoc]
+    val q = StreamCensus.attach(ms.toDF(), stateDir, ckpt, n = 5)
+    try cuts.foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val streamCensus = StreamCensus.census(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet
+    val all = spark.createDataset(cuts.flatten).toDF()
+    val batchCensus = graft.ext.Dedup.dupGramCensus(all, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamCensus.nonEmpty)
+    assert(streamCensus === batchCensus)
+    // the cross-cut clone span contributed: its grams exist in the census
+    val cloneGrams = graft.ext.Dedup.dupGramCensus(
+      spark.createDataset(Seq(CDoc(1L, s"$span x"), CDoc(2L, s"y $span"))).toDF(), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(cloneGrams.subsetOf(streamCensus))
+    // idempotence under re-execution (foreachBatch is at-least-once):
+    // generation b-1 is retained at commit, so a re-run of the LAST batch
+    // rebuilds the identical generation after its commit is lost
+    val lastGen = java.nio.file.Paths.get(s"$stateDir/state_b2")
+    assert(java.nio.file.Files.exists(lastGen))
+    val lastBatch = spark.createDataset(cuts(2)).toDF()
+    StreamCensus.updateBatch(stateDir, 5)(lastBatch, 2L) // commit exists: no-op
+    assert(StreamCensus.census(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet === batchCensus)
+    scala.util.Using.resource(java.nio.file.Files.walk(lastGen)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    StreamCensus.updateBatch(stateDir, 5)(lastBatch, 2L) // rebuild from gen 1
+    assert(StreamCensus.census(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet === batchCensus)
+  }
 }
+
+/** Top-level (encoder-friendly) document row for the census test. */
+case class CDoc(doc_id: Long, text: String)
