@@ -141,6 +141,12 @@ object SparkEntry {
       Multimodal.realAudioMeta(s, Tables.documents(s, d))),
     "q_multimodal_pixels" -> ((s, d) =>
       Multimodal.decodePixels(s, Tables.documents(s, d))),
+    // stored-binary twin: media parquet materialized once per corpus
+    // snapshot, then decoded from the scanned BINARY column
+    "q_multimodal_pixels_stored" -> ((s, d) =>
+      Multimodal.decodePixelsStored(s, Tables.documents(s, d),
+        cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-media"),
+        datasetTag = Similarity.fileFingerprint(s"$d/documents.parquet"))),
     "q_multimodal_conv" -> ((s, d) =>
       Multimodal.decodeConvFeatures(s, Tables.documents(s, d))),
     "q_frame_sample" -> ((s, d) =>
@@ -429,6 +435,25 @@ object SparkEntry {
       |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS shingles
       |  FROM tok
       |)""".stripMargin
+
+  /** Closed-form pixel-statistics oracle shared by q_multimodal_pixels
+    * (generator-backed decode) and q_multimodal_pixels_stored (parquet
+    * binary-column decode): pattern value (x+y) mod 256 over the
+    * assetDims grid. */
+  private val PixelsOracleSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+      |    CAST(n_chars % 48 + 1 AS INTEGER) AS height
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, width, height,
+      |    unnest(flatten(list_transform(range(height), y ->
+      |      list_transform(range(width), x -> (x + y) % 256)))) AS v
+      |  FROM dims
+      |) SELECT doc_id, width, height,
+      |  CAST(sum(v) AS BIGINT) AS pixel_sum,
+      |  CAST(sum(v) AS DOUBLE) / CAST(width * CAST(height AS BIGINT) AS DOUBLE) AS pixel_mean
+      |FROM px GROUP BY doc_id, width, height""".stripMargin
 
   /** Rank-based seed codebook CTE (== `Similarity.initCentroids`): the k
     * SMALLEST vec_ids, not `vec_id < k` — robust to offset/sparse id
@@ -1079,20 +1104,12 @@ object SparkEntry {
     // the engine decodes REAL PNG rasters via javax.imageio; the oracle is
     // the pattern's closed form (x+y) mod 256 over the pixel grid — one
     // division (exact ints) for the mean, identical in both engines
-    "q_multimodal_pixels" ->
-      """WITH dims AS (
-        |  SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS width,
-        |    CAST(n_chars % 48 + 1 AS INTEGER) AS height
-        |  FROM documents
-        |), px AS (
-        |  SELECT doc_id, width, height,
-        |    unnest(flatten(list_transform(range(height), y ->
-        |      list_transform(range(width), x -> (x + y) % 256)))) AS v
-        |  FROM dims
-        |) SELECT doc_id, width, height,
-        |  CAST(sum(v) AS BIGINT) AS pixel_sum,
-        |  CAST(sum(v) AS DOUBLE) / CAST(width * CAST(height AS BIGINT) AS DOUBLE) AS pixel_mean
-        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    "q_multimodal_pixels" -> PixelsOracleSql,
+    // the stored twin decodes the SAME pattern out of a materialized
+    // parquet BINARY column — the decode statistics (and so the oracle)
+    // are identical; what changes is the engine-side path under test
+    // (write → binary-column scan → decode)
+    "q_multimodal_pixels_stored" -> PixelsOracleSql,
     // WAV layout mirror: the engine parses these fields back out of real
     // RIFF bytes; data_bytes = samples × channels × bytes/sample and
     // n_samples re-derives from the parsed fields (exact integers, so the

@@ -321,6 +321,73 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "pixel_sum", "pixel_mean")
   }
 
+  /**
+   * MATERIALIZED media table: (doc_id, width, height, media BINARY) with
+   * the real PNG bytes as a stored binary column plus typed metadata —
+   * the "opaque binary + typed metadata" media-lake layout. With
+   * `cacheDir` set the table persists via [[FrameCache]] (atomic-move
+   * parquet memo, keyed on the corpus snapshot fingerprint) and the
+   * returned frame is a genuine PARQUET BINARY-COLUMN SCAN — payload
+   * bytes cross the columnar reader exactly as they would from a
+   * crawler-written media lake, which is the path [[decodePixelsStored]]
+   * exists to certify. Generation is one narrow mapPartitions encode
+   * pass; the memo write is eager on first construction (see
+   * [[FrameCache]]) and every later query against the same snapshot is
+   * scan-only.
+   */
+  def storedMedia(spark: SparkSession, docs: DataFrame,
+                  cacheDir: Option[String] = None,
+                  datasetTag: String = ""): DataFrame = {
+    import spark.implicits._
+    FrameCache.cached(spark, cacheDir, "media_png_v1", datasetTag) {
+      docs.select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+        .as[(Long, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val (w, h) = assetDims(id, nChars)
+            (id, w, h, encodePngPattern(w, h, yCoef = 1))
+          }
+        }.toDF("doc_id", "width", "height", "media")
+    }
+  }
+
+  /**
+   * [[decodePixels]] reading from a STORED binary column: the PNGs come
+   * out of [[storedMedia]]'s parquet scan (real bytes through the
+   * columnar reader, with the memory behavior of a true media-lake scan —
+   * one payload per row, decoder state per partition), not from an
+   * in-pass generator. Same decoder, same statistics, same closed-form
+   * oracle as q_multimodal_pixels — so a corruption anywhere in the
+   * write→scan→decode path hash-mismatches. With `cacheDir = None` (or
+   * the FrameCache kill switch) the media frame is computed in-line and
+   * the query degrades to the generator-backed path; the REGISTERED form
+   * passes a cacheDir, so the correctness gate exercises the stored scan.
+   */
+  def decodePixelsStored(spark: SparkSession, docs: DataFrame,
+                         cacheDir: Option[String] = None,
+                         datasetTag: String = ""): DataFrame = {
+    import spark.implicits._
+    storedMedia(spark, docs, cacheDir, datasetTag)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, w, h, sum, sum.toDouble / (w.toLong * h))
+        }
+      }.toDF("doc_id", "width", "height", "pixel_sum", "pixel_mean")
+  }
+
   /** Fixed 3×3 kernels for [[decodeConvFeatures]] — box, Sobel-x, Sobel-y,
     * Laplacian. Integer taps ⇒ exact arithmetic, so the oracle can state
     * the expected response in closed form. Row-major (j = row offset). */
