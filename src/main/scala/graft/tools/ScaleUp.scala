@@ -16,23 +16,41 @@ import org.apache.spark.sql.functions._
  * 10× corpus would not have (10 identical copies of every doc → every
  * LSH bucket gains 10× members → candidate pairs grow 100×, a quadratic
  * artifact of the duplication, not of the algorithms):
- *  - documents: for replica r>0 every 3rd token is rewritten to a
- *    REPLICA-UNIQUE token (a seeded vocabulary word suffixed with the
- *    replica number). Within-replica near-dup pairs are preserved (both
- *    members get the same positional rewrite), while cross-replica
- *    3-shingle overlap is exactly 0 — every 3-gram spans three
- *    consecutive positions, hence contains a rewritten token. The
- *    suffix is load-bearing: an earlier version drew replacements from
- *    the corpus's own closed 31-token vocabulary, which (a) made
- *    replicas r and r+31 byte-identical twins (the rewrite pattern is
- *    periodic in r mod 31) and (b) kept the global shingle space at 31³
- *    values, so every shingle's document frequency grew linearly with
- *    corpus size and frequency-based pruning (prefix filtering) went
- *    quadratic — both artifacts of the generator, not of a genuinely
- *    larger corpus, and the 50× sweep hit both (q_prefix_jaccard's
- *    candidate join spilled past the disk). Replica-unique tokens also
- *    give the corpus Heaps-law vocabulary growth, which is what a real
- *    50× crawl has.
+ *  - documents: for replica r>0 EVERY token t is rewritten to the
+ *    REPLICA-UNIQUE token t + "r" + r. The rewrite is an INJECTIVE
+ *    RENAMING of the whole token alphabet, i.e. replica r is ISOMORPHIC
+ *    to the base corpus: every token-frequency vector, shingle set,
+ *    document-frequency histogram, and pairwise similarity within the
+ *    replica is EXACTLY the base corpus's, and cross-replica overlap is
+ *    zero at every n-gram grain. Per-capita structure is therefore
+ *    preserved BY CONSTRUCTION — every stage cardinality of every
+ *    text-grain query is exactly replicas × base (modulo ~n²/2³²
+ *    32-bit hash collisions), so a sweep ratio that deviates from
+ *    linear indicts the ENGINE, never the generator. Replica-unique
+ *    tokens also give the corpus open (Heaps-law) vocabulary growth.
+ *    Two earlier versions were artifact-bearing, both caught by
+ *    measurement (tools/LshProbe, tools/SparseProbe):
+ *    (a) every-3rd-position replacements drawn from the corpus's own
+ *    closed 31-token vocabulary made replicas r and r+31 byte-identical
+ *    twins (the rewrite pattern is periodic in r mod 31) and held the
+ *    global shingle space at 31³ values, so every shingle's document
+ *    frequency grew linearly with corpus size and frequency-based
+ *    pruning (prefix filtering) went structurally quadratic — the
+ *    round-6 50× sweep hit both (q_prefix_jaccard's candidate join
+ *    spilled past the disk);
+ *    (b) every-3rd-position replacements determined by position alone
+ *    (a seeded vocab word indexed by (i + 7r) mod 31, suffixed) gave
+ *    every document in a replica the same token at every third absolute
+ *    position — SparseProbe measured 30k blocked cosine≥0.5 pairs per
+ *    5000-doc replica vs 1,135 in the identical base docs, because the
+ *    position-dictated tokens both reshaped the shingle-df histogram
+ *    (27× more df∈[2,3] blocking shingles) and boosted pairwise cosine
+ *    (any two same-replica docs shared ~1/3 of their tokens by
+ *    construction). A partial (every-3rd) value-suffix variant was no
+ *    better: renaming a token only at some positions SPLITS its tf mass
+ *    into two types, which again reshapes the df histogram that
+ *    df-windowed blocking keys on (measured 50k pairs/replica). Only
+ *    the total renaming is structure-exact.
  *  - embeddings: replica r's vectors are circularly rotated by r
  *    positions AND sign-flipped per dimension by a replica-seeded ±1
  *    pattern. Both maps are orthogonal, so norms and within-replica
@@ -53,11 +71,6 @@ object ScaleUp {
   /** Disjoint id range per replica (every source key is far below this). */
   val Offset = 10000000L
 
-  /** The corpus's 31-token vocabulary (mutation targets). */
-  private val Vocab = Seq("join", "hash", "row", "batch", "scan", "customer",
-    "column", "filter", "small", "slow", "merge", "order", "vector", "line",
-    "data", "table", "agg", "value", "key", "stream", "window", "spark", "a",
-    "group", "part", "big", "sort", "query", "fast", "the", "dup")
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -102,16 +115,14 @@ object ScaleUp {
     scale("lineitem", Set("l_orderkey", "l_partkey", "l_suppkey"), 16)
     scale("events", Set("event_id", "user_id"), 8)
 
-    // documents: key shift + per-replica token rewrite (see scaladoc)
-    val vocabArr = Vocab.map(t => s"'$t'").mkString("array(", ", ", ")")
+    // documents: key shift + per-replica injective token renaming (see
+    // scaladoc — suffixing EVERY original token is what makes the map an
+    // isomorphism on the replica's whole text-structure)
     val docs = read("documents").crossJoin(reps)
       .withColumn("text", expr(
         s"""CASE WHEN _r = 0 THEN text ELSE
            |  concat_ws(' ', transform(split(trim(text), '\\\\s+'),
-           |    (t, i) -> IF(i % 3 = 0,
-           |      concat(element_at($vocabArr, CAST(1 + (i + 7 * _r) % ${Vocab.size} AS INT)),
-           |             'r', CAST(_r AS STRING)),
-           |      t))) END""".stripMargin))
+           |    t -> concat(t, 'r', CAST(_r AS STRING)))) END""".stripMargin))
       .withColumn("n_chars",
         when(col("_r") === 0, col("n_chars")).otherwise(length(col("text"))))
       .select((col("doc_id") + col("_r") * Offset).as("doc_id"),
