@@ -682,21 +682,42 @@ object Dedup {
    * positions explode ≤ n× the duplicated occurrences (linear); the
    * rebuild is the ordered-array pattern proven by user_paths —
    * sort_array over a per-doc collect_list of (pos, token) structs, one
-   * hash agg, no windows.
+   * hash agg, no windows. The token-grain explode + anti join + rebuild
+   * runs ONLY for docs that actually have a covered position (left_semi
+   * on the covered set): an untouched doc's rebuild output is provably
+   * `concat_ws(' ', toks)` (the rebuild sorts by position, preserving
+   * the original token order), which is computed doc-locally with zero
+   * shuffle. On a mostly-clean corpus — the production norm — this cuts
+   * the dominant cost, the full-corpus token-grain shuffle, to the
+   * duplicated slice (measured 17.4 s → see PLANS.md at sf5, where
+   * ~2/3 of docs are untouched).
    */
   def removeDupSpans(docs: DataFrame, n: Int = 5,
                      cacheDir: Option[String] = None,
                      datasetTag: String = ""): DataFrame = {
     require(n >= 2 && n <= 32, s"span n-gram width out of range: $n")
     val toks = spanToks(docs)
-    val occ = spanOccurrences(toks, n)
-    // only the CENSUS is memoized — the rewritten-text output is as wide
-    // as the corpus itself, exactly the frame shape the cache loses on
-    val dup = dupGrams(occ, n, cacheDir, datasetTag)
-    val covered = occ.join(dup, Seq("gh"), "left_semi")
-      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${n - 1})")).as("pos"))
-      .distinct()
-    val positions = toks
+    // the covered-position set (doc_id, pos) is memoized alongside the
+    // census: it is the OTHER narrow product of the expensive gram pass
+    // (rows = covered positions ≈ dup-coverage × corpus tokens, ~9% on
+    // this corpus; two longs per row), and with it cached a steady-state
+    // rewrite never re-explodes the corpus to gram grain at all. The
+    // rewritten-text OUTPUT stays uncached — as wide as the corpus,
+    // exactly the frame shape the cache loses on.
+    val coveredRaw = FrameCache.cached(docs.sparkSession, cacheDir,
+        s"dup_span_pos_v${DedupFrameVersion}_n$n", datasetTag) {
+      val occ = spanOccurrences(toks, n)
+      occ.join(dupGrams(occ, n, cacheDir, datasetTag), Seq("gh"), "left_semi")
+        .select(col("doc_id"), explode(expr(s"sequence(s, s + ${n - 1})")).as("pos"))
+        .distinct()
+    }
+    // two consumers (touched set + anti join): persist only when the
+    // frame is NOT cache-backed (a hit is already a cheap parquet scan)
+    val covered =
+      if (FrameCache.active(cacheDir)) coveredRaw else coveredRaw.persist()
+    val touched = covered.select(col("doc_id")).distinct()
+    // token-grain rebuild for TOUCHED docs only (see scaladoc)
+    val positions = toks.join(touched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("toks")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
     val kept = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
@@ -704,13 +725,21 @@ object Dedup {
       .agg(expr("concat_ws(' ', transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok))")
         .as("scrubbed_text"),
         count(lit(1)).as("kept_tokens"))
-    toks.select(col("doc_id"), col("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+    val rebuilt = toks.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left") // no kept row = every token covered
       .select(col("doc_id"),
         coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"),
         coalesce(col("kept_tokens"), lit(0L)).cast("long").as("kept_tokens"),
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).cast("long")
           .as("removed_tokens"))
+    // untouched docs pass through doc-locally — no explode, no shuffle
+    val untouched = toks.join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        concat_ws(" ", col("toks")).as("scrubbed_text"),
+        col("n_tokens").as("kept_tokens"),
+        lit(0L).as("removed_tokens"))
+    rebuilt.unionByName(untouched)
   }
 
   /** The filter action on [[dupSpanCoverage]]: drop documents whose

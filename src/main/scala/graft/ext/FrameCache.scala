@@ -43,6 +43,12 @@ private[graft] object FrameCache {
       sys.props.get("graft.frame.cache.disable").exists(on)
   }
 
+  /** Whether `cached(…, cacheDir, …)` would actually consult the memo —
+    * callers that persist multi-consumer frames can skip the persist
+    * when the frame is already a cheap cache-backed parquet scan. */
+  def active(cacheDir: Option[String]): Boolean =
+    cacheDir.nonEmpty && !disabled
+
   /** Memoize `compute` under `cacheDir` keyed on (key, FormatVersion,
     * md5(datasetTag)). `cacheDir = None` (the library default — unit
     * tests exercise the real computation) or the kill switch runs
