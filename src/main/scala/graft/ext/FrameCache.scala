@@ -102,10 +102,18 @@ private[graft] object FrameCache {
           try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException =>
-              // a concurrent writer won the race: compute is deterministic,
-              // so its frame equals ours — drop ours
+            // a concurrent writer winning the race surfaces platform-
+            // dependently: FileAlreadyExistsException, DirectoryNotEmpty-
+            // Exception, or — Linux rename(2) of a directory onto an
+            // existing non-empty directory — a BARE FileSystemException
+            // ("Directory not empty"), which the two named subclasses do
+            // not cover (found by the forced-race test). Treat any rename
+            // failure where the target now exists as a lost race (compute
+            // is deterministic, so the winner's frame equals ours — drop
+            // ours); a failure with NO published target is a genuine IO
+            // error and propagates.
+            case e: java.nio.file.FileSystemException =>
+              if (!java.nio.file.Files.exists(target)) throw e
               scala.util.Using.resource(
                   java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))) { s =>
                 s.sorted(java.util.Comparator.reverseOrder())

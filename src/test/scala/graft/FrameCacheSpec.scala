@@ -62,6 +62,44 @@ class FrameCacheSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().isEmpty) // and wrote nothing
   }
 
+  test("concurrent cold misses race the publish safely: one entry wins, loser discards") {
+    // Two threads miss the same key at once. The latch INSIDE compute forces
+    // the true double-compute race deterministically: thread B can only see a
+    // hit if A already published, but A cannot publish until its compute
+    // returns, which the latch blocks until B has ALSO entered compute — so
+    // both always reach the rename with a fully-written staging dir. The
+    // contract under test (FrameCache scaladoc "Concurrency"): winner takes
+    // all via ATOMIC_MOVE, the loser swallows the rename failure and deletes
+    // its staging copy, and both callers read the single published frame.
+    val dir = tmp()
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def frame = {
+      calls.incrementAndGet()
+      gate.countDown()
+      assert(gate.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "both threads must enter compute — the race was not forced")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContextExecutor =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val runs = Seq.fill(2)(scala.concurrent.Future {
+        FrameCache.cached(spark, Some(dir), "race", "tag") { frame }
+          .orderBy(col("id")).collect().toSeq
+      })
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(runs),
+        scala.concurrent.duration.Duration(180, "s"))
+      assert(calls.get === 2, "both threads must have computed (wasted-work-but-benign)")
+      assert(results(0) === results(1) && results(0).length === 2)
+      val entries = new java.io.File(dir).listFiles()
+      assert(entries.length === 1, s"exactly one published entry, got ${entries.toSeq}")
+      assert(!entries.head.getName.contains(".tmp_"), "no staging leftovers")
+    } finally pool.shutdown()
+  }
+
   test("cached near-dup components and span census match the direct paths") {
     val dir = tmp()
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
