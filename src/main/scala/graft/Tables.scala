@@ -13,14 +13,33 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The testdata `events.ts` column is parquet TIMESTAMP(NANOS), which
-    // Spark's vectorized reader rejects; read it as a long (ns since epoch)
-    // and convert in the adapter below. Dynamic conf, safe to set repeatedly.
+    // The testdata `events.ts` column has shipped as parquet
+    // TIMESTAMP(NANOS) in some generations, which Spark's vectorized
+    // reader rejects; read it as a long (ns since epoch) and convert in
+    // the adapter below. Dynamic conf, safe to set repeatedly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // The generator has shipped `ts` two ways across testdata
+    // generations: TIMESTAMP(NANOS) (which the nanosAsLong conf above
+    // surfaces as a BIGINT of epoch-nanos) and plain timestamp[us]
+    // (which arrives as TIMESTAMP_NTZ). Every engine query — and
+    // [[eventTimeExpr]] — is written against the CANONICAL form, epoch-
+    // nanos BIGINT, so a timestamp-typed column is converted back here:
+    // epoch-micros × 1000 is exact (no precision exists below µs to
+    // lose), making the whole pipeline bit-identical across generations.
+    // timestampdiff on NTZ operands is timezone-independent — no session
+    // timezone assumption sneaks into the canonicalization.
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+          " CAST(ts AS TIMESTAMP_NTZ)) * 1000"))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
