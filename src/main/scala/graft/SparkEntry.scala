@@ -348,7 +348,11 @@ object SparkEntry {
     "q_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q_rolling_revenue" -> ((s, d) => Relational.rollingRevenue7d(s, d)),
     "q_new_vs_returning" -> ((s, d) => Cohorts.newVsReturning(cs(s, d))),
-    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
+    // carried-sort trainer: one corpus shuffle+sort for the whole run
+    // instead of per round; merge table identical to the windows spec
+    // form (PathMiningSpec asserts equality, oracle mirrors the shared
+    // run-parity semantics)
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrainMergesCarried(Tables.documents(s, d))),
     "q_gap_histogram" -> ((s, d) => Sessionize.gapHistogram(sess(s, d))),
     "q_component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit}

@@ -252,6 +252,105 @@ object TextAnalysis {
     merges
   }
 
+  /**
+   * Carried-sort BPE trainer — same merge table as [[bpeTrainMerges]]
+   * (ScalaTest asserts equality; the DuckDB oracle mirrors the shared
+   * semantics), but the corpus is shuffled and sorted ONCE for the whole
+   * training run instead of once per round. The windows formulation pays
+   * a doc-partitioned exchange + sort every round because each round's
+   * window chain re-declares its ordering; here the stream is
+   * `repartition(doc_id) + sortWithinPartitions` up front, and every
+   * round after that is narrow:
+   *
+   *  - pair counts: adjacency is "consecutive rows of the same doc" (the
+   *    carried order makes `pos` itself redundant — it is dropped), so
+   *    one in-partition zip of neighbors feeds a hash aggregate whose
+   *    map-side partial combine shrinks the shuffle to the distinct
+   *    pairs per partition;
+   *  - the winner is ONE row (count desc, pair asc total order),
+   *    collected to the driver — the per-round training artifact, not a
+   *    data-scale collect;
+   *  - the rebuild is a single-pass greedy left-to-right merge scan per
+   *    partition (`mapPartitions` — genuinely per-partition imperative
+   *    logic over an order-carrying stream, the one place the
+   *    declarative form is strictly worse). Greedy left-to-right is
+   *    exactly the run-parity rule: within an overlap run of winning
+   *    pairs, the even-offset occurrences merge and the odd ones are
+   *    consumed — the sequential scan implements that by not re-holding
+   *    a just-merged token as the next left candidate.
+   *
+   * Per-round cost drops from (exchange + sort + window chain + renumber
+   * window) to (linear scan + pair-sized aggregate): the corpus crosses
+   * the wire once at the start instead of once per round, which is the
+   * dominant cost at scale (PLANS.md round-8 table). `localCheckpoint`
+   * still truncates lineage each round — partitions and intra-partition
+   * order survive it, so the carried sort is never redone.
+   */
+  def bpeTrainMergesCarried(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var tp = withTokens(docs)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("pos"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("tok"))
+      .as[(Long, String)]
+      .localCheckpoint(true)
+    val winners = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var drained = false
+    while (r <= rounds && !drained) {
+      val top = tp.mapPartitions { it =>
+        // neighbor zip without buffering a document: hold one row back
+        var hasPrev = false; var pDoc = 0L; var pTok: String = null
+        it.flatMap { case (doc, tok) =>
+          val out =
+            if (hasPrev && pDoc == doc) Iterator.single((pTok, tok))
+            else Iterator.empty
+          hasPrev = true; pDoc = doc; pTok = tok
+          out
+        }
+      }.toDF("a", "b")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()
+      top.headOption match {
+        case None =>
+          // no adjacent pairs anywhere: same terminal semantics as the
+          // windows form (whose empty 1-row broadcast empties the
+          // stream) — no merge row for this or any later round
+          drained = true
+        case Some((a, b, c)) =>
+          winners += ((r, a, b, c))
+          tp = tp.mapPartitions { it =>
+            // greedy left-to-right merge: a merged token is emitted and
+            // NOT re-held as the pending left candidate, so it cannot
+            // start another merge this round (= run-parity evens)
+            var hasPend = false; var qDoc = 0L; var qTok: String = null
+            val tail = Iterator.single(()).flatMap { _ =>
+              if (hasPend) { hasPend = false; Iterator.single((qDoc, qTok)) }
+              else Iterator.empty
+            }
+            it.flatMap { case (doc, tok) =>
+              if (hasPend && qDoc == doc && qTok == a && tok == b) {
+                hasPend = false
+                Iterator.single((doc, a + " " + b))
+              } else {
+                val out =
+                  if (hasPend) Iterator.single((qDoc, qTok)) else Iterator.empty
+                hasPend = true; qDoc = doc; qTok = tok
+                out
+              }
+            } ++ tail
+          }.localCheckpoint(true)
+          r += 1
+      }
+    }
+    spark.createDataFrame(winners.result())
+      .toDF("round", "left_tok", "right_tok", "cnt")
+  }
+
   /** Per-language document-length quantiles (exact, interpolated). */
   def doclenQuantiles(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))

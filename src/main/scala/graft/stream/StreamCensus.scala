@@ -110,10 +110,15 @@ object StreamCensus {
       try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          // concurrent/duplicate commit of the same deterministic
-          // generation: first writer wins, drop ours
+        // same lost-race contract as FrameCache (whose forced-race test
+        // showed Linux rename(2) onto a non-empty directory surfaces as a
+        // BARE FileSystemException, not the two named subclasses): any
+        // rename failure where the generation now exists is a concurrent/
+        // duplicate commit of the same deterministic frame — first writer
+        // wins, drop ours; a failure with NO committed target is a real
+        // IO error and propagates
+        case e: java.nio.file.FileSystemException =>
+          if (!java.nio.file.Files.exists(target)) throw e
           scala.util.Using.resource(
               java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))) { s =>
             s.sorted(java.util.Comparator.reverseOrder())

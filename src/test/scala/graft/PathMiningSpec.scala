@@ -155,6 +155,52 @@ class PathMiningSpec extends SparkSpec {
     assert(got === Seq(("a", "a", 2L)))
   }
 
+  test("bpeTrainMergesCarried: merge table equals the windows spec form") {
+    // cases chosen to hammer the run-parity edges the carried greedy scan
+    // must reproduce: odd/even overlap runs (a-runs of length 5 and 4),
+    // cross-document pair counting, ties broken lexicographically, a
+    // multi-round rewrite where round 2's winner only exists because of
+    // round 1's merge, and a doc that drains to a single token
+    val docs = Seq(
+      (1L, "en", "a a a a a b"),
+      (2L, "en", "a a a a"),
+      (3L, "en", "x y x y z x y"),
+      (4L, "en", "q"),
+      (5L, "en", "x y q a a")
+    ).toDF("doc_id", "lang", "text")
+    for (rounds <- 1 to 4) {
+      val spec = TextAnalysis.bpeTrainMerges(docs, rounds)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val carried = TextAnalysis.bpeTrainMergesCarried(docs, rounds)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(carried === spec, s"rounds=$rounds")
+    }
+  }
+
+  test("bpeTrainMergesCarried: equals the spec form on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val spec = TextAnalysis.bpeTrainMerges(docs, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val carried = TextAnalysis.bpeTrainMergesCarried(docs, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(carried === spec && spec.length === 3)
+  }
+
+  test("bpeTrainMergesCarried: drained corpus stops emitting merge rows") {
+    val docs = Seq((1L, "en", "solo"), (2L, "en", "word")).toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.bpeTrainMergesCarried(docs, rounds = 2).count() === 0L)
+    // two tokens total: round 1 merges them into one, round 2+ finds no
+    // pairs anywhere and contributes nothing (no error, no phantom rows)
+    val tiny = Seq((1L, "en", "p q")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpeTrainMergesCarried(tiny, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((1, "p", "q", 1L)))
+  }
+
   test("triangleStats: compact-forward counts each triangle once; clustering exact") {
     // triangle {1,2,3} plus pendant 4 hanging off 3
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")

@@ -332,6 +332,54 @@ class ScaleSpec extends SparkSpec {
       s"one salt bucket still carries $maxPartial of 100000 hot-key rows")
   }
 
+  test("planted skew: LSH bucket cap bounds the candidate count, costs zero organic pairs") {
+    import org.apache.spark.sql.functions.{col, lit, max => smax}
+    import graft.ext.Dedup
+    // the SkewBench accounting (tools/SkewBench, PLANS.md round-8 table)
+    // pinned at test scale: a boilerplate cluster — the same footer on
+    // every page, one mega bucket in EVERY minhash band — planted far
+    // over the cap on top of the real corpus. The cap's whole recall
+    // loss must land on that degenerate cluster, and the candidate
+    // count must stay at the organic corpus's own count.
+    val cap = 100
+    val planted = 300
+    val plantBase = 900000000L
+    val boiler = "this page is part of our catalog please see the footer " +
+      "for shipping returns and contact information all rights reserved"
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = base.unionByName(spark.range(0, planted).select(
+      (col("id") + plantBase).as("doc_id"), lit(boiler).as("text"),
+      lit("en").as("lang"), lit("planted").as("source"),
+      lit(boiler.length.toLong).as("n_chars")))
+    // the planted bucket really is over-cap (the guard ENGAGES, unlike
+    // the organic corpus where sf10 peaked at 5,992 < the 10k cap)
+    val maxOcc = Dedup.minhashBands(Dedup.minhashSignatures(docs))
+      .groupBy(col("band"), col("band_key")).count()
+      .agg(smax(col("count"))).collect()(0).getLong(0)
+    assert(maxOcc >= planted, s"planted bucket occupancy $maxOcc < $planted")
+    val capped = Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(cap))
+      .select("doc1", "doc2").persist()
+    // 1) no candidate touches the degenerate cluster — the recall loss
+    //    is exactly the planted C(300,2), nowhere else
+    assert(capped.filter(col("doc1") >= plantBase || col("doc2") >= plantBase)
+      .count() === 0L)
+    // 2) organic parity: capped candidates on the full corpus == the
+    //    base corpus's own candidates (identical planted texts add no
+    //    band collisions with organic docs beyond their own bucket —
+    //    and if they did, under-cap buckets survive untouched)
+    val organic = Dedup.minhashCandidatePairs(base).select("doc1", "doc2")
+    assert(capped.exceptAll(organic).count() === 0L)
+    assert(organic.exceptAll(capped).count() === 0L)
+    capped.unpersist()
+    // 3) the documented mitigation for what the cap skips: byte-identical
+    //    boilerplate is EXACT-dedup's job — one groupBy recovers the whole
+    //    planted cluster as a single group (no pair enumeration at all)
+    val recovered = Dedup.exactGroups(docs)
+      .filter(col("keep_doc_id") >= plantBase)
+      .agg(smax(col("n_copies"))).collect()(0).getLong(0)
+    assert(recovered === planted.toLong)
+  }
+
   test("bucketed RFM and Pareto plans carry no window and no global sort") {
     // the scale-safe variants of rfmScores / revenueConcentration replace
     // the global-ORDER-BY ntile / running-sum windows with broadcast
