@@ -190,6 +190,29 @@ class PathMiningSpec extends SparkSpec {
     assert(carried === spec && spec.length === 3)
   }
 
+  test("bpeTrainMergesCarried: property — equals the spec form on seeded random corpora") {
+    // tiny closed vocabularies force dense pair collisions, overlap runs
+    // (aa aa aa...), count ties (lexicographic tiebreak), and multi-round
+    // merged-token interactions — the regimes where a greedy-scan bug
+    // would diverge from the run-parity windows form. Seeds fixed for
+    // reproducibility.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("aa", "bb", "cc")
+      val docs = (1 to 12).map { i =>
+        val n = 1 + rnd.nextInt(9)
+        (i.toLong, "en", Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val spec = TextAnalysis.bpeTrainMerges(docs, rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val carried = TextAnalysis.bpeTrainMergesCarried(docs, rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(carried === spec, s"seed=$seed corpus=${docs.collect().toSeq}")
+    }
+  }
+
   test("bpeTrainMergesCarried: drained corpus stops emitting merge rows") {
     val docs = Seq((1L, "en", "solo"), (2L, "en", "word")).toDF("doc_id", "lang", "text")
     assert(TextAnalysis.bpeTrainMergesCarried(docs, rounds = 2).count() === 0L)

@@ -602,6 +602,46 @@ class StreamingSpec extends SparkSpec {
     assert(StreamCensus.census(spark, stateDir)
       .collect().map(_.getLong(0)).toSet === batchCensus)
   }
+
+  test("census: concurrent duplicate commits of one generation race safely") {
+    // the StreamCensus twin of the FrameCache forced-race test (which
+    // showed Linux rename(2) onto a non-empty directory surfaces as a
+    // bare FileSystemException): two threads run updateBatch for the
+    // SAME batch id at once — the at-least-once duplicate-execution
+    // shape. Both compute the deterministic generation, one commit wins,
+    // the loser discards its staging dir, and the census is intact.
+    import graft.stream.StreamCensus
+    val stateDir = java.nio.file.Files.createTempDirectory("census-race").toString
+    val docs = Seq(
+      CDoc(1L, "alpha beta gamma delta epsilon zeta eta one"),
+      CDoc(2L, "two alpha beta gamma delta epsilon zeta eta")).toDS().toDF()
+    // gate both driver threads at updateBatch ENTRY: each then passes the
+    // missing-generation check (the compute + staged parquet write behind
+    // it takes seconds, so both are inside the window) and both reach the
+    // commit rename — a latch inside the frame lineage would not work
+    // here, since one thread's multi-stage job would satisfy it alone
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContextExecutor =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val runs = Seq.fill(2)(scala.concurrent.Future {
+        gate.countDown()
+        assert(gate.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        StreamCensus.updateBatch(stateDir, 5)(docs, 0L)
+      })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(runs),
+        scala.concurrent.duration.Duration(180, "s"))
+    } finally pool.shutdown()
+    val entries = new java.io.File(stateDir).listFiles()
+    assert(entries.map(_.getName).toSeq === Seq("state_b0"),
+      s"exactly one committed generation, got ${entries.map(_.getName).toSeq}")
+    val expected = graft.ext.Dedup.dupGramCensus(docs, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(StreamCensus.census(spark, stateDir)
+      .collect().map(_.getLong(0)).toSet === expected && expected.nonEmpty)
+  }
 }
 
 /** Top-level (encoder-friendly) document row for the census test. */
