@@ -137,19 +137,27 @@ object ScaleUp {
         """IF(rot = 0, embedding,
           |  concat(slice(embedding, rot + 1, dim - rot), slice(embedding, 1, rot)))"""
           .stripMargin))
-      // replica-seeded ±1 per (replica, dimension): LCG-parity arithmetic
-      // (portable, deterministic), an orthogonal map, so within-replica
-      // cosines are untouched. The constants are DELIBERATELY a different
-      // LCG (Numerical Recipes) from the engine's LSH planeSign family —
-      // with the plane family's own constants, replica r's flip vector
-      // would be bit-identical to hyperplane 2r, collapsing that plane's
-      // LSH bit to sign(Σ components) for all of replica r and handing
-      // one band a bucket-skew artifact of the generator's own making
+      // replica-seeded ±1 per (replica, dimension): md5-parity (the
+      // repo's portable hash family), an orthogonal map, so within-
+      // replica cosines are untouched. Generation 4: the original
+      // 32-bit-LCG parity had power-of-2 lattice structure that made
+      // flip(r) == flip(r+64) for 20 of the 36 rotation-wrap pairs at
+      // 100 replicas (rotation is periodic mod dim), manufacturing
+      // 40,000 byte-identical embedding twins at sf10 and mega sign-LSH
+      // buckets — the THIRD generator-made-the-skew artifact caught by
+      // measurement (after the closed-vocabulary and partial-renaming
+      // ones, see PLANS.md). md5 parity has no lattice alignment, so a
+      // full-pattern collision between two replicas needs 64 independent
+      // bit agreements (~2^-64); same-rotation replicas now decorrelate.
+      // Also deliberately NOT the engine's LSH planeSign family — a
+      // flip vector equal to a hyperplane would collapse that plane's
+      // LSH bit for the whole replica.
       .withColumn("embedding", expr(
         """IF(_r = 0, embedding,
           |  transform(embedding, (x, i) ->
-          |    IF((CAST(1664525 AS BIGINT) * (_r * 128 + i) + 1013904223) % 4294967296
-          |         < 2147483648, x, -x)))""".stripMargin))
+          |    IF(CAST(conv(substr(md5(concat(CAST(_r AS STRING), ':',
+          |         CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0,
+          |       x, -x)))""".stripMargin))
       .select((col("vec_id") + col("_r") * Offset).as("vec_id"),
         col("embedding"), col("label"))
     write(emb, "embeddings", 4)

@@ -38,11 +38,15 @@ import graft.ext.Similarity
  * Output: one JSON line per tier on stdout.
  *
  * Usage: runMain graft.tools.SkewBench <srcDir> [plantedDocs=30000]
- *        [plantedVecs=12000] [skipUncapped]
+ *        [plantedVecs=12000] [skipUncapped] [skipText]
  */
 object SkewBench {
 
-  val PlantBase = 900000000L
+  // FAR above any corpus id at ANY scale factor: ScaleUp replicas offset
+  // ids by r·10M, so sf10's organic ids reach 990,050,000 — a 9e8 base
+  // (the original choice) would count replica 90+ as "planted" and
+  // corrupt the recall accounting exactly at the largest measured SF.
+  val PlantBase = 9000000000L
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -55,6 +59,7 @@ object SkewBench {
     val plantedDocs = if (args.length > 1) args(1).toInt else 30000
     val plantedVecs = if (args.length > 2) args(2).toInt else 12000
     val skipUncapped = args.contains("skipUncapped")
+    val skipText = args.contains("skipText")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,6 +75,10 @@ object SkewBench {
     val cap = Dedup.ProductionMaxBucketSize.get
 
     // ---- text tier: minhash LSH --------------------------------------
+    // (skipText: the flip-fix reruns only touch embeddings — the
+    // documents transform is byte-identical across generator versions,
+    // so recorded minhash numbers stay valid)
+    if (!skipText) {
     val boiler = "this page is part of our catalog please see the footer " +
       "for shipping returns and contact information all rights reserved"
     val planted = spark.range(0, plantedDocs).select(
@@ -133,6 +142,7 @@ object SkewBench {
       s""""capped_pairs_touching_planted":$cappedPlanted""",
       s""""organic_pair_diff":$organicDiff""",
       s""""exact_dedup_recovered_cluster":$exactRecovered""").mkString("{", ",", "}"))
+    }
 
     // ---- embedding tier: sign-LSH ------------------------------------
     val dim = 64
@@ -145,7 +155,8 @@ object SkewBench {
     val embs = ebase.unionByName(pvecs)
 
     val eocc = graft.ext.Similarity.withLshBands(
-        Similarity.withNorms(embs), dim, Similarity.NumBands, Similarity.PlanesPerBand)
+        Similarity.withNorms(embs), dim, Similarity.NumBands,
+        Similarity.ProductionPlanesPerBand)
       .select(col("vec_id"), posexplode(col("bands")))
       .groupBy(col("pos"), col("col")).count()
     val eRow = eocc.agg(
@@ -156,16 +167,21 @@ object SkewBench {
       .collect()(0)
 
     val (ecappedN, ecappedS) = timed(
-      Similarity.lshNearDupPairs(embs, maxBucketSize = Some(cap)).count())
+      Similarity.lshNearDupPairs(embs,
+        planesPerBand = Similarity.ProductionPlanesPerBand,
+        maxBucketSize = Some(cap)).count())
     val (euncappedN, euncappedS) =
       if (skipUncapped) (-1L, -1.0)
-      else timed(Similarity.lshNearDupPairs(embs).count())
+      else timed(Similarity.lshNearDupPairs(embs,
+        planesPerBand = Similarity.ProductionPlanesPerBand).count())
 
-    val ecapped = Similarity.lshNearDupPairs(embs, maxBucketSize = Some(cap))
+    val ecapped = Similarity.lshNearDupPairs(embs,
+        planesPerBand = Similarity.ProductionPlanesPerBand, maxBucketSize = Some(cap))
       .select("id1", "id2").persist()
     val ecappedPlanted = ecapped
       .filter(col("id1") >= PlantBase || col("id2") >= PlantBase).count()
-    val ebasePairs = Similarity.lshNearDupPairs(ebase).select("id1", "id2")
+    val ebasePairs = Similarity.lshNearDupPairs(ebase,
+        planesPerBand = Similarity.ProductionPlanesPerBand).select("id1", "id2")
     val eorganicDiff =
       ecapped.filter(col("id1") < PlantBase && col("id2") < PlantBase)
         .exceptAll(ebasePairs).count() +
@@ -187,8 +203,11 @@ object SkewBench {
       .select("vec_id")
     val dembs = embs.join(keepers, "vec_id")
     val (dcappedN, dcappedS) = timed(
-      Similarity.lshNearDupPairs(dembs, maxBucketSize = Some(cap)).count())
-    val dcapped = Similarity.lshNearDupPairs(dembs, maxBucketSize = Some(cap))
+      Similarity.lshNearDupPairs(dembs,
+        planesPerBand = Similarity.ProductionPlanesPerBand,
+        maxBucketSize = Some(cap)).count())
+    val dcapped = Similarity.lshNearDupPairs(dembs,
+        planesPerBand = Similarity.ProductionPlanesPerBand, maxBucketSize = Some(cap))
       .select("id1", "id2").persist()
     val dorganicDiff =
       dcapped.filter(col("id1") < PlantBase && col("id2") < PlantBase)
