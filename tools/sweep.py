@@ -6,7 +6,11 @@ Usage: python3 tools/sweep.py [baseDir] [scaledDir] [runs] [factor]
 Defaults: /root/testdata/sf0.1  /tmp/sf1  2  10
 
 The scaled corpus is generated with `sbt "runMain graft.tools.ScaleUp
-<base> <scaled> <factor>"` if the directory is missing. Output doubles as
+<base> <scaled> <factor>"` if the directory is missing. At 100x
+(sf10) export SPARK_DRIVER_MEM=48g: the embedding-heavy queries
+(semantic dedup's trained codebook in particular) exhaust the default
+8g driver heap - the JVM dies on GCLocker starvation with exit 52
+mid-suite, which sweep reports as -1.0 entries. Output doubles as
 the PLANS.md evidence table — a query whose ratio exceeds the data ratio
 is a superlinear suspect (unless its OUTPUT grows superlinearly; check
 row counts before blaming the plan).
