@@ -30,14 +30,21 @@ object Tables {
     // nanos BIGINT, so a timestamp-typed column is converted back here:
     // epoch-micros × 1000 is exact (no precision exists below µs to
     // lose), making the whole pipeline bit-identical across generations.
-    // timestampdiff on NTZ operands is timezone-independent — no session
-    // timezone assumption sneaks into the canonicalization.
+    // Each accepted physical type gets its own timezone-independent
+    // conversion — NTZ via timestampdiff on NTZ operands, LTZ via
+    // unix_micros (which reads the stored UTC instant directly). An
+    // unrecognized type fails fast rather than risking a session-timezone-
+    // dependent catch-all cast silently shifting the canonical nanos.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
-          " CAST(ts AS TIMESTAMP_NTZ)) * 1000"))
+      case LongType => df
+      case TimestampNTZType => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampType => df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as unsupported type $other; expected BIGINT epoch-nanos, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP (add an explicit conversion before using it)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.CacheScope.TrackedPersist
+
 /**
  * Item co-occurrence with lift — the item-to-item collaborative-filtering
  * primitive over the event stream (the reference's item analyses,
@@ -48,7 +50,7 @@ object Cooccur {
                        maxItemsPerUser: Int = 1000): DataFrame = {
     // both the totals and the self-join consume this; persist so the JSON
     // extraction + distinct runs once
-    val uk = userItems(events, maxItemsPerUser).persist()
+    val uk = userItems(events, maxItemsPerUser).persistTracked()
     val totals = uk.groupBy(col("k")).agg(count(lit(1)).as("users"))
     val nUsers = uk.agg(countDistinct(col("user_id")).as("n_users"))
     uk.select(col("user_id"), col("k").as("k1"))

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import CacheScope.TrackedPersist
+
 import TextAnalysis.withShingles
 
 /**
@@ -102,7 +104,7 @@ object Dedup {
     // materialize signatures once: every branch of the self-joins below
     // would otherwise recompute the full tokenize→shingle→hash lineage
     // (at cluster scale this persist is "write the signature table")
-    val sigs = minhashSignatures(docs, shingleSize).persist()
+    val sigs = minhashSignatures(docs, shingleSize).persistTracked()
     val allBands = minhashBands(sigs)
     // skew guard: a pathological bucket (boilerplate/empty-page band key
     // shared by millions of docs) would make the pair join quadratic in
@@ -146,7 +148,7 @@ object Dedup {
     * set → (doc1, doc2, sh1, sh2). The shingle frame is persisted because
     * both joins read it (cache lifetime caller-owned, as elsewhere). */
   private def candidateShinglePairs(docs: DataFrame, shingleSize: Int): DataFrame = {
-    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles")).persist()
+    val sh = withShingles(docs, shingleSize).select(col("doc_id"), col("shingles")).persistTracked()
     minhashCandidatePairs(docs, shingleSize).select("doc1", "doc2")
       .join(sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2")), "doc2")
@@ -415,7 +417,7 @@ object Dedup {
     require(bitsPerBand > 0 && bitsPerBand < 32 && 32 % bitsPerBand == 0,
       s"bitsPerBand must be a proper divisor of 32, got $bitsPerBand")
     val numBands = 32 / bitsPerBand
-    val sh = simhash(docs).persist()
+    val sh = simhash(docs).persistTracked()
     val allBands = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         s"""transform(sequence(0, ${numBands - 1}), b ->
@@ -464,7 +466,7 @@ object Dedup {
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("blk")).orderBy(col("simhash"), col("doc_id"))))
-      .persist() // both sides of the successor join re-read it
+      .persistTracked() // both sides of the successor join re-read it
     val succ = sim.select(col("blk"), col("rn"),
         col("doc_id").as("d2"), col("simhash").as("sh2"))
       .withColumn("k", explode(expr(s"sequence(1, $window)")))
@@ -714,7 +716,7 @@ object Dedup {
     // two consumers (touched set + anti join): persist only when the
     // frame is NOT cache-backed (a hit is already a cheap parquet scan)
     val covered =
-      if (FrameCache.active(cacheDir)) coveredRaw else coveredRaw.persist()
+      if (FrameCache.active(cacheDir)) coveredRaw else coveredRaw.persistTracked()
     val touched = covered.select(col("doc_id")).distinct()
     // token-grain rebuild for TOUCHED docs only (see scaladoc)
     val positions = toks.join(touched, Seq("doc_id"), "left_semi")

@@ -20,9 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * folds every file's name/length/mtime — a regenerated file at the same
  * path misses the cache instead of poisoning it).
  *
- * Concurrency: writers stage to a temp dir and ATOMIC_MOVE it into the
- * final path, so existence implies completeness; a concurrent writer
- * losing the rename race simply discards its (identical) result.
+ * Concurrency: writers stage to a temp dir and atomically rename it into
+ * the final path (Hadoop `FileSystem.rename` — atomic on POSIX and HDFS),
+ * so existence implies completeness; a concurrent writer losing the
+ * rename race simply discards its (identical) result.
  *
  * Kill switch: set env `GRAFT_NO_FRAME_CACHE` or system property
  * `graft.frame.cache.disable` to bypass the cache entirely — used when
@@ -63,23 +64,25 @@ private[graft] object FrameCache {
     * the action attributes the cost to construction (Bench times the two
     * together, so its numbers are unaffected).
     *
-    * LOCAL FILESYSTEM ONLY: the memo's existence check and atomic
-    * publish run through `java.nio.file`, which never consults the
-    * Hadoop filesystem layer — an `hdfs://`/`s3a://` cacheDir would skip
-    * the existence check and then die in the rename. Rejected up front;
-    * a cluster deployment points cacheDir at a shared POSIX mount (or
-    * ports these four calls to Hadoop `FileSystem`, which supports the
-    * same atomic-rename contract on HDFS). */
+    * FILESYSTEM CONTRACT: the memo's existence check and publish run
+    * through Hadoop `FileSystem` resolved from the cacheDir's scheme
+    * (plain paths → the session's default FS, `file:` in local mode),
+    * so a cluster deployment can point cacheDir at `hdfs://…` or a
+    * shared POSIX mount alike. The cacheDir's filesystem must provide
+    * ATOMIC directory rename — POSIX and HDFS do; object stores
+    * (`s3a://`) emulate rename with a non-atomic copy and MUST NOT be
+    * used as a cacheDir (a reader could observe a half-copied entry). */
   def cached(spark: SparkSession, cacheDir: Option[String], key: String,
              datasetTag: String)(compute: => DataFrame): DataFrame =
     cacheDir match {
       case None => compute
       case Some(dir) =>
-        require(!dir.contains("://"),
-          s"FrameCache cacheDir must be a local filesystem path, got '$dir' — " +
-            "the memo uses java.nio.file existence/ATOMIC_MOVE, which a " +
-            "scheme'd URI (hdfs://, s3a://) silently bypasses; mount the " +
-            "cache dir locally or port the memo to Hadoop FileSystem")
+        require(!dir.startsWith("s3a://") && !dir.startsWith("s3://") &&
+            !dir.startsWith("gs://") && !dir.startsWith("abfs://") &&
+            !dir.startsWith("abfss://") && !dir.startsWith("wasb://"),
+          s"FrameCache cacheDir '$dir' is on an object store — their rename " +
+            "is a non-atomic copy, so 'existence implies completeness' would " +
+            "not hold; use HDFS or a shared POSIX mount for the memo")
         // the tag contract is validated even when the kill switch then
         // bypasses the cache — a caller must not pass CI with the switch
         // set and start throwing the day it is removed
@@ -91,36 +94,44 @@ private[graft] object FrameCache {
         if (disabled) return compute
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(datasetTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        val path = s"$dir/${key}_fv${FormatVersion}_$tag"
-        val target = java.nio.file.Paths.get(path)
-        // writers only ever ATOMIC_MOVE a fully-written directory into the
-        // final path, so existence implies completeness — no partial reads,
-        // and genuine IO errors propagate instead of masquerading as misses
-        if (!java.nio.file.Files.exists(target)) {
-          val tmp = s"$path.tmp_${System.nanoTime()}"
-          compute.write.mode("overwrite").parquet(tmp)
-          try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // a concurrent writer winning the race surfaces platform-
-            // dependently: FileAlreadyExistsException, DirectoryNotEmpty-
-            // Exception, or — Linux rename(2) of a directory onto an
-            // existing non-empty directory — a BARE FileSystemException
-            // ("Directory not empty"), which the two named subclasses do
-            // not cover (found by the forced-race test). Treat any rename
-            // failure where the target now exists as a lost race (compute
-            // is deterministic, so the winner's frame equals ours — drop
-            // ours); a failure with NO published target is a genuine IO
-            // error and propagates.
-            case e: java.nio.file.FileSystemException =>
-              if (!java.nio.file.Files.exists(target)) throw e
-              scala.util.Using.resource(
-                  java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))) { s =>
-                s.sorted(java.util.Comparator.reverseOrder())
-                  .forEach(p => java.nio.file.Files.delete(p))
-              }
+        val entryName = s"${key}_fv${FormatVersion}_$tag"
+        val target = new org.apache.hadoop.fs.Path(s"$dir/$entryName")
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        // writers only ever rename a fully-written staging directory into
+        // the final path, so existence implies completeness — no partial
+        // reads, and genuine IO errors propagate instead of masquerading
+        // as misses
+        if (!fs.exists(target)) {
+          // staging dir lives NEXT TO the target (same parent, same FS
+          // volume) — a cross-filesystem rename would degrade to a copy
+          val tmpName = s"$entryName.tmp_${System.nanoTime()}"
+          val tmp = new org.apache.hadoop.fs.Path(target.getParent, tmpName)
+          compute.write.mode("overwrite").parquet(tmp.toString)
+          // FileSystem.rename semantics vary: local FS returns false when
+          // the destination exists; HDFS either throws or — classic
+          // rename(src, existing-dir) semantics — moves src INTO the
+          // destination as a child and returns true. All three surface a
+          // concurrent writer having won the race (compute is
+          // deterministic, so the winner's frame equals ours — drop ours);
+          // a rename failure with NO published target is a genuine IO
+          // error and propagates.
+          val renamed =
+            try fs.rename(tmp, target)
+            catch {
+              case e: java.io.IOException =>
+                if (!fs.exists(target)) throw e
+                false
+            }
+          val movedIntoWinner = new org.apache.hadoop.fs.Path(target, tmpName)
+          if (renamed && fs.exists(movedIntoWinner)) {
+            fs.delete(movedIntoWinner, true) // lost race via child-move rename
+          } else if (!renamed) {
+            if (!fs.exists(target)) throw new java.io.IOException(
+              s"FrameCache publish failed: rename($tmp -> $target) returned " +
+                "false and no concurrent writer published the entry")
+            fs.delete(tmp, true) // lost race; winner's identical frame stands
           }
         }
-        spark.read.parquet(path)
+        spark.read.parquet(target.toString)
     }
 }

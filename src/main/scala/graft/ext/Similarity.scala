@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import CacheScope.TrackedPersist
+
 /**
  * Similarity search over an embedding column (`array<float>`): brute-force
  * cosine top-k as the exact baseline, and a sign-LSH (random-hyperplane)
@@ -17,8 +19,9 @@ import org.apache.spark.sql.functions._
  * corpus, assignments) that the returned lazy DataFrame still references,
  * so they cannot unpersist before the caller's terminal action — the
  * SESSION owns their lifetime. Batch drivers (Verify, Bench) call
- * `spark.catalog.clearCache()` between queries; long-lived sessions
- * should do the same or rely on LRU eviction.
+ * `spark.catalog.clearCache()` between queries; long-lived multi-tenant
+ * sessions wrap each query in [[CacheScope.withCached]], which reclaims
+ * exactly the frames the wrapped operators persisted.
  *
  * Scale design (100 TB): brute force is O(|Q|·N) — fine for small query
  * sets, never for all-pairs. The LSH variant buckets vectors by hyperplane
@@ -157,7 +160,7 @@ object Similarity {
     val bands = Dedup.capBuckets(
       sig.select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),
-      maxBucketSize).persist(bandsStorage)
+      maxBucketSize).persistTracked(bandsStorage)
     val b1 = bands.select(col("band"), col("band_key"),
       col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
     val b2 = bands.select(col("band"), col("band_key"),
@@ -179,7 +182,7 @@ object Similarity {
               numBands: Int = NumBands,
               planesPerBand: Int = PlanesPerBand,
               maxBucketSize: Option[Int] = None): DataFrame = {
-    val sig = withLshBands(embeddings, dim, numBands, planesPerBand).persist()
+    val sig = withLshBands(embeddings, dim, numBands, planesPerBand).persistTracked()
     val allBands = sig.select(col("vec_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     // probes come from the uncapped rows (a query always knows its own
@@ -217,7 +220,7 @@ object Similarity {
    */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val base = withNorms(embeddings).persist()
+    val base = withNorms(embeddings).persistTracked()
     ivfSearch(base, initCentroids(base, numCentroids), numQueries, k, nprobe)
   }
 
@@ -297,7 +300,7 @@ object Similarity {
    */
   def kmeansCodebook(embeddings: DataFrame, numCentroids: Int = 8,
                      iters: Int = 2): DataFrame =
-    kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
+    kmeansFromBase(withNorms(embeddings).persistTracked(), numCentroids, iters)
 
   /** Lloyd's iterations over an already-normed (and ideally persisted)
     * base — lets callers that also search share ONE normed corpus scan.
@@ -369,7 +372,7 @@ object Similarity {
                       datasetTag: String = ""): DataFrame =
     FrameCache.cached(embeddings.sparkSession, cacheDir,
         s"codebook_v${CodebookFormatVersion}_c${numCentroids}_i$iters", datasetTag) {
-      kmeansFromBase(withNorms(embeddings).persist(), numCentroids, iters)
+      kmeansFromBase(withNorms(embeddings).persistTracked(), numCentroids, iters)
     }
 
   /** Filesystem fingerprint of a dataset path (file or directory): folds
@@ -400,7 +403,7 @@ object Similarity {
                      numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 2,
                      cacheDir: Option[String] = None,
                      datasetTag: String = ""): DataFrame = {
-    val base = withNorms(embeddings).persist()
+    val base = withNorms(embeddings).persistTracked()
     val cents = cacheDir match {
       case Some(_) => trainedCodebook(embeddings, numCentroids, iters, cacheDir, datasetTag)
       case None => kmeansFromBase(base, numCentroids, iters)
@@ -470,7 +473,7 @@ object Similarity {
                     threshold: Double = 0.35, iters: Int = 2,
                     cacheDir: Option[String] = None,
                     datasetTag: String = ""): DataFrame = {
-    val base = withNorms(embeddings).persist()
+    val base = withNorms(embeddings).persistTracked()
     val k =
       if (numCentroids > 0) numCentroids
       else {
@@ -484,7 +487,7 @@ object Similarity {
     val assign = base.crossJoin(broadcast(cents))
       .withColumn("arank", centRank).filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cluster"))
-      .persist()
+      .persistTracked()
     val a1 = assign.select(col("cluster").as("cl1"), col("vec_id").as("id1"),
       col("embedding").as("emb1"), col("nrm").as("nrm1"))
     val a2 = assign.select(col("cluster").as("cl2"), col("vec_id").as("id2"),

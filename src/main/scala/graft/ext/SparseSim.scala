@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import CacheScope.TrackedPersist
+
 /**
  * Sparse count-vector cosine similarity with inverted-index blocking —
  * the term-space complement to the embedding-space ANN family
@@ -57,7 +59,7 @@ object SparseSim {
     // (the decontaminate pattern)
     val hs = TextAnalysis.withTokens(docs)
       .select(col("doc_id"), expr("graft_shingle_hash(toks, 3)").as("hs"))
-      .persist()
+      .persistTracked()
     val post = hs.select(col("doc_id"), explode(col("hs")).as("g"))
     val rare = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(minDf, maxDf)).select("g")
@@ -101,7 +103,7 @@ object SparseSim {
         expr("array_distinct(graft_shingle_hash(toks, 3))").as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")).cast("long"))
-      .persist()
+      .persistTracked()
     val post = hs.select(col("doc_id"), col("sz"), explode(col("hs")).as("tok"))
     val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prefix = post
@@ -156,7 +158,7 @@ object SparseSim {
    */
   def cosinePairs(docs: DataFrame, minDf: Int = 2, maxDf: Int = 3,
                   minSim: Double = 0.5): DataFrame = {
-    val cand = rareShingleCandidates(docs, minDf, maxDf).persist()
+    val cand = rareShingleCandidates(docs, minDf, maxDf).persistTracked()
     // term vectors ONLY for docs in a candidate pair — the semi join keeps
     // the expensive explode+count off the full corpus (and dedupes, so no
     // distinct here)
@@ -168,7 +170,7 @@ object SparseSim {
     // the VALUE is identical, so the oracle keeps the plain-join form
     val tf = termCounts(docs.join(candDocs, Seq("doc_id"), "left_semi"))
       .withColumn("nrm", expr("sqrt(CAST(sum(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE))"))
-      .persist()
+      .persistTracked()
     cand
       .join(tf.select(col("doc_id").as("doc1"), col("tok"),
         col("cnt").as("c1"), col("nrm").as("nrm1")), "doc1")

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import CacheScope.TrackedPersist
+
 /**
  * Text-analysis operators for an LLM training-data pipeline over the
  * `documents` table: tokenization, token counting, quality scoring,
@@ -429,7 +431,7 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("exact"))
       .withColumn("h", hash32(col("token")))
-      .persist()
+      .persistTracked()
     val sketch = perToken.agg(expr(s"graft_cms(h, exact, $width, $depth)").as("cms"))
     val estJ = (0 until depth).map { j =>
       expr(s"element_at(cms, CAST((${2 * j + 1} * h + ${104729L * j + 12345L}) % $P % $width AS INT) + ${j * width} + 1)")
@@ -503,7 +505,7 @@ object TextAnalysis {
     val sharded = counted
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .withColumn("_shard", expr(s"doc_id DIV ${shardSpan}L"))
-      .persist()
+      .persistTracked()
     val wIn = Window.partitionBy(col("lang"), col("_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // shard totals are one row per (lang, shard): the base-offset window
@@ -584,7 +586,7 @@ object TextAnalysis {
     // and n_shingles) would otherwise re-shingle the corpus.
     val sh = withTokens(docs)
       .select(col("doc_id"), expr(s"graft_shingle_hash(toks, $shingleSize)").as("hs"))
-    val train = sh.filter(col("doc_id") % evalMod =!= 0).persist()
+    val train = sh.filter(col("doc_id") % evalMod =!= 0).persistTracked()
     val evalShingles = sh.filter(col("doc_id") % evalMod === 0)
       .select(explode(col("hs")).as("shingle_hash")).distinct()
     val overlaps = train
@@ -620,7 +622,7 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("n_tokens"))
-      .persist()
+      .persistTracked()
     val total = perLang.agg(sum(col("n_tokens")).as("tot_tokens"))
     perLang.crossJoin(broadcast(total))
       .withColumn("actual_share",
@@ -687,7 +689,7 @@ object TextAnalysis {
     // tf-weighted sum is bit-identical to the per-occurrence fold.
     val ex = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("token"))
     val tf = ex.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf")).persist()
+      .agg(count(lit(1)).as("tf")).persistTracked()
     val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
     val tot = vocab.agg(sum(col("ctf")).as("tot"))
     tf.join(vocab, "token")
@@ -726,7 +728,7 @@ object TextAnalysis {
       .withColumn("n_unique", size(array_distinct(col("toks"))))
       .withColumn("content_hash", md5(col("text")))
       .select("doc_id", "source", "n_chars", "content_hash", "n_tokens", "n_unique")
-      .persist()
+      .persistTracked()
     val copies = hashed.groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"))
     hashed.join(copies, "content_hash")

@@ -47,16 +47,18 @@ object WavHeader {
 
   /** Offset of the named chunk's PAYLOAD, or -1. Bounded walk (a garbage
     * size field cannot loop forever), sizes word-aligned per the spec.
-    * The size sanity check runs BEFORE the id match, so every returned
-    * offset has a validated size — a matching chunk whose declared size
-    * exceeds the buffer is truncation/garbage and yields -1 here rather
-    * than relying on each caller's downstream bounds checks. */
+    * The size sanity check runs BEFORE the id match and is POSITIONAL
+    * (`pos + 8 + size` must fit the buffer), so every returned offset
+    * names a chunk whose entire declared payload is present — a matching
+    * chunk whose declared size runs past the buffer is truncation/garbage
+    * and yields -1 here, instead of leaning on each caller's downstream
+    * bounds checks to catch the over-read. */
   private def findChunk(b: Array[Byte], name: String): Int = {
     var pos = 12
     var steps = 0
     while (pos + 8 <= b.length && steps < 64) {
       val size = le32(b, pos + 4)
-      if (size < 0 || size > b.length) return -1
+      if (size < 0 || pos + 8 + size > b.length) return -1
       if (id4(b, pos, name)) return pos + 8
       pos += 8 + size.toInt + (size.toInt & 1)
       steps += 1

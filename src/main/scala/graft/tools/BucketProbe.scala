@@ -56,21 +56,34 @@ object BucketProbe {
       val m = mem.agg(meanExpr.head, meanExpr.tail: _*).collect()(0)
       val mean = (0 until dim).map(m.getDouble)
       val mnrm = math.sqrt(mean.map(x => x * x).sum)
-      val meanLit = s"array(${mean.mkString(",")})"
-      val stats = mem.select(
-          (expr(s"aggregate(zip_with(embedding, $meanLit, (a, b) -> CAST(a AS DOUBLE) * b)," +
-            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)") / (col("nrm") * lit(mnrm))).as("cosm"),
-          col("replica"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("replica")).as("replicas"),
-          avg(col("cosm")).as("mean_cos"),
-          expr("percentile(cosm, 0.1)").as("p10_cos"),
-          min(col("cosm")).as("min_cos")).collect()(0)
-      println(s"""{"band":$band,"key":$key,"n":$n,""" +
-        s""""replicas":${stats.getLong(1)},""" +
-        s""""mean_cos_to_centroid":${"%.3f".format(stats.getDouble(2))},""" +
-        s""""p10_cos":${"%.3f".format(stats.getDouble(3))},""" +
-        s""""min_cos":${"%.3f".format(stats.getDouble(4))}}""")
+      // A (near-)zero mean direction — e.g. a sign-symmetric cluster —
+      // would make every cosine NaN/Infinity and silently poison the
+      // aggregates; flag the degenerate bucket instead of dividing.
+      val Eps = 1e-9
+      if (mnrm < Eps) {
+        println(s"""{"band":$band,"key":$key,"n":$n,"degenerate_centroid":true}""")
+      } else {
+        val meanLit = s"array(${mean.mkString(",")})"
+        // Members with a (near-)zero norm get a NULL cosine (avg /
+        // percentile / min skip NULLs) and are counted separately.
+        val stats = mem.select(
+            when(col("nrm") > lit(Eps),
+              expr(s"aggregate(zip_with(embedding, $meanLit, (a, b) -> CAST(a AS DOUBLE) * b)," +
+                " CAST(0 AS DOUBLE), (acc, x) -> acc + x)") / (col("nrm") * lit(mnrm))).as("cosm"),
+            col("replica"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("replica")).as("replicas"),
+            avg(col("cosm")).as("mean_cos"),
+            expr("percentile(cosm, 0.1)").as("p10_cos"),
+            min(col("cosm")).as("min_cos"),
+            sum(when(col("cosm").isNull, 1).otherwise(0)).as("zero_norm_members")).collect()(0)
+        println(s"""{"band":$band,"key":$key,"n":$n,""" +
+          s""""replicas":${stats.getLong(1)},""" +
+          s""""mean_cos_to_centroid":${"%.3f".format(stats.getDouble(2))},""" +
+          s""""p10_cos":${"%.3f".format(stats.getDouble(3))},""" +
+          s""""min_cos":${"%.3f".format(stats.getDouble(4))},""" +
+          s""""zero_norm_members":${stats.getLong(5)}}""")
+      }
     }
     spark.stop()
   }

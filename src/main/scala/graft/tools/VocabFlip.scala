@@ -40,12 +40,9 @@ object VocabFlip {
       "q_tfidf" -> (() => TextAnalysis.termDocFreq(docs)),
       "q_bm25" -> (() => TextAnalysis.bm25(docs)))
 
-    def joinOps(df: DataFrame): Map[String, Int] = {
-      // AQE finalizes the plan during execution — read it AFTER the action
-      val s = df.queryExecution.executedPlan.toString
+    def joinOps(planString: String): Map[String, Int] =
       Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
-        .map(op => op -> op.r.findAllIn(s).length).filter(_._2 > 0).toMap
-    }
+        .map(op => op -> op.r.findAllIn(planString).length).filter(_._2 > 0).toMap
 
     for ((mode, thresh) <- Seq("broadcast" -> "10485760", "forced_shuffle" -> "-1")) {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
@@ -56,8 +53,15 @@ object VocabFlip {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           val frame = build()
-          val n = frame.count()
-          ops = joinOps(frame)
+          // Execute the SAME QueryExecution we inspect: frame.count() would
+          // run a derived groupBy().count() QueryExecution, leaving this
+          // frame's AdaptiveSparkPlan un-executed (isFinalPlan=false), so
+          // any AQE runtime SMJ→BHJ change would be invisible. Counting
+          // qe.toRdd runs this plan, and executedPlan read afterwards is
+          // the AQE-final plan that actually ran.
+          val qe = frame.queryExecution
+          val n = qe.toRdd.count()
+          ops = joinOps(qe.executedPlan.toString)
           ((System.nanoTime() - t0) / 1e9, n)
         }
         val sec = times.map(_._1).sorted.apply((runs - 1) / 2)

@@ -42,6 +42,38 @@ class FrameCacheSpec extends SparkSpec {
     assert(calls === 3 && again.head.getInt(0) === 1)
   }
 
+  test("scheme'd cacheDir URI goes through the Hadoop FileSystem layer: miss, hit, layout") {
+    // Same memo contract as the plain-path tests, but addressed as a
+    // file:// URI — the resolution path a cluster uses for hdfs://. The
+    // Hadoop LocalFileSystem honors the same atomic-rename publish, and
+    // the on-disk layout (one versioned entry, no staging leftovers) is
+    // identical to the plain-path form.
+    val plain = tmp()
+    val dir = s"file://$plain"
+    var calls = 0
+    def frame = { calls += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val first = FrameCache.cached(spark, Some(dir), "k1", "tag") { frame }
+      .orderBy(col("id")).collect().toSeq
+    val second = FrameCache.cached(spark, Some(dir), "k1", "tag") { frame }
+      .orderBy(col("id")).collect().toSeq
+    assert(calls === 1 && second === first)
+    val entries = new java.io.File(plain).listFiles()
+    assert(entries.length === 1 &&
+      entries.head.getName.startsWith(s"k1_fv${FrameCache.FormatVersion}_"))
+    assert(!entries.head.getName.contains(".tmp_"))
+    // and a plain-path read of the same cacheDir hits the same entry —
+    // the URI is an address, not part of the key
+    FrameCache.cached(spark, Some(plain), "k1", "tag") { frame }.collect()
+    assert(calls === 1)
+  }
+
+  test("object-store cacheDir is refused: rename there is a non-atomic copy") {
+    val e = intercept[IllegalArgumentException] {
+      FrameCache.cached(spark, Some("s3a://bucket/cache"), "k", "tag") { Seq(1).toDF("n") }
+    }
+    assert(e.getMessage.contains("object store"))
+  }
+
   test("cacheDir without a dataset tag is refused") {
     val e = intercept[IllegalArgumentException] {
       FrameCache.cached(spark, Some(tmp()), "k", "") { Seq(1).toDF("n") }

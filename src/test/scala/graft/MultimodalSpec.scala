@@ -126,6 +126,25 @@ class MultimodalSpec extends SparkSpec {
     // a consumer sizing a read buffer from it must never over-read
     assert(f(wav.take(50), WavHeader.DataBytes) === null)
     assert(f(wav.take(50), WavHeader.SampleRate) === 44100)
+    // matching id with a garbage size: the POSITIONAL size check in
+    // findChunk must reject the chunk itself (not lean on a caller's
+    // downstream bounds check) — a data chunk declaring 0x7fffffff bytes
+    // and an fmt chunk declaring more payload than the buffer holds both
+    // classify as NULL for every field behind them
+    val hugeData = wav.clone()
+    hugeData(40) = 0xff.toByte; hugeData(41) = 0xff.toByte
+    hugeData(42) = 0xff.toByte; hugeData(43) = 0x7f.toByte // data size @36+4
+    assert(f(hugeData, WavHeader.DataBytes) === null)
+    assert(f(hugeData, WavHeader.SampleRate) === 44100) // fmt precedes, still fine
+    // the sharp case: declared fmt size 70 fits the 84-byte buffer as a
+    // GLOBAL bound but not positionally (12+8+70 > 84) — the old check
+    // (size <= b.length) accepted this chunk and read fields from a
+    // payload the buffer can't back; the positional check rejects it
+    val hugeFmt = wav.clone()
+    hugeFmt(16) = 70; hugeFmt(17) = 0; hugeFmt(18) = 0; hugeFmt(19) = 0
+    assert(f(hugeFmt, WavHeader.Channels) === null)
+    assert(f(hugeFmt, WavHeader.SampleRate) === null)
+    assert(f(hugeFmt, WavHeader.DataBytes) === null) // walk dies at the bad fmt
   }
 
   test("header parsers never throw on arbitrary bytes (seeded fuzz)") {
