@@ -17,8 +17,16 @@ import org.apache.spark.sql.expressions.Aggregator
  * of the min bucket; this engine pins deterministic (min count, min key)
  * eviction — reproducible results beat the last log factor.)
  *
- * The mirror is @transient and rebuilt lazily after deserialization —
- * partial-aggregate shipping serializes only the map.
+ * The mirror is @transient and built LAZILY — not on the first offer, but
+ * on the first EVICTION (and rebuilt on the same trigger after
+ * deserialization or a merge): in the exact regime (capacity ≥ distinct
+ * keys — every oracle-gated use) no eviction ever fires, so each arrival
+ * is one HashMap update and the mirror never exists. The round-9 probe
+ * measured the always-maintained mirror at 188–390 ns/token of aggregate
+ * overhead (the top line of the 100× sweep's worst ratio, 37.1×); hit
+ * counting needs no order information, so that work was pure waste in the
+ * no-eviction regime. Once built, the mirror is maintained incrementally
+ * exactly as before — the evict-heavy regime is unchanged.
  */
 final class TopKState extends Serializable {
   val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
@@ -41,15 +49,18 @@ final class TopKState extends Serializable {
   }
 
   /** Space-saving arrival: count a hit, or admit under capacity, or evict
-    * the (min count, min key) entry and inherit its count + 1. */
+    * the (min count, min key) entry and inherit its count + 1. The mirror
+    * is only touched when it already exists (a past eviction built it) —
+    * the eviction branch itself forces the lazy build via [[order]]. */
   def offer(item: String, capacity: Int): Unit = counts.get(item) match {
     case Some(c) =>
       counts.update(item, c + 1)
-      order.remove((c, item))
-      order.add((c + 1, item))
+      val ord = orderOrNull
+      if (ord != null) { ord.remove((c, item)); ord.add((c + 1, item)) }
     case None if counts.size < capacity =>
       counts.update(item, 1L)
-      order.add((1L, item))
+      val ord = orderOrNull
+      if (ord != null) ord.add((1L, item))
     case None =>
       approximated = true
       val min @ (minCount, minKey) = order.head

@@ -50,6 +50,12 @@ object TopKProbe {
       val toks = graft.ext.TextAnalysis.withTokens(docs)
         .select(expr("explode(toks)").as("token"))
       val nToks = toks.count()
+      // one untimed pass of BOTH stages first: JIT + codegen warmup
+      // otherwise lands entirely on the first dir's first measurement
+      toks.count()
+      toks.as[String]
+        .select(new graft.ext.SpaceSavingTopK(10, 4096, strict = true)
+          .toColumn.name("topk")).head()
       // measure the two stages interleaved so machine-load drift hits both
       val mapS = Seq.newBuilder[Double]
       val aggS = Seq.newBuilder[Double]

@@ -47,6 +47,47 @@ class ScaleSpec extends SparkSpec {
     assert(elapsedMs < 30000.0, s"mostly-unique eviction smoke check too slow: $elapsedMs ms")
   }
 
+  test("space-saving lazy mirror: bit-identical to the naive min-scan model across the regime boundary") {
+    import graft.ext.TopKState
+    // reference model: same semantics, O(capacity) min scan per eviction —
+    // independent of the mirror entirely
+    def reference(stream: Seq[String], capacity: Int): (Map[String, Long], Boolean) = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var approx = false
+      stream.foreach { item =>
+        m.get(item) match {
+          case Some(c) => m.update(item, c + 1)
+          case None if m.size < capacity => m.update(item, 1L)
+          case None =>
+            approx = true
+            val (minKey, minCount) = m.minBy { case (k, c) => (c, k) }
+            m.remove(minKey)
+            m.update(item, minCount + 1)
+        }
+      }
+      (m.toMap, approx)
+    }
+    val rnd = new scala.util.Random(9) // deterministic
+    // streams engineered to CROSS the exact→approximate boundary, so the
+    // mirror lazy-builds mid-stream from a populated counts map — the path
+    // the eager implementation never exercised
+    for (capacity <- Seq(2, 5, 16); trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(160)
+      val keys = capacity + 1 + rnd.nextInt(2 * capacity) // > capacity distinct
+      val stream = Seq.fill(n)(s"k${rnd.nextInt(keys)}")
+      val st = new TopKState
+      stream.foreach(st.offer(_, capacity))
+      val (want, wantApprox) = reference(stream, capacity)
+      assert(st.counts.toMap === want, s"capacity=$capacity stream=$stream")
+      assert(st.approximated === wantApprox)
+    }
+    // exact regime: no eviction ever fires and counts are the true counts
+    val exact = new TopKState
+    Seq("a", "b", "a", "c", "a", "b").foreach(exact.offer(_, capacity = 8))
+    assert(exact.counts.toMap === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(!exact.approximated)
+  }
+
   test("sequence packing shards the per-lang running sum (no single-reducer window)") {
     import org.apache.spark.sql.functions.{col, lit}
     // one dominant lang, 40 docs: with shardSpan=8 the doc-row window runs
