@@ -134,7 +134,7 @@ object Similarity {
                       planesPerBand: Int = PlanesPerBand,
                       maxBucketSize: Option[Int] = None,
                       bandsStorage: org.apache.spark.storage.StorageLevel =
-                        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                        org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame = {
     // embeddings ride along INTO the bucket join so the cosine is computed
     // as the candidate streams out of it, and only thresholded survivors
     // ever reach a shuffle. The previous shape (pair ids → distinct →
@@ -151,12 +151,18 @@ object Similarity {
     // (and the cap window's shuffle) would execute twice per query.
     // NOTE the frame carries the embedding per (vector, band) — numBands×
     // the embedding bytes of a slim (band, key, id) persist. That is the
-    // deliberate trade (the slim form re-joins embeddings onto the FULL
-    // candidate stream — the 100 GB exchange this shape exists to avoid),
-    // but it multiplies executor cache pressure; the default
-    // MEMORY_AND_DISK spills gracefully, and callers at very large SFs
-    // can pass `bandsStorage = DISK_ONLY` to keep the block cache free
-    // for the bucket join's hash maps.
+    // deliberate trade, and the round-9 cache-pressure experiment
+    // (tools/LshCachePressure, PLANS.md r9 §2) measured all three options
+    // at the 100× sweep endpoint: the slim form re-joins embeddings onto
+    // the FULL candidate stream, and its pair-id distinct EXHAUSTED 78 GB
+    // of shuffle-spill disk before completing (1.8× slower already at
+    // 10×); MEMORY_AND_DISK vs DISK_ONLY on the fat frame is a wash
+    // (9.25 vs 9.23 s, interleaved warm rounds). DISK_ONLY is therefore
+    // the default — same wall-clock, but the 234 MB-per-million-vectors
+    // columnar cache stays OUT of the unified-memory storage pool, which
+    // on a real executor is exactly the headroom the bucket join's hash
+    // maps want. Callers can still pass MEMORY_AND_DISK when the frame is
+    // re-read across many actions and local disk is slow.
     val bands = Dedup.capBuckets(
       sig.select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),

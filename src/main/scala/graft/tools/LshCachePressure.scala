@@ -73,9 +73,12 @@ object LshCachePressure {
       (out, Seq(sig, slim))
     }
 
+    // GRAFT_LSH_MODES=slim (comma-sep) restricts the run — lets a mode
+    // that dies at scale be re-run alone with its full stack trace
+    val wanted = sys.env.get("GRAFT_LSH_MODES").map(_.split(",").toSet)
     args.foreach { dir =>
       val emb = graft.Tables.embeddings(spark, dir)
-      val modes: Seq[(String, () => (DataFrame, Seq[DataFrame]))] = Seq(
+      val allModes: Seq[(String, () => (DataFrame, Seq[DataFrame]))] = Seq(
         "memdisk" -> (() => (Similarity.lshNearDupPairs(emb,
           planesPerBand = Similarity.ProductionPlanesPerBand,
           maxBucketSize = Dedup.ProductionMaxBucketSize), Nil)),
@@ -85,24 +88,39 @@ object LshCachePressure {
           bandsStorage = StorageLevel.DISK_ONLY), Nil)),
         "slim" -> (() => slimPairs(emb, threshold = 0.35)),
       )
-      modes.foreach { case (mode, build) =>
-        val times = Seq.newBuilder[Double]
-        var rows = -1L
-        var cachedMem = 0L
-        var cachedDisk = 0L
-        (1 to runs).foreach { _ =>
+      val modes = allModes.filter { case (m, _) => wanted.forall(_.contains(m)) }
+      // INTERLEAVED rounds (mode A run 1, mode B run 1, mode A run 2, …):
+      // this host carries sibling JVMs whose load drifts on the minute
+      // scale — mode-grouped runs confound the comparison with whatever
+      // the machine was doing during that mode's block. Per-run times are
+      // printed so an outlier round is visible instead of buried in the
+      // median; loadavg is stamped per run for the same reason.
+      def loadavg: Double =
+        scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").mkString
+          .split(" ")(0).toDouble).getOrElse(-1.0)
+      val acc = modes.map { case (m, _) => m -> Seq.newBuilder[Double] }.toMap
+      var rowsByMode = Map.empty[String, Long]
+      var cacheByMode = Map.empty[String, (Long, Long)]
+      (1 to runs).foreach { r =>
+        modes.foreach { case (mode, build) =>
           spark.catalog.clearCache()
           val (out, _) = build()
+          val l = loadavg
           val t0 = System.nanoTime()
-          rows = out.count()
-          times += (System.nanoTime() - t0) / 1e9
+          val rows = out.count()
+          val s = (System.nanoTime() - t0) / 1e9
+          acc(mode) += s
+          rowsByMode += mode -> rows
           val stats = org.apache.spark.sql.graftshim.Shim.cachedRddStats(spark)
-          cachedMem = stats.map(_._2).sum
-          cachedDisk = stats.map(_._3).sum
+          cacheByMode += mode -> ((stats.map(_._2).sum, stats.map(_._3).sum))
+          println(f"[lshcache-run] dir=$dir mode=$mode run=$r s=$s%.2f load=$l%.1f")
         }
-        println(f"[lshcache] dir=$dir mode=$mode rows=$rows " +
-          f"s=${median(times.result())}%.2f " +
-          f"cached_mem_mb=${cachedMem / 1e6}%.1f cached_disk_mb=${cachedDisk / 1e6}%.1f")
+      }
+      modes.foreach { case (mode, _) =>
+        val (cm, cd) = cacheByMode(mode)
+        println(f"[lshcache] dir=$dir mode=$mode rows=${rowsByMode(mode)} " +
+          f"s=${median(acc(mode).result())}%.2f " +
+          f"cached_mem_mb=${cm / 1e6}%.1f cached_disk_mb=${cd / 1e6}%.1f")
       }
       spark.catalog.clearCache()
     }
