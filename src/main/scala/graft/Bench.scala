@@ -52,6 +52,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // same extensions the Verify gate runs under (and a user's session
+      // would load): bench must measure the shipped plan shapes
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     // ERROR: the one-line JSON contract — WARN noise (WindowExec on the
     // k-row rank window, AQE notices) would bury the result line

@@ -39,9 +39,20 @@ object TextAnalysis {
     * 64-bit integer in any engine (16 hex digits would overflow). */
   val hash60Sql: String = "CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT)"
 
-  /** Lower-cased whitespace tokens. */
+  /** Lower-cased whitespace tokens — the codegen'd one-pass form of
+    * [[splitTokens]] (identical values; a TextSpec property test pins the
+    * equivalence, including the empty/leading-separator edges). */
   def withTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("toks", split(trim(lower(col(textCol))), "\\s+"))
+    docs.withColumn("toks", org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.WhitespaceTokens(
+        org.apache.spark.sql.graftshim.Shim.expression(col(textCol)))))
+
+  /** The built-in-only tokenize this engine started with: a per-row regex
+    * compile inside `String.split` plus two intermediate string copies.
+    * Kept as the reference model for the [[withTokens]] parity test and
+    * the A/B in tools/TokenBench. */
+  def splitTokens(textCol: String): Column =
+    split(trim(lower(col(textCol))), "\\s+")
 
   /** Distinct word `n`-gram shingles of the token array. */
   def withShingles(docs: DataFrame, n: Int = 3): DataFrame = {

@@ -40,6 +40,8 @@ object SketchExprs {
     }, "built-in")
     reg.createOrReplaceTempFunction("graft_token_hash",
       exprs => HashedTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_tokens",
+      exprs => WhitespaceTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hash", {
       case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n, IntegerType)) =>
         HashedShingles(toks, n.asInstanceOf[Int])

@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // every suite runs under the shipped session extensions, same as
+      // Verify/Bench — regressions in the injected rules surface here
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
