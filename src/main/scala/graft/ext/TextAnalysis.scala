@@ -102,11 +102,17 @@ object TextAnalysis {
    * cheap pre-filters of web-scale corpus cleaning (heuristics in the spirit
    * of C4/Gopher rules, computed columnar).
    */
+  /** Compiled `size(filter(c, t -> t IN (words)))` — one codegen'd hash
+    * probe per token instead of an interpreted HOF lambda per token per
+    * dictionary (TokenizeSpec pins the value parity). */
+  def countIn(c: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graftshim.Shim.column(graft.functions.CountInSet(
+      org.apache.spark.sql.graftshim.Shim.expression(c), words))
+
   def qualityScore(docs: DataFrame): DataFrame = {
-    val stopList = stopwordsEn.map(s => s"'$s'").mkString(", ")
     withTokens(docs)
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+      .withColumn("n_stop", countIn(col("toks"), stopwordsEn))
       .withColumn("n_unique", size(array_distinct(col("toks"))))
       .select(
         col("doc_id"),
@@ -132,8 +138,7 @@ object TextAnalysis {
    */
   def langId(docs: DataFrame): DataFrame = {
     val scored = langDicts.foldLeft(withTokens(docs)) { case (df, (lang, words)) =>
-      val list = words.map(w => s"'$w'").mkString(", ")
-      df.withColumn(s"score_$lang", expr(s"size(filter(toks, t -> t IN ($list)))"))
+      df.withColumn(s"score_$lang", countIn(col("toks"), words))
     }
     val langs = langDicts.map(_._1)
     // argmax with alphabetical priority: first lang whose score >= all others

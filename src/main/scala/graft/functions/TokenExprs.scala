@@ -60,10 +60,63 @@ case class WhitespaceTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Count (with multiplicity) of array elements present in a static word
+ * set — the compiled form of `size(filter(toks, t -> t IN ('w1','w2',…)))`
+ * that qualityScore (stopword ratio) and langId (per-language dictionary
+ * hits) fold over every token of every document. The HOF form runs its
+ * lambda interpreted — per token, per dictionary, a virtual-call chain
+ * plus an In evaluation; this is one hash probe per token inside
+ * whole-stage codegen. Value-identical: multiplicity is kept (filter
+ * keeps duplicates), a null array yields null (size(filter(null)) is
+ * null), and null ELEMENTS don't count (IN over a null yields null →
+ * filter drops the element).
+ */
+case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"CountInSet expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenExprs.countInSet(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenExprs.countInSet($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TokenExprs {
 
   @inline private def isWs(c: Byte): Boolean =
     c == 0x20 || (c >= 0x09 && c <= 0x0D)
+
+  /** One hash probe per element; see [[CountInSet]] for the pinned
+    * null/multiplicity semantics. Called from generated code. */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
 
   private val EmptyToken: ArrayData =
     new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))

@@ -39,6 +39,8 @@ object AbBench {
         val exec = t { df.write.format("noop").mode("overwrite").save() }
         spark.catalog.clearCache()
         println(f"[ab] ext=$useExt q=$n run=$i plan_s=$plan%.2f exec_s=$exec%.2f")
+        if (i == 1 && sys.env.get("GRAFT_AB_EXPLAIN").contains("1"))
+          println(df.queryExecution.optimizedPlan.toString)
       }
     }
     spark.stop()

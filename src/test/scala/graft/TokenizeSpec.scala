@@ -133,6 +133,34 @@ class TokenizeSpec extends SparkSpec {
     assert(q.count() === ref.count())
   }
 
+  test("CountInSet matches size(filter(toks, t -> t IN (...))) incl. null edges") {
+    val words = TextAnalysis.stopwordsEn
+    val list = words.map(w => s"'$w'").mkString(", ")
+    // real corpus parity, schema included (both sides must be INT)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = TextAnalysis.withTokens(docs).select(
+      TextAnalysis.countIn($"toks", words).as("fast"),
+      expr(s"size(filter(toks, t -> t IN ($list)))").as("ref"))
+    assert(both.schema("fast").dataType === both.schema("ref").dataType)
+    assert(both.filter(not($"fast" <=> $"ref")).count() === 0L)
+    // null array -> null; null elements don't count; multiplicity kept
+    val edge = Seq(
+      (1, Seq("the", "the", "x", null, "of")),
+      (2, null),
+      (3, Seq.empty[String])
+    ).toDF("id", "toks")
+    val got = edge.select($"id",
+        TextAnalysis.countIn($"toks", words).as("fast"),
+        expr(s"size(filter(toks, t -> t IN ($list)))").as("ref"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getInt(2))).toSeq
+    assert(got.forall { case (_, f, r) => f == r })
+    assert(got.find(_._1 == 1).get._2 === 3) // the, the, of
+    assert(got.find(_._1 == 2).get._2 === null)
+    assert(got.find(_._1 == 3).get._2 === 0)
+  }
+
   test("graft_tokens SQL registration returns the same arrays") {
     graft.functions.SketchExprs.register(spark)
     val df = Seq((1, "  Hello\tWorld "), (2, ""), (3, "\tx")).toDF("id", "text")
