@@ -766,8 +766,21 @@ object TextAnalysis {
    * URL-like tokens — the regexp_replace cleaning layer of corpus prep.
    * Patterns kept to the regex subset with identical semantics across
    * engines (character classes, +, alternation — no lookaround).
+   * Runs as the codegen'd one-byte-pass-per-pattern
+   * [[graft.functions.ScrubPii]]; [[scrubRegex]] is the built-in chain it
+   * replaced, kept as the reference model for the ScrubSpec parity test.
    */
   def scrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.graftshim.Shim.column(
+        graft.functions.ScrubPii(
+          org.apache.spark.sql.graftshim.Shim.expression(col("text")))).as("scrubbed"))
+
+  /** The chained-regexp_replace scrub this engine started with: three
+    * Matcher passes per row, each with a UTF-16 round-trip. Reference
+    * model for [[scrub]]'s parity test and the A/B in tools/AbBench. */
+  def scrubRegex(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       regexp_replace(

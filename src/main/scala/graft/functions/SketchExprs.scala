@@ -42,6 +42,8 @@ object SketchExprs {
       exprs => HashedTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_tokens",
       exprs => WhitespaceTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_scrub",
+      exprs => ScrubPii(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hash", {
       case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n, IntegerType)) =>
         HashedShingles(toks, n.asInstanceOf[Int])
