@@ -353,6 +353,10 @@ object SparkEntry {
     // form (PathMiningSpec asserts equality, oracle mirrors the shared
     // run-parity semantics)
     "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrainMergesCarried(Tables.documents(s, d))),
+    // decoupled tokenizer-apply: train 3 merges, then re-encode the
+    // corpus with them through the shuffle-free per-row apply path and
+    // report the encoded token distribution
+    "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "q_gap_histogram" -> ((s, d) => Sessionize.gapHistogram(sess(s, d))),
     "q_component_sizes" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit}
@@ -1976,6 +1980,18 @@ object SparkEntry {
         |  SELECT 2 AS round, a AS left_tok, b AS right_tok, c AS cnt FROM top2
         |  UNION ALL
         |  SELECT 3 AS round, a AS left_tok, b AS right_tok, c AS cnt FROM top3)""".stripMargin),
+    // the encoded corpus after the same 3 training rounds: tp4 IS the
+    // stream the trained merges produce, so its token histogram is the
+    // oracle for the decoupled apply path (train → collect merges →
+    // per-row re-encode) on the Spark side
+    "q_bpe_encode" -> (TOK +
+      """, tp1 AS (
+        |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM tok
+        |)""".stripMargin +
+      bpeRoundSql(1) + bpeRoundSql(2) + bpeRoundSql(3) +
+      " SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tp4 GROUP BY tok"),
     // new on first-seen day, returning after; conditional sum is exact
     "q_new_vs_returning" -> (CS +
       """, fd AS (

@@ -369,6 +369,77 @@ object TextAnalysis {
       .toDF("round", "left_tok", "right_tok", "cnt")
   }
 
+  /** One document through an ordered merge list: for each merge in rank
+    * order, one greedy left-to-right non-overlapping pass over the token
+    * array. A token produced by a merge is not a left candidate for the
+    * SAME merge pass (= the trainer's run-parity evens rule) but is live
+    * for every later merge, which is what lets a trained list build
+    * longer and longer phrases. */
+  private[graft] def applyMergesToDoc(
+      toks: Seq[String], merges: Array[(String, String)]): Seq[String] = {
+    var cur: Array[String] = toks.toArray
+    var m = 0
+    while (m < merges.length && cur.length > 1) {
+      val (a, b) = merges(m)
+      val out = new Array[String](cur.length)
+      var i = 0
+      var n = 0
+      while (i < cur.length) {
+        if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+          out(n) = a + " " + b; n += 1; i += 2
+        } else {
+          out(n) = cur(i); n += 1; i += 1
+        }
+      }
+      cur = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      m += 1
+    }
+    cur.toSeq
+  }
+
+  /**
+   * Apply an ORDERED merge list to every document — the tokenize stage a
+   * pre-trained BPE vocabulary runs over a 100 TB corpus. Decoupled from
+   * training: the merges arrive as plain pairs (a tokenizer ARTIFACT —
+   * k rows, collected once, closure-shipped to executors; never a
+   * data-scale collect), and application is ONE narrow typed map: each
+   * doc's token array is rewritten in memory merge-by-merge in rank
+   * order via [[applyMergesToDoc]], the same greedy scan the trainer's
+   * rebuild uses, so applying the trainer's own merges reproduces its
+   * final internal stream exactly (pinned in PathMiningSpec and by the
+   * q_bpe_encode oracle, whose tp4 IS that stream). Unlike training —
+   * which must re-count pairs globally each round — the apply path needs
+   * no doc-contiguous sort and NO shuffle at all: scan → tokenize →
+   * per-row rewrite, all pipelined in one stage, O(k·len) per doc with
+   * the buffer bounded by the document, not the corpus.
+   */
+  def bpeApplyMerges(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    withTokens(docs)
+      .select(col("doc_id").cast("long").as("doc_id"), col("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, applyMergesToDoc(toks, ms)) }
+      .toDF("doc_id", "toks")
+  }
+
+  /** Encoded-corpus token distribution: train `rounds` merges
+    * ([[bpeTrainMergesCarried]]), re-tokenize the corpus with them
+    * through the decoupled apply path, and count the resulting tokens —
+    * the vocabulary-frequency report a tokenizer run emits. The final
+    * aggregation is the query's only shuffle, and its key space is the
+    * vocabulary (base tokens + k phrases), not the corpus. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val merges = bpeTrainMergesCarried(docs, rounds)
+      .orderBy(col("round"))
+      .select(col("left_tok"), col("right_tok"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeApplyMerges(docs, merges)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-language document-length quantiles (exact, interpolated). */
   def doclenQuantiles(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))

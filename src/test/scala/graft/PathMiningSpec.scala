@@ -224,6 +224,53 @@ class PathMiningSpec extends SparkSpec {
     assert(got === Seq((1, "p", "q", 1L)))
   }
 
+  test("applyMergesToDoc: run parity, same-pass non-reentry, later-merge chaining") {
+    import TextAnalysis.applyMergesToDoc
+    // overlap run of 5: evens merge, odd leftover survives
+    assert(applyMergesToDoc(Seq("a", "a", "a", "a", "a"), Array(("a", "a")))
+      === Seq("a a", "a a", "a"))
+    // a token produced by a merge is NOT a left candidate in the same pass
+    assert(applyMergesToDoc(Seq("a", "a", "a"), Array(("a", "a"))) === Seq("a a", "a"))
+    // ... but it IS live for later merges (phrase growth across ranks)
+    assert(applyMergesToDoc(Seq("a", "b", "c"), Array(("a", "b"), ("a b", "c")))
+      === Seq("a b c"))
+    // merges with no occurrence, empty merge list, sub-pair docs
+    assert(applyMergesToDoc(Seq("x", "y"), Array(("p", "q"))) === Seq("x", "y"))
+    assert(applyMergesToDoc(Seq("x", "y"), Array.empty) === Seq("x", "y"))
+    assert(applyMergesToDoc(Seq("x"), Array(("x", "x"))) === Seq("x"))
+    assert(applyMergesToDoc(Seq.empty, Array(("x", "x"))) === Seq.empty)
+  }
+
+  test("bpeEncode: hand-computed encoded distribution on the training corpus") {
+    // same corpus as the iterated-trainer test; merges are
+    // r1 (x,y), r2 ("x y", q), r3 ("x y", "x y") — apply by hand:
+    //   doc1 "x y x y z" → [x y, x y, z] → (no q) → [x y x y, z]
+    //   doc2 "x y q"     → [x y, q] → [x y q] → (single token)
+    val docs = Seq(
+      (1L, "en", "x y x y z"),
+      (2L, "en", "x y q")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpeEncode(docs, rounds = 3).orderBy("tok").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("x y q", 1L), ("x y x y", 1L), ("z", 1L)))
+  }
+
+  test("bpeEncode: word-stream conservation on the real corpus") {
+    // every encoded token is a phrase of base words, so the encoded
+    // distribution must re-expand to EXACTLY the corpus's whitespace
+    // token count — a merge can regroup words but never create or drop
+    // one. Also pins compression: 3 merges must strictly shrink the
+    // stream on this corpus.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val enc = TextAnalysis.bpeEncode(docs, rounds = 3)
+      .select(col("cnt"), (size(split(col("tok"), " ")) * col("cnt")).as("words"))
+      .agg(sum(col("cnt")), sum(col("words"))).collect()(0)
+    val baseTokens = TextAnalysis.withTokens(docs)
+      .agg(sum(size(col("toks")))).collect()(0).getLong(0)
+    assert(enc.getLong(1) === baseTokens)
+    assert(enc.getLong(0) < baseTokens)
+  }
+
   test("triangleStats: compact-forward counts each triangle once; clustering exact") {
     // triangle {1,2,3} plus pendant 4 hanging off 3
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
