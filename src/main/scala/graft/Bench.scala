@@ -28,14 +28,20 @@ object Bench {
       catch { case _: Throwable => null }
     val procs = if (pids == null) -1 else pids.length
     val self = ProcessHandle.current().pid()
+    // A JVM is a process whose EXECUTABLE is java — read /proc/<pid>/exe,
+    // not the cmdline. Substring-matching the cmdline ("java"/"sbt")
+    // counted any process whose ARGUMENTS merely mention those words
+    // (an orchestration wrapper carrying a prose prompt did exactly
+    // that in round 9, stamping 3 phantom JVMs onto every idle run and
+    // mis-flagging a clean sweep as contaminated).
     val javas =
       if (pids == null) -1
       else pids.count { f =>
         f.getName.toLong != self && {
           try {
-            val cmd = java.nio.file.Files.readString(
-              java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline"))
-            cmd.contains("java") || cmd.contains("sbt")
+            val exe = java.nio.file.Files.readSymbolicLink(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/exe")).toString
+            exe.endsWith("/java")
           } catch { case _: Throwable => false }
         }
       }

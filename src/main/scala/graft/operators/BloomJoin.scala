@@ -40,10 +40,21 @@ object BloomJoin {
 
   /** Exact semi join of `big` on `bigKey` against `small`'s `smallKey`,
     * Bloom-prefiltered. Result equals
-    * `big.join(small, big(bigKey) === small(smallKey), "left_semi")`. */
+    * `big.join(small, big(bigKey) === small(smallKey), "left_semi")`.
+    *
+    * `expectedItems` ≤ 0 (the default) sizes the sketch from a `count()`
+    * of the build side — one extra cheap job over the SMALL side, never
+    * the fact table. A fixed guess is a scale trap in both directions:
+    * undersized, the filter saturates (at 11× its design load the FPP is
+    * effectively 1, so the prefilter drops nothing and the verify join
+    * pays the full fact-table shuffle — exactly what a 1<<18 guess did
+    * against 3M build keys at the 100× sweep); oversized, the broadcast
+    * sketch wastes memory on every executor. Counting rows (not distinct
+    * keys) over-sizes under key duplication — the safe direction. */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
-               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(xxhash64(col(smallKey)), expectedItems, fpp)
+               expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val items = if (expectedItems > 0) expectedItems else math.max(64L, small.count())
+    val bloom = small.stat.bloomFilter(xxhash64(col(smallKey)), items, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

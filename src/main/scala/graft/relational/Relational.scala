@@ -311,8 +311,7 @@ object Relational {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    graft.operators.BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey",
-        expectedItems = 1 << 18)
+    graft.operators.BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"), sum(dec("l_quantity")).as("dq"))
       .select(col("l_returnflag"), col("n_lines"),
