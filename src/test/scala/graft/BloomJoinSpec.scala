@@ -32,6 +32,23 @@ class BloomJoinSpec extends SparkSpec {
     assert(n === 2000 / 3)
   }
 
+  test("auto-sized sketch (default expectedItems) is exact and actually filters") {
+    val big = (1L to 20000L).toDF("k")
+    val small = (1L to 20000L).filter(_ % 50 == 0).toDF("sk")
+    // default sizing counts the build side (400 keys) instead of trusting a
+    // guess — the regime where a stale 1<<18-style constant either saturates
+    // (undersized) or wastes broadcast bytes (oversized)
+    val got = BloomJoin.semiJoin(big, small, "k", "sk")
+    assert(got.count() === 20000 / 50)
+    // the probe must prefilter: with a right-sized sketch at fpp=0.01 the
+    // bloom pass alone keeps ~matches + 1% of non-matches, far below big
+    val bloom = small.stat.bloomFilter(xxhash64(col("sk")), small.count(), 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    val probed = big.filter(
+      Shim.column(BloomMightContain(Shim.expression(xxhash64(col("k"))), bytes))).count()
+    assert(probed < 2000, s"right-sized sketch should drop ~99% of non-matches, kept $probed")
+  }
+
   test("BloomMightContain expression: membership true for inserted keys, codegen = interpreted") {
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     (1L to 50L).foreach(bloom.putLong)
