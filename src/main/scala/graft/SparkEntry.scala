@@ -238,7 +238,7 @@ object SparkEntry {
       // correctness gate only runs at sf0.01, where the folds collapse);
       // a hard failure here wrongly blocked the sf1 scaling bench.
       val emb = Tables.embeddings(s, d)
-      val maxRow = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head
+      val maxRow = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0) // null = empty table
       if (maxId >= (1L << 16)) System.err.println(
         s"[graft] q_ann_topk_ivf_trained: max vec_id $maxId >= 2^16 — the " +

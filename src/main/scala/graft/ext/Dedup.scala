@@ -303,7 +303,7 @@ object Dedup {
     // principle alias under 2^64 wraparound at extreme id scales; the
     // decimal sum is exact and cannot
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head
+      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     // self-loops fold the keep-min merge INTO the propagation aggregate:

@@ -59,7 +59,7 @@ object Incremental {
     // so the cutoff value itself needs no cross-engine determinism.
     // avg over zero rows is NULL — cutoff 0 makes history empty and delta
     // the (empty) whole, so the merge identity still holds on an empty table
-    val cutoffRow = e.agg(expr("CAST(avg(ts DIV 1000000000) AS LONG)")).head
+    val cutoffRow = e.agg(expr("CAST(avg(ts DIV 1000000000) AS LONG)")).head()
     val cutoff = if (cutoffRow.isNullAt(0)) 0L else cutoffRow.getLong(0)
     val history = eventRollup(e.filter(col("ts") <  lit(cutoff) * lit(1000000000L)))
     val delta   = eventRollup(e.filter(col("ts") >= lit(cutoff) * lit(1000000000L)))

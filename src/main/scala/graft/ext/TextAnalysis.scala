@@ -402,27 +402,29 @@ object TextAnalysis {
    * pre-trained BPE vocabulary runs over a 100 TB corpus. Decoupled from
    * training: the merges arrive as plain pairs (a tokenizer ARTIFACT —
    * k rows, collected once, closure-shipped to executors; never a
-   * data-scale collect), and application is ONE narrow typed map: each
-   * doc's token array is rewritten in memory merge-by-merge in rank
-   * order via [[applyMergesToDoc]], the same greedy scan the trainer's
-   * rebuild uses, so applying the trainer's own merges reproduces its
-   * final internal stream exactly (pinned in PathMiningSpec and by the
-   * q_bpe_encode oracle, whose tp4 IS that stream). Unlike training —
+   * data-scale collect), and application is ONE narrow codegen'd
+   * expression ([[graft.functions.ApplyBpeMerges]]): each doc's token
+   * array is rewritten merge-by-merge in rank order directly over
+   * Tungsten `UTF8String` values — the same greedy scan the trainer's
+   * rebuild uses ([[applyMergesToDoc]] stays as the reference model,
+   * parity-pinned in PathMiningSpec), so applying the trainer's own
+   * merges reproduces its final internal stream exactly (also pinned by
+   * the q_bpe_encode oracle, whose tp4 IS that stream). Unlike training —
    * which must re-count pairs globally each round — the apply path needs
    * no doc-contiguous sort and NO shuffle at all: scan → tokenize →
-   * per-row rewrite, all pipelined in one stage, O(k·len) per doc with
-   * the buffer bounded by the document, not the corpus.
+   * rewrite → explode, all pipelined in ONE codegen stage (the first
+   * form here was a typed `Dataset.map`, which paid an encoder
+   * deserialize–reserialize round trip per document and fenced codegen
+   * at both edges), O(k·len) per doc with the buffer bounded by the
+   * document, not the corpus.
    */
-  def bpeApplyMerges(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ms = merges.toArray
+  def bpeApplyMerges(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     withTokens(docs)
-      .select(col("doc_id").cast("long").as("doc_id"), col("toks"))
-      .as[(Long, Seq[String])]
-      .map { case (id, toks) => (id, applyMergesToDoc(toks, ms)) }
-      .toDF("doc_id", "toks")
-  }
+      .select(col("doc_id").cast("long").as("doc_id"),
+        org.apache.spark.sql.graftshim.Shim.column(
+          graft.functions.ApplyBpeMerges(
+            org.apache.spark.sql.graftshim.Shim.expression(col("toks")), merges))
+          .as("toks"))
 
   /** Encoded-corpus token distribution: train `rounds` merges
     * ([[bpeTrainMergesCarried]]), re-tokenize the corpus with them

@@ -158,10 +158,98 @@ case class ScrubPii(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Apply an ORDERED BPE merge list to a token array — the compiled form of
+ * the tokenize stage a pre-trained vocabulary runs over a 100 TB corpus
+ * ([[graft.ext.TextAnalysis.bpeApplyMerges]]). The first implementation
+ * was a typed `Dataset.map`: correct, but it pays the ObjectHashed
+ * deserialize–reserialize round trip PER DOCUMENT (UnsafeArray →
+ * `Seq[String]` → rewrite → back), and it breaks whole-stage codegen at
+ * both edges of the map. This expression runs the SAME greedy
+ * leftmost-non-overlapping rewrite (semantics pinned against
+ * [[graft.ext.TextAnalysis.applyMergesToDoc]], the retained reference
+ * model) directly over Tungsten `UTF8String` values — one token-pointer
+ * array per document, compacted in place per merge round, no java
+ * Strings, and the whole scan→tokenize→apply→explode pipeline stays in
+ * one codegen stage.
+ *
+ * Null elements (never produced by the tokenizer, but representable in
+ * the input type) pass through unmerged: equality probes are
+ * `a.equals(tok)` with the non-null merge operand on the left.
+ */
+case class ApplyBpeMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ApplyBpeMerges expects array<string>, got $t")
+  }
+
+  // merging never introduces nulls; preserve the child's containsNull
+  override def dataType: DataType = child.dataType
+
+  // merge operands and the fused "a b" output token, decoded once per
+  // executor (closure-shipped artifact, k entries — never data-scale)
+  @transient private lazy val ops: (Array[UTF8String], Array[UTF8String], Array[UTF8String]) = {
+    val as = merges.map(m => UTF8String.fromString(m._1)).toArray
+    val bs = merges.map(m => UTF8String.fromString(m._2)).toArray
+    val abs = merges.map(m => UTF8String.fromString(m._1 + " " + m._2)).toArray
+    (as, bs, abs)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val (as, bs, abs) = ops
+    TokenExprs.applyBpeMerges(input.asInstanceOf[ArrayData], as, bs, abs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = "org.apache.spark.unsafe.types.UTF8String[]"
+    val asRef = ctx.addReferenceObj("mergeAs", ops._1, t)
+    val bsRef = ctx.addReferenceObj("mergeBs", ops._2, t)
+    val absRef = ctx.addReferenceObj("mergeAbs", ops._3, t)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenExprs.applyBpeMerges($c, $asRef, $bsRef, $absRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TokenExprs {
 
   @inline private def isWs(c: Byte): Boolean =
     c == 0x20 || (c >= 0x09 && c <= 0x0D)
+
+  /** Greedy leftmost-non-overlapping rewrite, one pass per merge in rank
+    * order — the byte-level mirror of `applyMergesToDoc`'s String loop.
+    * The token-pointer array is compacted IN PLACE (the write index never
+    * passes the read index), so per document the only allocations are one
+    * `UTF8String[]` and the result `GenericArrayData`; the token bytes
+    * themselves are never copied. Called from generated code. */
+  def applyBpeMerges(arr: ArrayData, as: Array[UTF8String], bs: Array[UTF8String],
+                     abs: Array[UTF8String]): ArrayData = {
+    var n = arr.numElements()
+    if (n <= 1 || as.length == 0) return arr
+    val cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = arr.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < as.length && n > 1) {
+      val a = as(m); val b = bs(m); val ab = abs(m)
+      i = 0
+      var w = 0
+      while (i < n) {
+        if (i + 1 < n && a.equals(cur(i)) && b.equals(cur(i + 1))) {
+          cur(w) = ab; w += 1; i += 2
+        } else {
+          cur(w) = cur(i); w += 1; i += 1
+        }
+      }
+      n = w
+      m += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(cur, n).asInstanceOf[Array[Any]])
+  }
 
   /** One hash probe per element; see [[CountInSet]] for the pinned
     * null/multiplicity semantics. Called from generated code. */

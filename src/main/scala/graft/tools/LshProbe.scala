@@ -44,7 +44,7 @@ object LshProbe {
         sum(expr("occ * (occ - 1) DIV 2")).as("cand_uncapped"),
         sum(expr(s"CASE WHEN occ <= ${Dedup.ProductionMaxBucketSize.get} " +
             "THEN occ * (occ - 1) DIV 2 ELSE 0 END"))
-          .as("cand_capped")).head
+          .as("cand_capped")).head()
       val out = Similarity.lshNearDupPairs(emb,
         planesPerBand = Similarity.ProductionPlanesPerBand,
         maxBucketSize = Dedup.ProductionMaxBucketSize).count()

@@ -52,7 +52,7 @@ object SparseProbe {
       val dfreq = post.groupBy(col("g")).agg(count(lit(1)).as("df")).persist()
       val rareStats = dfreq.filter(col("df").between(minDf, maxDf))
         .agg(count(lit(1)).as("rare"),
-          sum(expr("df * (df - 1) DIV 2")).as("cand_raw")).head
+          sum(expr("df * (df - 1) DIV 2")).as("cand_raw")).head()
       val cand = SparseSim.rareShingleCandidates(docs, minDf, maxDf).persist()
       val nCand = cand.count()
       val candDocs = cand.select(col("doc1").as("doc_id"))
@@ -62,7 +62,7 @@ object SparseProbe {
       val tfSize = SparseSim.termCounts(docs.join(candDocs, Seq("doc_id"), "left_semi"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
       val verifyRows = cand.join(tfSize.withColumnRenamed("doc_id", "doc1"), "doc1")
-        .agg(sum(col("ntok"))).head.getLong(0)
+        .agg(sum(col("ntok"))).head().getLong(0)
       val out = SparseSim.cosinePairs(docs, minDf, maxDf, minSim).count()
       println(s"[sparseprobe] dir=$dir n=$n occ=$occ " +
         s"rare=${rareStats.getAs[Long]("rare")} cand_raw=${rareStats.getAs[Long]("cand_raw")} " +

@@ -271,6 +271,42 @@ class PathMiningSpec extends SparkSpec {
     assert(enc.getLong(0) < baseTokens)
   }
 
+  test("ApplyBpeMerges expression: parity with the applyMergesToDoc reference model") {
+    import graft.ext.TextAnalysis.applyMergesToDoc
+    // generated corpus over a tiny alphabet (maximizes merge collisions,
+    // overlap chains like "a a a", and multi-round rewrites), plus edges
+    val rnd = new scala.util.Random(13)
+    val alpha = Array("a", "b", "c")
+    val texts = (1 to 300).map { i =>
+      (i.toLong, "en", Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(3))).mkString(" "))
+    } ++ Seq((9001L, "en", "a"), (9002L, "en", ""), (9003L, "en", "a a a a"))
+    val docs = texts.toDF("doc_id", "lang", "text")
+    val merges = Seq(("a", "a"), ("a a", "b"), ("c", "a a b"), ("b", "c"))
+    val got = TextAnalysis.bpeApplyMerges(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val want = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), col("toks")).collect()
+      .map(r => (r.getLong(0), applyMergesToDoc(r.getSeq[String](1), merges.toArray)))
+      .toMap
+    assert(got === want)
+    // empty merge list: identity
+    val id = TextAnalysis.bpeApplyMerges(docs, Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val base = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), col("toks")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(id === base)
+    // null elements (representable in the input type, never produced by the
+    // tokenizer) pass through unmerged instead of throwing
+    val withNull = Seq((1L, Seq[String]("a", null, "a"))).toDF("doc_id", "toks")
+    val out = withNull.select(org.apache.spark.sql.graftshim.Shim.column(
+        graft.functions.ApplyBpeMerges(
+          org.apache.spark.sql.graftshim.Shim.expression(col("toks")),
+          Seq(("a", "a")))).as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(out === Seq("a", null, "a"))
+  }
+
   test("triangleStats: compact-forward counts each triangle once; clustering exact") {
     // triangle {1,2,3} plus pendant 4 hanging off 3
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
