@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Task-retry determinism probe — the locally-executable slice of the
+ * ROADMAP Day-3 chaos plan. Full executor loss needs a real cluster, but
+ * Spark's recomputation machinery (task re-attempt, upstream shuffle-
+ * output reuse) is exercised by `local[N,F]` masters with F>1: a task
+ * that throws on attempt 0 is re-launched, and the job's RESULT must be
+ * identical to the uninjected run for every plan family we ship.
+ *
+ * Methodology note: both arms run the SAME wrapped plan (input routed
+ * through an RDD hop), with injection merely toggled — comparing a
+ * wrapped run to the bare parquet plan would also change partitioning
+ * and double-sum evaluation order, conflating plan shape with retry
+ * effects. A static counter (same-JVM local mode) certifies each
+ * injected arm actually failed-and-retried at least once; accumulators
+ * can't do this because failed-task updates are discarded.
+ *
+ * Families: window+running-sum (sessionize→metrics), join+agg (BM25),
+ * iterative label propagation (near-dup components), shuffle agg (exact
+ * dedup groups) — plus a final-stage injection on the sessionize family,
+ * which retries the RESULT stage against reused shuffle map outputs.
+ *
+ * Usage: runMain graft.tools.ChaosRetry <sfDir>
+ * Output: one JSON line per family {"family":…,"rows":…,"injected_failures":…,
+ * "match":…}; exits nonzero on any mismatch or if an injection never fired.
+ */
+object ChaosRetry {
+
+  @volatile var injectedFailures: Long = 0L
+
+  /** Route `df` through an RDD hop whose first-scheduled partition throws
+    * on task attempt 0 when `inject` is set. The hop is present in BOTH
+    * arms so the compared plans are identical; only the failure differs. */
+  private def hop(df: DataFrame, inject: Boolean): DataFrame = {
+    val schema = df.schema
+    val doInject = inject // avoid capturing the DataFrame in the closure
+    val rdd = df.rdd.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (doInject && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+        injectedFailures += 1
+        throw new RuntimeException("chaos: injected transient task failure")
+      }
+      it
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      // local[8,3]: 8 task threads, tasks may fail twice before the job
+      // aborts — the injected attempt-0 throw is absorbed by a retry
+      .master("local[8,3]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val events = graft.Tables.clickstream(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+
+    // each family is (name, build): build wires the wrapped input through
+    // the real operator; for the output-stage family the hop sits on the
+    // RESULT instead, so the retried task re-fetches upstream shuffle
+    // output rather than recomputing the scan
+    val families: Seq[(String, Boolean => DataFrame)] = Seq(
+      "window_sessionize" -> ((inject: Boolean) =>
+        graft.analytics.Sessionize.sessionMetrics(
+          graft.analytics.Sessionize(hop(events, inject)))),
+      "join_bm25" -> ((inject: Boolean) =>
+        graft.ext.TextAnalysis.bm25(hop(docs, inject))),
+      "iterative_components" -> ((inject: Boolean) =>
+        graft.ext.Dedup.nearDupComponents(hop(docs, inject))),
+      "shuffle_agg_dedup" -> ((inject: Boolean) =>
+        graft.ext.Dedup.exactGroups(hop(docs, inject))),
+      "result_stage_sessionize" -> ((inject: Boolean) =>
+        hop(graft.analytics.Sessionize.sessionMetrics(
+          graft.analytics.Sessionize(events)), inject)))
+
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    var failed = false
+    families.foreach { case (name, build) =>
+      val clean = rows(build(false))
+      val before = injectedFailures
+      val chaotic = rows(build(true))
+      val fired = injectedFailures - before
+      val ok = clean == chaotic && fired >= 1
+      if (!ok) failed = true
+      println(s"""{"family":"$name","rows":${clean.size},""" +
+        s""""injected_failures":$fired,"match":${clean == chaotic}}""")
+      if (clean != chaotic)
+        clean.zipAll(chaotic, "<missing>", "<missing>")
+          .filter(p => p._1 != p._2).take(5)
+          .foreach(p => System.err.println(s"[chaos] $name diff: ${p._1} <> ${p._2}"))
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}
