@@ -65,6 +65,104 @@ object SketchExprs {
     reg.createOrReplaceTempFunction("graft_cms",
       CountMinSketchAgg.fromExprs, "built-in")
   }
+
+  // shared per-thread MD5 for the static hash helpers below (called from
+  // generated code, so one instance per executor thread, never per row)
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  @inline private def md5uint32(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** See [[HashedShingles]] for the pinned null/order semantics. Called
+    * from generated code. */
+  def hashedShingles(toks: ArrayData, n: Int): ArrayData = {
+    val num = toks.numElements()
+    if (num < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = md5.get()
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= num - n) {
+      // a window containing a null token yields no shingle (skipping beats
+      // an NPE for SQL callers passing array<string> with nulls)
+      var hasNull = false
+      var k = 0
+      while (k < n && !hasNull) {
+        if (toks.isNullAt(i + k)) hasNull = true
+        k += 1
+      }
+      if (!hasNull) {
+        val sb = new java.lang.StringBuilder()
+        k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          k += 1
+        }
+        seen.add(sb.toString)
+      }
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = md5uint32(md, it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** See [[HashedTokens]] for the pinned null semantics. Called from
+    * generated code. */
+  def hashedTokens(toks: ArrayData): ArrayData = {
+    val md = md5.get()
+    val out = new Array[Any](toks.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (!toks.isNullAt(i))
+        out(i) = md5uint32(md, toks.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[RepetitionStats]] for the pinned null/count semantics. Called
+    * from generated code. */
+  def repetitionStats(toks: ArrayData, n: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val num = toks.numElements()
+    val counts = new java.util.HashMap[String, Long]()
+    var maxFreq = 0L
+    var total = 0L
+    var i = 0
+    while (i <= num - n) {
+      // windows containing a null token produce no gram (and don't count
+      // toward the total) — same skip rule as hashedShingles
+      var hasNull = false
+      var k = 0
+      while (k < n && !hasNull) {
+        if (toks.isNullAt(i + k)) hasNull = true
+        k += 1
+      }
+      if (!hasNull) {
+        val sb = new java.lang.StringBuilder()
+        k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          k += 1
+        }
+        val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
+        if (c > maxFreq) maxFreq = c
+        total += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, maxFreq))
+  }
 }
 
 /**
@@ -358,13 +456,16 @@ case class MinHashSignature(child: Expression)
  * Fused shingle hasher: tokens (`array<string>`) → distinct word n-grams →
  * md5 → first-4-bytes-as-unsigned-int (`array<bigint>`). Value-identical to
  * `array_distinct(transform(...concat_ws...))` + per-shingle
- * `conv(substr(md5(s),1,8),16,10)` but runs as one compiled eval instead of
+ * `conv(substr(md5(s),1,8),16,10)` but runs as one compiled pass instead of
  * four interpreted lambda passes with intermediate UTF8String churn.
  * (Output order is insertion order of distinct shingles; every consumer is
- * order-insensitive: minhash/array_min.)
+ * order-insensitive: minhash/array_min.) Real `doGenCode` (a static-helper
+ * call, not CodegenFallback): a fallback forces the surrounding generated
+ * code to materialize `INPUT_ROW` for the interpreted `eval(row)` hop,
+ * which de-pipelines whichever WholeStageCodegen span hosts the projection.
  */
 case class HashedShingles(child: Expression, n: Int)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -372,51 +473,12 @@ case class HashedShingles(child: Expression, n: Int)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val digest =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.hashedShingles(input.asInstanceOf[ArrayData], n)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val num = toks.numElements()
-    if (num < n) return new GenericArrayData(Array.emptyLongArray)
-    val md = digest.get()
-    val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    while (i <= num - n) {
-      // a window containing a null token yields no shingle (concat_ws drops
-      // nothing meaningful from a null gram; skipping beats an NPE for SQL
-      // callers passing array<string> with nulls)
-      var hasNull = false
-      var k = 0
-      while (k < n && !hasNull) {
-        if (toks.isNullAt(i + k)) hasNull = true
-        k += 1
-      }
-      if (!hasNull) {
-        val sb = new java.lang.StringBuilder()
-        k = 0
-        while (k < n) {
-          if (k > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(i + k).toString)
-          k += 1
-        }
-        seen.add(sb.toString)
-      }
-      i += 1
-    }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) {
-      md.reset()
-      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchExprs.hashedShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -426,9 +488,10 @@ case class HashedShingles(child: Expression, n: Int)
  * Per-token md5-uint32 hashes (`array<string>` → `array<bigint>`),
  * multiplicity-preserving (simhash input). Value-identical to
  * `transform(toks, t -> conv(substr(md5(t),1,8),16,10)::bigint)`.
+ * Real `doGenCode` — see [[HashedShingles]] for why not CodegenFallback.
  */
 case class HashedTokens(child: Expression)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -441,27 +504,12 @@ case class HashedTokens(child: Expression)
     case _ => ArrayType(LongType, containsNull = true)
   }
 
-  @transient private lazy val digest =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.hashedTokens(input.asInstanceOf[ArrayData])
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val md = digest.get()
-    val out = new Array[Any](toks.numElements())
-    var i = 0
-    while (i < out.length) {
-      if (!toks.isNullAt(i)) {
-        md.reset()
-        val d = md.digest(toks.getUTF8String(i).toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-                 ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchExprs.hashedTokens($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -474,9 +522,10 @@ case class HashedTokens(child: Expression)
  * exploding the grams and two-level aggregating — but computed per row in
  * one pass with zero shuffle (the explode formulation moves every gram
  * string through an exchange).
+ * Real `doGenCode` — see [[HashedShingles]] for why not CodegenFallback.
  */
 case class RepetitionStats(child: Expression, n: Int)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -486,39 +535,12 @@ case class RepetitionStats(child: Expression, n: Int)
     StructField("n_grams", LongType, nullable = false),
     StructField("max_gram_freq", LongType, nullable = false)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val num = toks.numElements()
-    val counts = new java.util.HashMap[String, Long]()
-    var maxFreq = 0L
-    var total = 0L
-    var i = 0
-    while (i <= num - n) {
-      // windows containing a null token produce no gram (and don't count
-      // toward the total) — same skip rule as HashedShingles
-      var hasNull = false
-      var k = 0
-      while (k < n && !hasNull) {
-        if (toks.isNullAt(i + k)) hasNull = true
-        k += 1
-      }
-      if (!hasNull) {
-        val sb = new java.lang.StringBuilder()
-        k = 0
-        while (k < n) {
-          if (k > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(i + k).toString)
-          k += 1
-        }
-        val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
-        if (c > maxFreq) maxFreq = c
-        total += 1
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](total, maxFreq))
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.repetitionStats(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchExprs.repetitionStats($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -202,4 +202,21 @@ class ExtensionsSpec extends SparkSpec {
       assert(rs.getLong(0) === 1L && rs.getLong(1) === 1L)
     }
   }
+
+  test("hash/rep-stats expressions: generated and interpreted eval paths agree") {
+    // the r9 CodegenFallback→doGenCode conversion left nullSafeEval as the
+    // interpreted twin; force each factory mode and compare — a divergence
+    // here means the generated static-helper call drifted from eval
+    withExtSession { s2 =>
+      val q = "SELECT graft_token_hash(array('a','b',NULL)) AS h, " +
+        "graft_shingle_hash(array('a','b','c','a','b'), 2) AS s, " +
+        "graft_rep_stats(array('x','y','x','y','x'), 2) AS r"
+      def rows(mode: String): String = {
+        s2.conf.set("spark.sql.codegen.factoryMode", mode)
+        try s2.sql(q).collect().mkString("|")
+        finally s2.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      assert(rows("CODEGEN_ONLY") === rows("NO_CODEGEN"))
+    }
+  }
 }
