@@ -486,4 +486,57 @@ class ScaleSpec extends SparkSpec {
     assert(unbounded.toSet === Set("q_rfm", "q_revenue_concentration"),
       s"unbounded global windows outside the parity allowlist: $unbounded")
   }
+
+  test("registry audit: no cartesian products, pinned nested-loop joins, closed fallback population") {
+    // Physical-plan-shape guard over EVERY registered query (static
+    // sparkPlan — schema-driven, so stable across data generations;
+    // tools/PlanAudit re-discovers the population when this pin fails):
+    //  1. CartesianProductExec must never appear — every engine crossJoin
+    //     is an explicit broadcast() of a 1-row scalar/bounds frame or a
+    //     k-row codebook, which plans as BroadcastNestedLoopJoin instead.
+    //  2. Exactly the pinned query set carries those BNLJ nodes; a NEW
+    //     query joining the set is either a deliberate broadcast-scalar
+    //     (extend the pin) or an accidental unkeyed join (fix it).
+    //  3. Interpreted (CodegenFallback) expressions: builtin higher-order
+    //     lambdas and imperative aggregate buffers only. Engine-owned
+    //     expressions must all be real-codegen (the r9 conversion closed
+    //     the last three) — the single graft exception is CountMinSketchAgg,
+    //     a TypedImperativeAggregate whose trait inherits the fallback path
+    //     for its buffer eval; aggregates never sit in a WSCG row loop.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val sf = "/root/testdata/sf0.001"
+    val allowedFallback = Set(
+      "ArrayAggregate", "ArrayFilter", "ArraySort", "ArrayTransform",
+      "CollectList", "ComplexTypedAggregateExpression", "LambdaFunction",
+      "NamedLambdaVariable", "Percentile", "PivotFirst", "ZipWith",
+      "CountMinSketchAgg")
+    val bnljPin = Set(
+      "q_ab_test", "q_ann_topk", "q_ann_topk_ivf", "q_ann_topk_ivf_trained",
+      "q_bm25", "q_cms_counts", "q_collocations", "q_datamix",
+      "q_embed_neardup", "q_gap_histogram", "q_item_cooccurrence",
+      "q_key_skew", "q_length_filter", "q_minute_anomaly",
+      "q_revenue_concentration", "q_revenue_concentration_bucketed",
+      "q_rfm", "q_rfm_bucketed", "q_spacesaving_approx", "q_unigram_logprob")
+    val bnljSeen = scala.collection.mutable.Set[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$name plans a CartesianProduct")
+      if (plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+        bnljSeen += name
+      val fallback = plan.flatMap(_.expressions.flatMap(_.collect {
+        case e: CodegenFallback => e.getClass
+      })).distinct
+      val rogue = fallback.filterNot(c => allowedFallback(c.getSimpleName))
+      assert(rogue.isEmpty, s"$name carries unvetted interpreted expressions: " +
+        rogue.map(_.getName).mkString(", "))
+      val graftFallback = fallback
+        .filter(_.getName.startsWith("graft.")).map(_.getSimpleName).toSet
+      assert(graftFallback.subsetOf(Set("CountMinSketchAgg")),
+        s"$name has engine expressions without doGenCode: $graftFallback")
+    }
+    assert(bnljSeen.toSet === bnljPin,
+      s"BNLJ set drifted; added=${bnljSeen.toSet -- bnljPin} removed=${bnljPin -- bnljSeen}")
+  }
 }
