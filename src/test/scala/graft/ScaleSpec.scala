@@ -503,6 +503,13 @@ class ScaleSpec extends SparkSpec {
     //     the last three) — the single graft exception is CountMinSketchAgg,
     //     a TypedImperativeAggregate whose trait inherits the fallback path
     //     for its buffer eval; aggregates never sit in a WSCG row loop.
+    // Plans are built with FrameCache force-disabled so the audit always
+    // sees the real computation pipelines — a warm memo replaces a whole
+    // family's lineage with a parquet scan of the memo, which would make
+    // the discovered population depend on /tmp cache state. Traversal is
+    // PlanAudit.allNodes: plain collect stops at the InMemoryTableScan
+    // (persist boundaries) and AdaptiveSparkPlanExec leaf curtains, which
+    // until r9 session 5 hid e.g. the LSH bands subtree entirely.
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val sf = "/root/testdata/sf0.001"
@@ -517,15 +524,17 @@ class ScaleSpec extends SparkSpec {
       "q_embed_neardup", "q_gap_histogram", "q_item_cooccurrence",
       "q_key_skew", "q_length_filter", "q_minute_anomaly",
       "q_revenue_concentration", "q_revenue_concentration_bucketed",
-      "q_rfm", "q_rfm_bucketed", "q_spacesaving_approx", "q_unigram_logprob")
+      "q_rfm", "q_rfm_bucketed", "q_semantic_dedup", "q_spacesaving_approx",
+      "q_unigram_logprob")
     val bnljSeen = scala.collection.mutable.Set[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.sparkPlan
-      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+    sys.props("graft.frame.cache.disable") = "1"
+    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = graft.tools.PlanAudit.allNodes(fn(spark, sf).queryExecution.sparkPlan)
+      assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty,
         s"$name plans a CartesianProduct")
-      if (plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+      if (nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
         bnljSeen += name
-      val fallback = plan.flatMap(_.expressions.flatMap(_.collect {
+      val fallback = nodes.flatMap(_.expressions.flatMap(_.collect {
         case e: CodegenFallback => e.getClass
       })).distinct
       val rogue = fallback.filterNot(c => allowedFallback(c.getSimpleName))
@@ -535,7 +544,7 @@ class ScaleSpec extends SparkSpec {
         .filter(_.getName.startsWith("graft.")).map(_.getSimpleName).toSet
       assert(graftFallback.subsetOf(Set("CountMinSketchAgg")),
         s"$name has engine expressions without doGenCode: $graftFallback")
-    }
+    } finally sys.props.remove("graft.frame.cache.disable")
     assert(bnljSeen.toSet === bnljPin,
       s"BNLJ set drifted; added=${bnljSeen.toSet -- bnljPin} removed=${bnljPin -- bnljSeen}")
   }
