@@ -1,6 +1,8 @@
 package graft.tools
 
-import org.apache.spark.TaskContext
+import org.apache.spark.{ShuffleDependency, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -43,6 +45,44 @@ object ChaosRetry {
       if (doInject && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
         injectedFailures += 1
         throw new RuntimeException("chaos: injected transient task failure")
+      }
+      it
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Shuffle ids the plan's RESULT stage reads: walk the RDD lineage from
+    * the top, stopping at the first ShuffleDependency on each branch. */
+  private def resultStageShuffles(rdd: RDD[_]): Seq[Int] =
+    rdd.dependencies.flatMap {
+      case s: ShuffleDependency[_, _, _] => Seq(s.shuffleId)
+      case d => resultStageShuffles(d.rdd)
+    }
+
+  /** Route `df` through a reduce-side hop that, on the FIRST attempt of
+    * the result stage, throws a real FetchFailedException naming the
+    * upstream shuffle's (mapIndex 0, this block manager) output. The
+    * DAGScheduler then unregisters that map output and RESUBMITS the map
+    * stage — the machinery a lost executor triggers on a cluster, which
+    * plain task-retry injection (RuntimeException) never reaches. The
+    * throw is keyed on stageAttemptNumber == 0, so the resubmitted stage
+    * passes through. `inject = false` builds the identical plan unfired. */
+  private def fetchFailHop(df: DataFrame, inject: Boolean): DataFrame = {
+    val schema = df.schema
+    // .rdd finalizes the AQE plan, materializing every exchange: upstream
+    // map outputs are computed and REGISTERED before the result job runs,
+    // so the injected failure invalidates a genuinely reused output
+    val base = df.rdd
+    val shuffles = resultStageShuffles(base)
+    require(shuffles.nonEmpty || !inject,
+      "fetchFailHop needs a shuffle below the result stage")
+    val doInject = inject
+    val shuffleId = if (shuffles.nonEmpty) shuffles.head else -1
+    val rdd = base.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (doInject && tc.partitionId() == 0 && tc.stageAttemptNumber() == 0) {
+        injectedFailures += 1
+        throw org.apache.spark.sql.graftshim.Shim.fetchFailed(shuffleId)
       }
       it
     }
@@ -102,6 +142,46 @@ object ChaosRetry {
           .filter(p => p._1 != p._2).take(5)
           .foreach(p => System.err.println(s"[chaos] $name diff: ${p._1} <> ${p._2}"))
     }
+    // -- FetchFailed-driven map-stage resubmission (was filed cluster-only;
+    // the DAGScheduler path — unregister map output, resubmit map stage,
+    // retry reduce — runs fine in one JVM when a reducer throws a real
+    // FetchFailedException naming a registered shuffle output) --
+    val stageRetries = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
+    })
+    val fetchFamilies: Seq[(String, Boolean => DataFrame)] = Seq(
+      "fetchfail_sessionize" -> ((inject: Boolean) =>
+        fetchFailHop(graft.analytics.Sessionize.sessionMetrics(
+          graft.analytics.Sessionize(events)), inject)),
+      "fetchfail_bm25" -> ((inject: Boolean) =>
+        fetchFailHop(graft.ext.TextAnalysis.bm25(docs), inject)),
+      "fetchfail_dedup" -> ((inject: Boolean) =>
+        fetchFailHop(graft.ext.Dedup.exactGroups(docs), inject)))
+    fetchFamilies.foreach { case (name, build) =>
+      val clean = rows(build(false))
+      val beforeFired = injectedFailures
+      val beforeRetries = stageRetries.get()
+      val chaotic = rows(build(true))
+      // listener events are posted asynchronously; drain before reading
+      org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark)
+      val fired = injectedFailures - beforeFired
+      val retries = stageRetries.get() - beforeRetries
+      // fired ≥ 1 proves the FetchFailed was thrown; retries ≥ 1 proves
+      // the scheduler actually resubmitted a stage in response (the map
+      // stage, and typically the retried reduce stage too)
+      val ok = clean == chaotic && fired >= 1 && retries >= 1
+      if (!ok) failed = true
+      println(s"""{"family":"$name","rows":${clean.size},""" +
+        s""""injected_failures":$fired,"stage_retries":$retries,""" +
+        s""""match":${clean == chaotic}}""")
+      if (clean != chaotic)
+        clean.zipAll(chaotic, "<missing>", "<missing>")
+          .filter(p => p._1 != p._2).take(5)
+          .foreach(p => System.err.println(s"[chaos] $name diff: ${p._1} <> ${p._2}"))
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }

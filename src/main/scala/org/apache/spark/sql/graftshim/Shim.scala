@@ -32,4 +32,22 @@ object Shim {
   def cachedRddStats(spark: SparkSession): Seq[(String, Long, Long)] =
     spark.sparkContext.statusStore.rddList(cachedOnly = true)
       .map(r => (Option(r.name).getOrElse(s"rdd_${r.id}"), r.memoryUsed, r.diskUsed))
+
+  /** Block until every queued listener event is delivered
+    * (`LiveListenerBus.waitUntilEmpty` is `private[spark]`) — probes that
+    * gate on listener-counted evidence (tools/ChaosRetry's stage-retry
+    * counter) must drain the async bus before reading. Diagnostic-only. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** A real FetchFailedException naming (shuffleId, mapIndex 0) on THIS
+    * JVM's block manager (`FetchFailedException` is `private[spark]`).
+    * MUST be constructed inside a running task — the constructor registers
+    * itself with the active TaskContext so the scheduler sees a fetch
+    * failure, not a user exception. Diagnostic-only (tools/ChaosRetry's
+    * map-stage-resubmission probe). */
+  def fetchFailed(shuffleId: Int): Throwable =
+    new org.apache.spark.shuffle.FetchFailedException(
+      org.apache.spark.SparkEnv.get.blockManager.blockManagerId,
+      shuffleId, 0L, 0, 0, "chaos: injected fetch failure", null)
 }

@@ -494,6 +494,12 @@ class ScaleSpec extends SparkSpec {
     //  1. CartesianProductExec must never appear — every engine crossJoin
     //     is an explicit broadcast() of a 1-row scalar/bounds frame or a
     //     k-row codebook, which plans as BroadcastNestedLoopJoin instead.
+    //     (One known sf-dependence: q_embed_neardup — the DELIBERATE
+    //     brute-force all-pairs LSH ground truth — is hint-free, so at
+    //     sf10 size estimates it plans a real partition-parallel
+    //     CartesianProduct. At this audit's sf0.001 it broadcasts; the
+    //     pin is stable at the gate sf, and the sf10 shape is the honest
+    //     one for an O(n²) reference query.)
     //  2. Exactly the pinned query set carries those BNLJ nodes; a NEW
     //     query joining the set is either a deliberate broadcast-scalar
     //     (extend the pin) or an accidental unkeyed join (fix it).
