@@ -96,6 +96,13 @@ object ChaosRetry {
       // aborts — the injected attempt-0 throw is absorbed by a retry
       .master("local[8,3]")
       .config("spark.sql.shuffle.partitions", "8")
+      // The fetchfail families name THIS block manager in the injected
+      // FetchFailedException, so the scheduler's executor-lost handling
+      // deregisters the lone local block manager; any task result big
+      // enough to ship as an indirect block (>1 MB default) then dies
+      // with TaskResultLost on every retry. Direct-ship results instead —
+      // collects here are a few MB, far under the RPC frame cap.
+      .config("spark.task.maxDirectResultSize", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -158,7 +165,9 @@ object ChaosRetry {
       "fetchfail_bm25" -> ((inject: Boolean) =>
         fetchFailHop(graft.ext.TextAnalysis.bm25(docs), inject)),
       "fetchfail_dedup" -> ((inject: Boolean) =>
-        fetchFailHop(graft.ext.Dedup.exactGroups(docs), inject)))
+        fetchFailHop(graft.ext.Dedup.exactGroups(docs), inject)),
+      "fetchfail_components" -> ((inject: Boolean) =>
+        fetchFailHop(graft.ext.Dedup.nearDupComponents(docs), inject)))
     fetchFamilies.foreach { case (name, build) =>
       val clean = rows(build(false))
       val beforeFired = injectedFailures
