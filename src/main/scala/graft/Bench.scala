@@ -33,16 +33,24 @@ object Bench {
     // counted any process whose ARGUMENTS merely mention those words
     // (an orchestration wrapper carrying a prose prompt did exactly
     // that in round 9, stamping 3 phantom JVMs onto every idle run and
-    // mis-flagging a clean sweep as contaminated).
+    // mis-flagging a clean sweep as contaminated). The exe symlink is
+    // only readable for SAME-USER processes, so on a shared host a
+    // swallowed AccessDenied would under-count other users' JVMs — the
+    // opposite failure mode; fall back to /proc/<pid>/comm
+    // (world-readable, value "java") when the link is unreadable.
     val javas =
       if (pids == null) -1
       else pids.count { f =>
         f.getName.toLong != self && {
-          try {
+          (try {
             val exe = java.nio.file.Files.readSymbolicLink(
               java.nio.file.Paths.get(s"/proc/${f.getName}/exe")).toString
-            exe.endsWith("/java")
-          } catch { case _: Throwable => false }
+            Some(exe.endsWith("/java"))
+          } catch { case _: Throwable => None }).getOrElse {
+            try java.nio.file.Files.readString(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/comm")).trim == "java"
+            catch { case _: Throwable => false }
+          }
         }
       }
     (load, procs, javas)

@@ -1858,7 +1858,15 @@ object SparkEntry {
     * `tp${r+1}` — ONE emitter mirroring the Scala loop body
     * ([[graft.ext.TextAnalysis.bpeTrainMerges]]) so rounds can't drift.
     * DuckDB positions are 1-based vs Spark's 0-based posexplode — only
-    * differences and parities of positions are used, so it cancels. */
+    * differences and parities of positions are used, so it cancels.
+    *
+    * `top$r` is LEFT-joined (ON true), not CROSS-joined: on a degenerate
+    * corpus whose pairs drain before `rounds` merges, `top$r` is EMPTY,
+    * and a cross join would empty `tp${r + 1}` — the oracle would return
+    * an empty histogram while the Spark trainer (which simply stops
+    * finding winners) returns the real one. With the left join, an empty
+    * winner makes `flag` false everywhere, so the round passes the stream
+    * through unchanged — exactly the Spark trainer's no-winner behavior. */
   private def bpeRoundSql(r: Int): String =
     s""", pr$r AS (
        |  SELECT doc_id, pos, tok,
@@ -1874,7 +1882,7 @@ object SparkEntry {
        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_unflagged,
        |    min(p.pos) OVER (PARTITION BY p.doc_id) AS first_pos
-       |  FROM pr$r p CROSS JOIN top$r t
+       |  FROM pr$r p LEFT JOIN top$r t ON true
        |), mg$r AS (
        |  SELECT *, flag AND ((pos - COALESCE(prev_unflagged + 1, first_pos)) % 2 = 0) AS merged
        |  FROM fl$r

@@ -204,8 +204,25 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("c_id")).distinct()
     val qe = sig.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val ce = sig.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    scoreCandidates(cand, qe, ce, k)
+  }
+
+  /** Shared ANN scoring tail: exact cosine + per-query top-k rank over the
+    * blocked candidate pairs. Join order is the 100 TB-shape decision: the
+    * CORPUS embedding side (`ce`) streams while the skinny (q_id, c_id)
+    * pair list and the numQueries-row query-embedding frame are
+    * `broadcast()` — both are parameter-bounded (numQueries × capped
+    * bucket/list sizes), so the corpus's embedding bytes never cross an
+    * exchange to be scored; the only shuffle left is the per-query rank
+    * window over (q_id, c_id, cosine) — candidate-count skinny rows. The
+    * hint-free form planned the same BHJs at test SFs but flipped to
+    * shuffling the full corpus by c_id once size estimates crossed the
+    * broadcast threshold — the r10 lineage census caught exactly that. */
+  private def scoreCandidates(cand: DataFrame, qe: DataFrame, ce: DataFrame,
+                              k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
-    cand.join(qe, "q_id").join(ce, "c_id")
+    ce.join(broadcast(cand), "c_id")
+      .join(broadcast(qe), "q_id")
       .withColumn("cosine", dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -243,20 +260,59 @@ object Similarity {
         col("nrm").as("cent_nrm"))
 
   /** Nearest-centroid rank (cosine desc, centroid id tiebreak) — the
-    * assignment rule shared by index build, probing, and k-means. */
+    * assignment rule shared by index build, probing, and k-means. The
+    * WINDOW form: correct, but its required distribution inserts an
+    * `Exchange hashpartitioning(vec_id)` under the rank — a full-corpus
+    * EMBEDDING shuffle. Kept only where the input is parameter-bounded
+    * (the numQueries-row probe frames); corpus-sized assignment uses
+    * [[nearestCentroidCol]]. */
   private def centRank = row_number().over(
     Window.partitionBy(col("vec_id"))
       .orderBy((dot("embedding", "cent_emb") / (col("nrm") * col("cent_nrm"))).desc,
         col("cent_id").asc))
 
+  /** Per-vector nearest-centroid id as a NARROW scalar column: the k-row
+    * codebook is collected (sorted by cent_id) and the argmax runs as the
+    * codegen'd [[graft.functions.NearestCentroid]] expression — no
+    * crossJoin row blow-up and, decisively, no window: the centRank
+    * form's rank-1 filter forced an `Exchange(vec_id)` carrying every
+    * corpus embedding (the r10 lineage census caught it in all three
+    * IVF/semantic-dedup assignment paths), where assignment is
+    * conceptually a map. (A higher-order `aggregate` lambda over a
+    * literal codebook array computes the same thing, but ArrayAggregate
+    * is CodegenFallback — measured +1.3–2.0 s on the sf0.1 gate queries —
+    * hence the dedicated expression.)
+    *
+    * Semantics parity with `centRank === 1` is argued at the expression's
+    * scaladoc (strict-greater fold in cent_id order = max cosine with
+    * min-id tiebreak, graft_dot's exact fold and ragged-null behavior).
+    * Collecting the codebook here also truncates the iterative trainer's
+    * per-round lineage, which previously nested each round's plan inside
+    * the next. */
+  private def nearestCentroidCol(cents: DataFrame): Column = {
+    val rows = cents
+      .select(col("cent_id").cast("long"), col("cent_emb"), col("cent_nrm").cast("double"))
+      .collect().sortBy(_.getLong(0))
+    if (rows.isEmpty) return lit(null).cast("long")
+    val cb = new graft.functions.Codebook(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray),
+      rows.map(_.getDouble(2)))
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
+        org.apache.spark.sql.graftshim.Shim.expression(col("nrm")), cb))
+  }
+
   /** The IVF probe+search dataflow given a codebook `cents`
     * (cent_id, cent_emb: array<float>, cent_nrm). */
   private def ivfSearch(base: DataFrame, cents: DataFrame,
                         numQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    // every vector -> nearest centroid (its inverted-list id)
-    val assign = base.crossJoin(broadcast(cents))
-      .withColumn("arank", centRank).filter(col("arank") === 1)
-      .select(col("vec_id").as("member_id"), col("cent_id").as("cluster"))
+    // every vector -> nearest centroid (its inverted-list id): a NARROW
+    // literal-codebook argmax, so the index build never shuffles an
+    // embedding byte (the windowed form exchanged the whole corpus)
+    val assign = base.withColumn("cluster", nearestCentroidCol(cents))
+      .select(col("vec_id").as("member_id"), col("cluster"))
     // each query -> its nprobe nearest centroid lists
     val probes = base.filter(col("vec_id") < numQueries)
       .crossJoin(broadcast(cents))
@@ -267,12 +323,7 @@ object Similarity {
       .select(col("q_id"), col("member_id").as("c_id")).distinct()
     val qe = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val ce = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
-    cand.join(qe, "q_id").join(ce, "c_id")
-      .withColumn("cosine", dot("q_emb", "c_emb") / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
+    scoreCandidates(cand, qe, ce, k)
   }
 
   /**
@@ -317,9 +368,12 @@ object Similarity {
     require(shardSpan > 0, s"shardSpan must be positive, got $shardSpan")
     var cents = initCentroids(base, numCentroids)
     for (_ <- 0 until iters) {
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("arank", centRank).filter(col("arank") === 1)
-        .select(col("cent_id").as("cluster"), col("vec_id"), col("embedding"))
+      // narrow argmax assignment (see nearestCentroidCol): each Lloyd
+      // round previously exchanged the full corpus's embeddings under the
+      // rank window AND nested the prior round's plan in its lineage; the
+      // literal codebook removes the shuffle and truncates the lineage
+      val assigned = base.withColumn("cluster", nearestCentroidCol(cents))
+        .select(col("cluster"), col("vec_id"), col("embedding"))
       val dimMeans = assigned
         .select(col("cluster"), col("vec_id"), posexplode(col("embedding")))
         .withColumn("_shard", expr(s"vec_id DIV ${shardSpan}L"))
@@ -490,9 +544,17 @@ object Similarity {
       case Some(_) => trainedCodebook(embeddings, k, iters, cacheDir, datasetTag)
       case None => kmeansFromBase(base, k, iters)
     }
-    val assign = base.crossJoin(broadcast(cents))
-      .withColumn("arank", centRank).filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cluster"))
+    // assignment is a narrow literal-codebook argmax (no exchange of its
+    // own), then ONE repartition by cluster INTO the persist (the
+    // lshNearDupPairs bands pattern): the within-cluster self-join below
+    // reads both sides from the same cluster-partitioned cache and plans
+    // NO exchange — the corpus's embedding bytes cross exactly one
+    // shuffle in the whole operator (the co-location one), and never
+    // re-cross for the drops/anti stages, which prune to skinny columns
+    // at the cache read
+    val assign = base.withColumn("cluster", nearestCentroidCol(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
+      .repartition(col("cluster"))
       .persistTracked()
     val a1 = assign.select(col("cluster").as("cl1"), col("vec_id").as("id1"),
       col("embedding").as("emb1"), col("nrm").as("nrm1"))

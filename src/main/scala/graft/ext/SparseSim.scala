@@ -131,11 +131,19 @@ object SparseSim {
           lit(1) + least(col("sz1") - col("rn1"), col("sz2") - col("rn2")) >=
             expr(s"CAST(ceil(($threshold / (1 + $threshold)) * (sz1 + sz2)) AS BIGINT)"))
       .select("doc1", "doc2").distinct()
-    // verification only touches candidate docs (semi join, the
-    // cosinePairs pattern)
+    // verification only touches candidate docs — via a BLOOM prefilter
+    // over the persisted hs frame, not a semi join: the semi join this
+    // replaces shuffled every doc's hashed-shingle ARRAY to meet the
+    // candidate ids (fine when the id list broadcasts, a corpus-sized
+    // fat shuffle when it doesn't). The probe drops non-candidates at
+    // scan speed with no exchange; its ≤1% false positives explode a few
+    // extra docs and then die in the exact inner joins against `cand`
+    // below, so the result is bit-identical.
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id")))
-    val vtoks = hs.join(candDocs, Seq("doc_id"), "left_semi")
+      .persistTracked()
+    val vtoks = hs
+      .filter(graft.operators.BloomJoin.probeFor(candDocs, "doc_id", "doc_id"))
       .select(col("doc_id"), col("sz"), explode(col("hs")).as("tok"))
     val inter = cand
       .join(vtoks.select(col("doc_id").as("doc1"), col("tok"), col("sz").as("sz1")), "doc1")
@@ -159,16 +167,24 @@ object SparseSim {
   def cosinePairs(docs: DataFrame, minDf: Int = 2, maxDf: Int = 3,
                   minSim: Double = 0.5): DataFrame = {
     val cand = rareShingleCandidates(docs, minDf, maxDf).persistTracked()
-    // term vectors ONLY for docs in a candidate pair — the semi join keeps
-    // the expensive explode+count off the full corpus (and dedupes, so no
-    // distinct here)
+    // term vectors ONLY for docs in a candidate pair — via a BLOOM
+    // prefilter rather than a semi join: both keep the expensive
+    // explode+count off the full corpus, but the semi join shuffled
+    // every document's raw TEXT to meet the candidate ids whenever the
+    // id list outgrew the broadcast threshold — the one corpus-fat
+    // exchange the r10 lineage census caught. The probe drops
+    // non-candidates at scan speed with no exchange; its ≤1% false
+    // positives tokenize a few extra docs and then die in the exact
+    // inner joins against `cand` below, so the result is bit-identical.
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id")))
+      .persistTracked()
     // the norm rides along as a doc-partitioned window over the tf frame —
     // the dots aggregate then carries it (constant per group, min() for
     // determinism), saving two join stages over a separate norms frame;
     // the VALUE is identical, so the oracle keeps the plain-join form
-    val tf = termCounts(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+    val tf = termCounts(
+        docs.filter(graft.operators.BloomJoin.probeFor(candDocs, "doc_id", "doc_id")))
       .withColumn("nrm", expr("sqrt(CAST(sum(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE))"))
       .persistTracked()
     cand

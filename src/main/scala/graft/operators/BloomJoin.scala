@@ -50,20 +50,56 @@ object BloomJoin {
     * pays the full fact-table shuffle — exactly what a 1<<18 guess did
     * against 3M build keys at the 100× sweep); oversized, the broadcast
     * sketch wastes memory on every executor. Counting rows (not distinct
-    * keys) over-sizes under key duplication — the safe direction. */
+    * keys) over-sizes under key duplication — the safe direction.
+    *
+    * Auto-sizing PERSISTS `small` for the duration: the build side's
+    * lineage is otherwise evaluated three times (count, bloomFilter, and
+    * the verify join) — free for a filtered dimension scan, but not for
+    * a derived frame a caller passes in. The sizing count materializes
+    * the cache; the persist is caller-owned thereafter (same contract as
+    * the other persisting operators — see README cache lifecycle), or
+    * wrap the call in [[graft.ext.CacheScope]] to reclaim it. With an
+    * explicit `expectedItems` the build side is evaluated twice and
+    * nothing is persisted — callers who already cache keep full control. */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
                expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
-    val items = if (expectedItems > 0) expectedItems else math.max(64L, small.count())
+    import graft.ext.CacheScope.TrackedPersist
+    val build =
+      if (expectedItems > 0) small
+      else small.persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.filter(probeFor(build, smallKey, bigKey, expectedItems, fpp))
+      .join(build.select(col(smallKey)).distinct(),
+        col(bigKey) === col(smallKey), "left_semi")
+  }
+
+  /** The PREFILTER half of [[semiJoin]] as a standalone probe `Column`:
+    * a Bloom membership test of `big`'s `bigKey` against `small`'s
+    * `smallKey` population, for callers that run the exact verify join
+    * later — on a DERIVED frame rather than on `big` itself. The use
+    * case is keeping FAT payload columns out of the verify shuffle:
+    * `big.filter(probe)` drops ~all non-candidates at scan speed with no
+    * shuffle, the caller then explodes/tokenizes the survivors (narrow),
+    * and the exact semi join that removes the ≤`fpp` false positives
+    * runs on the skinny derived rows — the payload bytes never cross an
+    * exchange. Sizing/evaluation contract matches [[semiJoin]]: pass
+    * `expectedItems` if `small` is expensive and unpersisted, since
+    * auto-sizing adds a `count()` pass over it. */
+  def probeFor(small: DataFrame, smallKey: String, bigKey: String,
+               expectedItems: Long = -1L, fpp: Double = 0.01): Column = {
+    val counted = if (expectedItems > 0) -1L else small.count()
+    // EMPTY build side: nothing can pass the verify join, and
+    // `stat.bloomFilter` over zero rows returns a null sketch (NPE on
+    // deserialize) — short-circuit to a constant-false probe. Only the
+    // auto-sized path knows the count; an explicit `expectedItems` with
+    // an empty frame keeps the underlying Spark behavior.
+    if (counted == 0) return lit(false)
+    val items = if (expectedItems > 0) expectedItems else math.max(64L, counted)
     val bloom = small.stat.bloomFilter(xxhash64(col(smallKey)), items, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val probe: Column =
-      Shim.column(BloomMightContain(Shim.expression(xxhash64(col(bigKey))), bytes))
-    big.filter(probe)
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+    Shim.column(BloomMightContain(Shim.expression(xxhash64(col(bigKey))), bytes))
   }
 }

@@ -32,7 +32,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object ChaosRetry {
 
-  @volatile var injectedFailures: Long = 0L
+  /** Injection census — a static AtomicLong incremented from task
+    * threads via closure capture. The capture only reaches THIS object's
+    * field because local mode runs tasks in the driver JVM (guarded in
+    * main); on a real master each executor would bump its own copy and
+    * the driver-side count would stay 0, flagging every family as
+    * "injection never fired". Atomic (not `@volatile var +=`) because
+    * local[8] runs 8 task threads — a torn read-modify-write could
+    * under-count and spuriously fail the `fired >= 1` gate. */
+  val injectedFailures = new java.util.concurrent.atomic.AtomicLong
+
+  private def firedCount: Long = injectedFailures.get()
 
   /** Route `df` through an RDD hop whose first-scheduled partition throws
     * on task attempt 0 when `inject` is set. The hop is present in BOTH
@@ -43,7 +53,7 @@ object ChaosRetry {
     val rdd = df.rdd.mapPartitions { it =>
       val tc = TaskContext.get()
       if (doInject && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
-        injectedFailures += 1
+        injectedFailures.incrementAndGet()
         throw new RuntimeException("chaos: injected transient task failure")
       }
       it
@@ -81,7 +91,7 @@ object ChaosRetry {
     val rdd = base.mapPartitions { it =>
       val tc = TaskContext.get()
       if (doInject && tc.partitionId() == 0 && tc.stageAttemptNumber() == 0) {
-        injectedFailures += 1
+        injectedFailures.incrementAndGet()
         throw org.apache.spark.sql.graftshim.Shim.fetchFailed(shuffleId)
       }
       it
@@ -108,6 +118,13 @@ object ChaosRetry {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    // The whole injection-census scheme (closure-captured static counter)
+    // only observes task-side increments because local mode shares one
+    // JVM; a pre-existing session on a real master would leave the
+    // counter at 0 and mis-report every family as "never fired".
+    require(spark.sparkContext.isLocal,
+      "ChaosRetry's injection counter requires a local master — " +
+        s"got ${spark.sparkContext.master}")
     spark.sparkContext.setLogLevel("ERROR")
 
     val events = graft.Tables.clickstream(spark, dir)
@@ -137,9 +154,9 @@ object ChaosRetry {
     var failed = false
     families.foreach { case (name, build) =>
       val clean = rows(build(false))
-      val before = injectedFailures
+      val before = firedCount
       val chaotic = rows(build(true))
-      val fired = injectedFailures - before
+      val fired = firedCount - before
       val ok = clean == chaotic && fired >= 1
       if (!ok) failed = true
       println(s"""{"family":"$name","rows":${clean.size},""" +
@@ -170,12 +187,12 @@ object ChaosRetry {
         fetchFailHop(graft.ext.Dedup.nearDupComponents(docs), inject)))
     fetchFamilies.foreach { case (name, build) =>
       val clean = rows(build(false))
-      val beforeFired = injectedFailures
+      val beforeFired = firedCount
       val beforeRetries = stageRetries.get()
       val chaotic = rows(build(true))
       // listener events are posted asynchronously; drain before reading
       org.apache.spark.sql.graftshim.Shim.drainListenerBus(spark)
-      val fired = injectedFailures - beforeFired
+      val fired = firedCount - beforeFired
       val retries = stageRetries.get() - beforeRetries
       // fired ≥ 1 proves the FetchFailed was thrown; retries ≥ 1 proves
       // the scheduler actually resubmitted a stage in response (the map

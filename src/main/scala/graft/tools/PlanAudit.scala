@@ -1,9 +1,11 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /**
@@ -18,10 +20,10 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
  *     WholeStageCodegen span),
  *   - fat columns (documents.text, embeddings.embedding) read at a parquet
  *     scan, and — the 100 TB hazard — carried THROUGH a ShuffleExchange.
- *     The fat_shuffle census is DIAGNOSTIC ONLY, not pinned in ScaleSpec:
- *     at small sf the planner broadcasts the bucket joins (hiding the
- *     shuffle a big sf would take), and operators that rename the column
- *     (emb1/emb2 in the LSH pair join) evade the name match.
+ *     The fat_shuffle census is PINNED in ScaleSpec since r10: it plans
+ *     with auto-broadcast disabled (so small-sf size estimates can't hide
+ *     the shuffle a big sf would take) and traces attribute LINEAGE via
+ *     [[fatShuffled]] (so the LSH emb1/emb2 renames can't evade it).
  * Run with -Dgraft.frame.cache.disable=1 to see the real computation
  * pipelines instead of warm FrameCache memo scans.
  * The committed ScaleSpec audit pins the discovered population; this tool
@@ -47,6 +49,77 @@ object PlanAudit {
     }
   }
 
+  /** Names of fat columns (documents.text, embeddings.embedding — the
+    * payload bytes that dominate a 100 TB corpus) carried through any
+    * ShuffleExchange of `p`, traced by ATTRIBUTE LINEAGE rather than by
+    * name: the census seeds at the parquet scans that read the columns
+    * and follows every identity rename (`Alias(AttributeReference)` —
+    * the shape `col("embedding").as("emb1")` plans to), so the LSH pair
+    * join's emb1/emb2 renames no longer evade it. DERIVED values
+    * (norms, hashes, shingles, truncated prefixes) are deliberately not
+    * tainted — they reference a fat column but do not carry its bytes;
+    * the hazard this census pins is the bytes themselves crossing the
+    * wire.
+    *
+    * Taint flows bottom-up (children before a node's own aliases) and
+    * through the same curtains [[allNodes]] chases — persist boundaries
+    * (InMemoryTableScan, positional output mapping) and nested adaptive
+    * roots — plus ReusedExchange's output remap. Returned names are the
+    * attribute names AT the exchange (`emb1`, not `embedding`), prefixed
+    * with the seed name they alias (`embedding->emb1`) so a report reads
+    * without chasing exprIds. */
+  def fatShuffled(p: SparkPlan,
+                  fatNames: Set[String] = Set("text", "embedding")): Seq[String] = {
+    // exprId -> seed column name it (transitively) aliases
+    val taint = scala.collection.mutable.Map[ExprId, String]()
+    val hits = scala.collection.mutable.SortedSet[String]()
+    def walk(node: SparkPlan): Unit = {
+      node.children.foreach(walk)
+      node match {
+        case imts: InMemoryTableScanExec =>
+          walk(imts.relation.cachedPlan)
+          // When the CacheManager substitutes an entry cached by an
+          // EARLIER query, it rebinds the relation's output to fresh
+          // exprIds positionally aligned with the cached plan's output
+          // (InMemoryRelation.withOutput); the IMTS then selects a subset
+          // of relation.output. Remap taint at the RELATION level — full
+          // schema on both sides, so positions can't mis-pair the way an
+          // imts.output zip would under column pruning. Same-query reuse
+          // (identical exprIds) degenerates to a no-op self-map.
+          imts.relation.cachedPlan.output.zip(imts.relation.output).foreach {
+            case (src, out) => taint.get(src.exprId).foreach(taint(out.exprId) = _)
+          }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.inputPlan)
+        case r: ReusedExchangeExec =>
+          walk(r.child)
+          r.child.output.zip(r.output).foreach {
+            case (src, out) => taint.get(src.exprId).foreach(taint(out.exprId) = _)
+          }
+        case s: FileSourceScanExec =>
+          s.output.filter(a => fatNames(a.name))
+            .foreach(a => taint(a.exprId) = a.name)
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case al: Alias => al.child match {
+          case ar: AttributeReference =>
+            taint.get(ar.exprId).foreach(taint(al.exprId) = _)
+          case _ =>
+        }
+        case _ =>
+      })
+      node match {
+        case x: ShuffleExchangeExec =>
+          x.output.foreach(a =>
+            taint.get(a.exprId).foreach(seed => hits += s"$seed->${a.name}"))
+        case _ =>
+      }
+    }
+    walk(p)
+    hits.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -70,13 +143,26 @@ object PlanAudit {
             if (n.nonEmpty) n else e.getClass.getName
         })).distinct.sorted
         val fat = nodes.collect {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          case s: FileSourceScanExec =>
             s.output.map(_.name).filter(c => c == "text" || c == "embedding")
         }.flatten.distinct.sorted
-        val fatShuffle = nodes.collect {
-          case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-            x.output.map(_.name).filter(c => c == "text" || c == "embedding")
-        }.flatten.distinct.sorted
+        // fat-THROUGH-shuffle census: re-plan for the shape a 100 TB
+        // corpus takes — auto-broadcast OFF (small-sf size estimates
+        // broadcast the bucket joins, hiding their exchanges), AQE OFF
+        // and executedPlan (sparkPlan predates EnsureRequirements, so it
+        // contains NO exchanges at all — the r9 name census was blind
+        // for that reason, not just because of renames), lineage-traced
+        // via [[fatShuffled]]. This census IS pinned in ScaleSpec now.
+        val fatShuffle = {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          spark.catalog.clearCache() // drop frames cached under default conf
+          try fatShuffled(fn(spark, dir).queryExecution.executedPlan)
+          finally {
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+          }
+        }
         if (cartesian.nonEmpty || bnlj.nonEmpty || fallback.nonEmpty ||
             fat.nonEmpty || fatShuffle.nonEmpty)
           println(s"""{"q":"$name","cartesian":${cartesian.size},""" +

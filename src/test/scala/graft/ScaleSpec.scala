@@ -126,18 +126,27 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(1200))
   }
 
-  test("sparse cosine term vectors are built behind a candidate-doc semi join") {
+  test("sparse cosine term vectors are built behind a Bloom candidate prefilter") {
     import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    // 16 pairs of identical docs: each pair's distinguishing 3-shingle has
+    // df = 2 ∈ [minDf, maxDf], so every pair is a candidate
     val docs = spark.range(0, 32)
       .select(col("id").as("doc_id"),
-        concat_ws(" ", lit("alpha beta gamma tok"), (col("id") % 4).cast("string")).as("text"),
+        concat_ws(" ", lit("alpha beta gamma tok"), (col("id") % 16).cast("string")).as("text"),
         lit("en").as("lang"))
     val out = graft.ext.SparseSim.cosinePairs(docs)
-    out.collect()
+    val rows = out.collect()
+    // identical texts pair at cosine 1.0
+    assert(rows.length === 16)
+    assert(rows.forall(_.getAs[Double]("cos_sim") > 0.999))
     // the full-corpus tokenize→explode→count never runs: tf is gated on a
-    // LeftSemi join against the candidate docs
+    // Bloom probe over the candidate doc ids — scan-speed, NO exchange;
+    // probe false positives die in the exact inner joins against the pair
+    // list. The LeftSemi this replaces shuffled every doc's raw TEXT to
+    // meet the id list whenever that list outgrew the broadcast threshold.
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), plan.take(1200))
+    assert(plan.toLowerCase.contains("bloommightcontain"), plan.take(1200))
+    assert(!plan.contains("LeftSemi"), plan.take(1200))
   }
 
   test("grouped top-k aggregator equals the window form, with no per-group sort in the plan") {
@@ -530,8 +539,13 @@ class ScaleSpec extends SparkSpec {
       "q_embed_neardup", "q_gap_histogram", "q_item_cooccurrence",
       "q_key_skew", "q_length_filter", "q_minute_anomaly",
       "q_revenue_concentration", "q_revenue_concentration_bucketed",
-      "q_rfm", "q_rfm_bucketed", "q_semantic_dedup", "q_spacesaving_approx",
+      "q_rfm", "q_rfm_bucketed", "q_spacesaving_approx",
       "q_unigram_logprob")
+    // q_semantic_dedup left this pin in r10: its three codebook cross
+    // joins became the narrow codegen'd NearestCentroid argmax, so the
+    // plan carries no nested-loop join at all now. q_ann_topk_ivf[(_
+    // trained)] keep one BNLJ each — the numQueries-row PROBE crossjoin,
+    // which stays windowed by design (parameter-bounded input).
     val bnljSeen = scala.collection.mutable.Set[String]()
     sys.props("graft.frame.cache.disable") = "1"
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -553,5 +567,63 @@ class ScaleSpec extends SparkSpec {
     } finally sys.props.remove("graft.frame.cache.disable")
     assert(bnljSeen.toSet === bnljPin,
       s"BNLJ set drifted; added=${bnljSeen.toSet -- bnljPin} removed=${bnljPin -- bnljSeen}")
+  }
+
+  test("registry audit: no fat column crosses a shuffle except the two documented co-location persists") {
+    // The 100 TB hazard this pins: documents.text / embeddings.embedding
+    // BYTES moving through a ShuffleExchange. Census is by attribute
+    // LINEAGE (PlanAudit.fatShuffled — follows identity renames like the
+    // LSH emb1/emb2, ignores derived skinny values like norms and
+    // hashes), planned for the shape a big corpus takes:
+    //  - auto-broadcast OFF: at gate sf the candidate-id frames broadcast
+    //    and no exchange exists to catch — exactly how the r9 name-based
+    //    census stayed blind. Explicit broadcast() hints (the scalar/
+    //    codebook cross joins, the hinted dim joins) survive the -1
+    //    threshold, which is correct: those are size-audited by design.
+    //  - AQE OFF and executedPlan: sparkPlan predates EnsureRequirements
+    //    and contains NO exchanges at all (the census's other blind spot);
+    //    with AQE off the executedPlan is static, fully traversable, and
+    //    needs no execution.
+    //  - FrameCache disabled + clearCache first: memo scans and frames
+    //    cached under the default conf would replace the real pipelines.
+    // Allowed population (equality, so drift EITHER way is flagged):
+    //  - q_embed_neardup_lsh: the band-explode shuffle INTO the bands
+    //    persist — the fat-frame design r9 vindicated at sf10 (the slim
+    //    re-join variant filled 78 GB of spill); the b1×b2 self-join then
+    //    reuses the cached band_key partitioning with no exchange at all.
+    //  - q_semantic_dedup: embeddings co-located by assigned centroid —
+    //    within-cluster pairwise cosine needs the vectors on one
+    //    partition; the shuffled payload is the corpus's embeddings ONCE,
+    //    the SemDeDup-shaped contract.
+    // q_sparse_cosine / q_prefix_jaccard left this list in r10: their
+    // candidate-doc semi joins (corpus text / shingle arrays to meet the
+    // id list) became Bloom prefilters + exact inner-join verification,
+    // so the fat bytes stay on the scan side of every exchange.
+    val sf = "/root/testdata/sf0.001"
+    val fatPin: Map[String, Set[String]] = Map(
+      "q_embed_neardup_lsh" -> Set("embedding->embedding"),
+      "q_semantic_dedup" -> Set("embedding->embedding"))
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val oldBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sys.props("graft.frame.cache.disable") = "1"
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.catalog.clearCache()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val census = graft.tools.PlanAudit
+          .fatShuffled(fn(spark, sf).queryExecution.executedPlan).toSet
+        assert(census === fatPin.getOrElse(name, Set.empty[String]),
+          s"$name fat-shuffle census drifted: got $census, pinned " +
+            s"${fatPin.getOrElse(name, Set.empty[String])} — a new entry means " +
+            "corpus payload bytes now cross an exchange (fix the operator or " +
+            "document the co-location and extend the pin)")
+      }
+    } finally {
+      sys.props.remove("graft.frame.cache.disable")
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      spark.catalog.clearCache()
+    }
   }
 }
