@@ -87,10 +87,14 @@ object Bench {
     // genuinely slow query is slow in every repeat and still shows.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // local-iteration filter (comma-separated names, same contract as
-    // Verify's GRAFT_ONLY); the driver never sets it → full suite
+    // Verify's GRAFT_ONLY); the driver never sets it → full suite.
+    // SKIP is the complement, for by-design exclusions (sweep.py sets it
+    // to keep the O(n²) recall ground truth out of scaling runs).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP").map(_.split(",").toSet)
+      .getOrElse(Set.empty[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
       .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -341,6 +341,7 @@ object TextAnalysis {
           drained = true
         case Some((a, b, c)) =>
           winners += ((r, a, b, c))
+          val prev = tp
           tp = tp.mapPartitions { it =>
             // greedy left-to-right merge: a merged token is emitted and
             // NOT re-held as the pending left candidate, so it cannot
@@ -362,9 +363,20 @@ object TextAnalysis {
               }
             } ++ tail
           }.localCheckpoint(true)
+          // round r's EAGER checkpoint supersedes round r−1's stream; free
+          // the old generation's blocks now instead of letting `rounds`
+          // corpus-sized generations pile up in the block manager for the
+          // whole train (the r10 BpeTrainProbe measured late-round stalls
+          // — 47–111 s phases on the 100× corpus — from exactly that
+          // storage/GC pressure). Safe ONLY because nothing reads a
+          // superseded generation again (see Shim.freeLocalCheckpoint).
+          org.apache.spark.sql.graftshim.Shim.freeLocalCheckpoint(prev)
           r += 1
       }
     }
+    // the last generation outlives the loop only as storage — the winner
+    // list is already on the driver
+    org.apache.spark.sql.graftshim.Shim.freeLocalCheckpoint(tp)
     spark.createDataFrame(winners.result())
       .toDF("round", "left_tok", "right_tok", "cnt")
   }

@@ -83,6 +83,7 @@ object BpeTrainProbe {
       }
       top.headOption.foreach { case (a, b, c) =>
         winners += ((r, a, b, c))
+        val prev = tp
         tp = timed(s"rebuild_$r") {
           tp.mapPartitions { it =>
             var hasPend = false; var qDoc = 0L; var qTok: String = null
@@ -103,6 +104,10 @@ object BpeTrainProbe {
             } ++ tail
           }.localCheckpoint(true)
         }
+        // mirror the operator's r10 fix: free the superseded generation
+        // (toggle with GRAFT_BPE_NO_FREE=1 to reproduce the pileup arm)
+        if (!sys.env.contains("GRAFT_BPE_NO_FREE"))
+          org.apache.spark.sql.graftshim.Shim.freeLocalCheckpoint(prev)
       }
     }
     // drift guard: the probe's winners must equal the operator's

@@ -40,6 +40,21 @@ object Shim {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Drop the block-manager storage behind a LOCAL-CHECKPOINTED Dataset
+    * (`LogicalRDD` is `private[sql]`). A localCheckpoint's blocks ARE its
+    * data — lineage is truncated, so unpersisting makes the frame
+    * unrecomputable. Callers may therefore only free a GENERATION THEY
+    * HAVE FINISHED READING and will never touch again: the iterative-
+    * trainer pattern, where round r's eager checkpoint supersedes round
+    * r−1's and the old blocks would otherwise pile up for the whole
+    * train (N generations of corpus-sized storage — measured GC/evict
+    * stalls on the 100× corpus). Blocking=false: cleanup, not a barrier. */
+  def freeLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** A real FetchFailedException naming (shuffleId, mapIndex 0) on THIS
     * JVM's block manager (`FetchFailedException` is `private[spark]`).
     * MUST be constructed inside a running task — the constructor registers

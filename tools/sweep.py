@@ -2,8 +2,8 @@
 """Two-SF scaling sweep: run graft.Bench at a base and a scaled SF dir,
 join the per-query medians, and print a ratio table (worst first).
 
-Usage: python3 tools/sweep.py [baseDir] [scaledDir] [runs] [factor]
-Defaults: /root/testdata/sf0.1  /tmp/sf1  2  10
+Usage: python3 tools/sweep.py [baseDir] [scaledDir] [runs] [factor] [refSweep]
+Defaults: /root/testdata/sf0.1  /tmp/sf1  2  10  <auto: newest SWEEP100_r*.txt>
 
 The scaled corpus is generated with `sbt "runMain graft.tools.ScaleUp
 <base> <scaled> <factor>"` if the directory is missing. At 100x
@@ -14,15 +14,51 @@ mid-suite, which sweep reports as -1.0 entries. Output doubles as
 the PLANS.md evidence table — a query whose ratio exceeds the data ratio
 is a superlinear suspect (unless its OUTPUT grows superlinearly; check
 row counts before blaming the plan).
+
+OUTLIER AUTO-PROBE (the r9 adjudication protocol, mechanized): every
+round's sweep surfaced suite-neighbor interference — a query slow only
+because of what ran before it in the shared JVM, reproducing its old
+time in isolation. Any query whose ratio exceeds its reference-sweep
+ratio (previous round's SWEEP100 artifact, parsed from the table) by
+>1.5x is re-run ONCE in a fresh JVM at the scaled dir before being
+believed; the table then carries an `isolated_s` column for those
+queries, and the final verdict column uses min(suite, isolated).
 """
-import json, os, subprocess, sys
+import json, os, re, subprocess, sys
 
 base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 scaled = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 runs = sys.argv[3] if len(sys.argv) > 3 else "2"
 factor = sys.argv[4] if len(sys.argv) > 4 else "10"
+ref_path = sys.argv[5] if len(sys.argv) > 5 else None
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 artifact = os.path.join(repo, "bench.json")
+
+
+def load_ref_ratios(path):
+    """Parse 'query base_s scaled_s ratio x' table lines from a previous
+    sweep artifact -> {query: ratio}. Missing/unparseable file -> {}."""
+    if path is None:
+        cands = sorted(f for f in os.listdir(repo)
+                       if re.match(r"SWEEP100_r\d+\.txt$", f))
+        if not cands:
+            return {}
+        path = os.path.join(repo, cands[-1])
+    out = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                m = re.match(r"(q_\w+)\s+[\d.]+\s+[\d.-]+\s+([\d.]+)x", line.strip())
+                if m:
+                    out[m.group(1)] = float(m.group(2))
+    except OSError:
+        return {}
+    if out:
+        print(f"[sweep] outlier reference: {path} ({len(out)} ratios)", flush=True)
+    return out
+
+
+ref_ratios = load_ref_ratios(ref_path)
 
 
 def run(cmd, env=None):
@@ -40,6 +76,15 @@ if not os.path.isdir(scaled):
     run(["sbt", "-batch", f"runMain graft.tools.ScaleUp {base} {scaled} {factor}"])
 
 
+# by-design exclusions (comma list, override with GRAFT_SWEEP_EXCLUDE):
+# q_embed_neardup is the brute-force all-pairs recall ground truth —
+# O(n²) by definition, documented weak, excluded from r7–r9 sweeps by
+# hand; the r10 sweep accidentally included it (709 s of a 1550 s total,
+# drowning the headline) because the exclusion lived in tribal memory
+# instead of here.
+exclude = set(os.environ.get("GRAFT_SWEEP_EXCLUDE", "q_embed_neardup").split(","))
+
+
 def bench(sf_dir):
     # remove the artifact first: Bench swallows its own write failure, and
     # a stale file would silently make every ratio 1.0x
@@ -50,8 +95,9 @@ def bench(sf_dir):
     # stage (export GRAFT_NO_FRAME_CACHE=0 to sweep the cached regime)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=runs,
+               SPARK_GRAFT_BENCH_SKIP=",".join(sorted(exclude)),
                GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
-    print(f"[sweep] benching {sf_dir} (runs={runs})", flush=True)
+    print(f"[sweep] benching {sf_dir} (runs={runs}, skip={sorted(exclude)})", flush=True)
     run(["sbt", "-batch", "runMain graft.Bench"], env=env)
     if not os.path.exists(artifact):
         raise SystemExit(f"[sweep] bench.json missing after {sf_dir} run "
@@ -60,18 +106,48 @@ def bench(sf_dir):
         return json.load(f)
 
 
+def probe_isolated(q, sf_dir):
+    """One fresh-JVM re-run of a single query (the r9 'any outlier gets
+    one isolated probe before it is believed' rule). Returns the lower
+    median seconds, or None if the probe itself failed."""
+    if os.path.exists(artifact):
+        os.remove(artifact)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_RUNS=runs, SPARK_GRAFT_BENCH_ONLY=q,
+               GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
+    print(f"[sweep] isolated probe: {q} @ {sf_dir}", flush=True)
+    try:
+        run(["sbt", "-batch", "runMain graft.Bench"], env=env)
+        with open(artifact) as f:
+            t = json.load(f)["queries"].get(q)
+        return t if t and t > 0 else None
+    except SystemExit:
+        return None
+
+
 b, s = bench(base), bench(scaled)
 rows = []
 for q, tb in b["queries"].items():
     ts = s["queries"].get(q)
     if ts is None or tb <= 0 or ts <= 0:
-        rows.append((float("inf"), q, tb, ts))
+        rows.append([float("inf"), q, tb, ts, None])
     else:
-        rows.append((ts / tb, q, tb, ts))
-rows.sort(reverse=True)
-print(f"\n{'query':34} {'base_s':>8} {'scaled_s':>9} {'ratio':>7}")
-for r, q, tb, ts in rows:
-    print(f"{q:34} {tb:8.2f} {ts if ts else -1:9.2f} {r:7.1f}x")
+        rows.append([ts / tb, q, tb, ts, None])
+# auto-probe suite outliers: ratio > 1.5x its reference-sweep ratio
+for row in rows:
+    r, q, tb, ts = row[0], row[1], row[2], row[3]
+    ref = ref_ratios.get(q)
+    if ref and tb and tb > 0 and ts and ts > 0 and r > 1.5 * ref:
+        iso = probe_isolated(q, scaled)
+        row[4] = iso
+        if iso is not None:
+            row[0] = min(ts, iso) / tb
+rows.sort(key=lambda x: -x[0])
+print(f"\n{'query':34} {'base_s':>8} {'scaled_s':>9} {'isolated_s':>11} {'ratio':>7}")
+for r, q, tb, ts, iso in rows:
+    iso_s = f"{iso:11.2f}" if iso is not None else f"{'-':>11}"
+    print(f"{q:34} {tb:8.2f} {ts if ts else -1:9.2f} {iso_s} {r:7.1f}x")
 print(f"\ntotal: {b['value']:.1f}s -> {s['value']:.1f}s "
       f"= {s['value'] / b['value']:.2f}x wall-clock at {factor}x data "
-      f"({len(rows)} queries)")
+      f"({len(rows)} queries; ratio column uses min(suite, isolated) "
+      f"for probed outliers)")
