@@ -50,8 +50,11 @@ final class Codebook(val ids: Array[Long], val embs: Array[Array[Float]],
  * embedding length) contributes a null cosine — skipped, as the window
  * form's `desc` NULLS-LAST ordering loses nulls to any real cosine. A
  * row where NO centroid yields a comparable cosine (all ragged, or all
- * NaN from zero norms) falls back to the smallest cent_id, matching the
- * window's tiebreak among all-equal sort keys.
+ * NaN from a zero norm) falls back to the smallest cent_id. On zero
+ * norms this is strictly MORE tolerant than the window it replaced:
+ * that form's SQL division throws DIVIDE_BY_ZERO under default ANSI
+ * mode (pinned in ExtSpec), where this expression's Java 0/0 is a NaN
+ * that simply never wins the fold.
  *
  * The codebook rides the expression as config (like [[SketchBytes]]),
  * referenced once per generated class — k·dim floats, fine through

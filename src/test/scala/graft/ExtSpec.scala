@@ -799,4 +799,74 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === ref)
     assert(got.count(_._1 == "en") === 5 && got.count(_._1 == "fr") === 5)
   }
+
+  test("NearestCentroid equals the centRank window form, including tie / ragged / zero-norm edges") {
+    // The narrow codegen argmax replaced `rank 1 over (cosine desc,
+    // cent_id asc)` in three assignment paths (r10); this pins the
+    // parity ARGUMENT from its scaladoc as an executable check on a
+    // corpus built to hit every edge:
+    //  - exact cosine ties (centroid 5 duplicates centroid 2 → the
+    //    smaller cent_id must win),
+    //  - a ragged centroid (3-dim vs the corpus's 4) whose cosine is
+    //    null on both sides (window: NULLS LAST under desc; fold: skip),
+    //  - a zero-norm vector: under default ANSI mode the WINDOW form
+    //    THROWS (DIVIDE_BY_ZERO on cosine = dot/0) — it is excluded from
+    //    the reference and asserted directly against the fold's
+    //    documented fallback (bid==-1 → smallest cent_id). The narrow
+    //    form computing in Java (0/0 = NaN, silently skipped) is strictly
+    //    more tolerant than what it replaced.
+    import org.apache.spark.sql.functions.{broadcast, col, expr, row_number}
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SketchExprs.register(spark)
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.6f, 0.8f, 0f, 0f)), (3L, Seq(0f, 0f, 0f, 0f)), // zero-norm
+      (4L, Seq(-1f, 0f, 0f, 0f)), (5L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val cents = Seq(
+      (2L, Seq(1f, 0f, 0f, 0f)), (5L, Seq(1f, 0f, 0f, 0f)), // exact duplicates → tie
+      (7L, Seq(0f, 1f, 0f, 0f)), (9L, Seq(0f, 0f, 1f)))      // 9 is RAGGED (3-dim)
+      .toDF("cent_id", "cent_emb")
+      .select(col("cent_id"), col("cent_emb"),
+        expr("sqrt(graft_dot(cent_emb, cent_emb))").as("cent_nrm"))
+    // reference: the window form the operators used through r9 (zero-norm
+    // vector excluded — ANSI division-by-zero, see header comment)
+    val win = vecs.filter(col("nrm") > 0).crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy((expr("graft_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm"))).desc,
+            col("cent_id").asc)))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // actual: the codegen expression over the same collected codebook
+    val rows = cents.collect().sortBy(_.getLong(0))
+    val cb = new graft.functions.Codebook(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray),
+      rows.map(_.getDouble(2)))
+    val shim = org.apache.spark.sql.graftshim.Shim
+    val narrowCol = shim.column(graft.functions.NearestCentroid(
+      shim.expression(col("embedding")), shim.expression(col("nrm")), cb))
+    val narrow = vecs.withColumn("cluster", narrowCol)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((narrow - 3L) === win)
+    // spell out the edges so a regression names itself:
+    assert(narrow(0L) === 2L) // tie between duplicate centroids 2 and 5 → min id
+    assert(narrow(3L) === 2L) // zero-norm vector: all-NaN fold → smallest cent_id (window form would throw)
+    assert(narrow(1L) === 7L) // plain argmax
+    assert(narrow(4L) === 7L) // negative alignment to 2/5: orthogonal 7 wins at cosine 0
+    // interpreted eval matches codegen (the DataFrame run above is
+    // whole-stage codegen'd; eval() is the fallback path)
+    val ic = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(0.6f, 0.8f, 0f, 0f),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val interp = graft.functions.NearestCentroid(ic,
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0d), cb)
+      .eval(null)
+    assert(interp === 7L) // (0.6, 0.8, 0, 0): cosine 0.8 with centroid 7 beats 0.6 with 2
+  }
 }
