@@ -76,11 +76,20 @@ object StreamJob {
    * Also the piece that makes the full Kafka-shaped streaming DAG
    * executable end-to-end in environments without a broker, which is how
    * StreamingSpec exercises it.
+   *
+   * `maxFilesPerTrigger` paces replay: with the dump written as N
+   * time-ranged slices, 1 file/trigger re-plays the archive as N
+   * micro-batches in original event order — the knob
+   * [[graft.tools.StreamBench]] uses to measure sustained pipeline
+   * throughput at a controlled batch size.
    */
-  def readEnvelopeFiles(spark: SparkSession, dir: String): DataFrame = {
+  def readEnvelopeFiles(spark: SparkSession, dir: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val kv = StructType(Seq(StructField("key", StringType), StructField("value", StringType)))
-    val raw = spark.readStream.schema(kv).json(dir)
+    val reader = spark.readStream.schema(kv)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.json(dir)
     CleanStage.parseKafkaEnvelope(raw)
       .withColumn("event_time",
         timestamp_millis(col("unix_timestamp").cast("long")))

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.clean.CleanStage
+import graft.schema.Schemas
+import graft.sources.Replay
+import graft.stream.StreamJob
+
+/**
+ * End-to-end streaming pipeline throughput: how many events per second
+ * does the full reference-shaped DAG sustain on one node?
+ *
+ * The reference's end-to-end rate is bounded by its producer — a
+ * single-threaded sleep loop at 10 events/s (100/s in "faster" mode,
+ * producer.py:13-14,51), i.e. a full RetailRocket replay of 2.76M events
+ * takes ~77 hours before the Spark job sees the last record. This bench
+ * removes the artificial producer cap and measures what the PROCESSING
+ * side — the same envelope parse → event-time enrich → per-micro-batch
+ * fan-out into all 10 analyses that `stream_processor.py` runs — can
+ * actually absorb:
+ *
+ *  1. the sf events table is cleaned batch-side (raw 5-string shape →
+ *     validate → NiFi enrich, the clean-topic tier) and dumped as
+ *     `slices` time-ranged envelope JSONL files — a clean-topic archive
+ *     in original event order;
+ *  2. [[StreamJob.readEnvelopeFiles]] replays it at 1 file/trigger, so
+ *     each slice is one micro-batch of ~n/slices events;
+ *  3. every analysis result is fully materialized through the `noop`
+ *     datasource (all compute, no sink cost — the JDBC leg is
+ *     SinksSpec's job and scales with result rows, not event rows).
+ *
+ * Two configurations bracket the cost: `analyses` (the 10-table
+ * fan-out, what the reference runs per batch) and `parse` (envelope
+ * parse + enrich only — the ingest ceiling of the same source).
+ *
+ * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10]
+ * Output: one JSON line {"events":n,"slices":k,
+ *   "analyses":{"sec":…,"events_per_sec":…,"batch_ms":[…]},
+ *   "parse":{"sec":…,"events_per_sec":…}}
+ */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val slices = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // --- clean-topic archive: events -> raw strings -> validate+enrich
+    // -> time-ranged envelope slices (the file-backed clean topic) ------
+    val cs = graft.Tables.clickstream(spark, sfDir)
+    val raw = cs.select(
+      unix_millis(col("event_time").cast("timestamp")).cast("string").as("timestamp"),
+      col("visitorid"), col("event"), col("itemid"),
+      lit(null).cast("string").as("transactionid"))
+    val clean = CleanStage(raw)
+    val dumpDir = s"/tmp/graft-stream-bench-${System.nanoTime()}"
+    Replay.kafkaEnvelope(
+      clean.repartitionByRange(slices, col("event_time"))
+        .select(Schemas.clean.fieldNames.map(col): _*))
+      .write.json(dumpDir)
+    val n = spark.read.json(dumpDir).count() // post-validate event count
+
+    def run(label: String, analyses: Boolean): (Double, Seq[Long]) = {
+      val ckpt = s"$dumpDir-ckpt-$label"
+      val stream = StreamJob.readEnvelopeFiles(spark, dumpDir, maxFilesPerTrigger = Some(1))
+      val noop = (df: DataFrame, _: String) =>
+        df.write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      val q =
+        if (analyses) StreamJob.start(stream, ckpt, Schemas.testdataFunnelSteps)(noop)
+        else stream.writeStream
+          .foreachBatch((batch: DataFrame, _: Long) => noop(batch, "parse"))
+          .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batchMs = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      (sec, batchMs)
+    }
+
+    val (parseSec, _) = run("parse", analyses = false)
+    val (fullSec, batchMs) = run("analyses", analyses = true)
+
+    def rate(sec: Double): Long = (n / sec).toLong
+    println(s"""{"events":$n,"slices":$slices,"sf":"$sfDir",""" +
+      s""""analyses":{"sec":${f"$fullSec%.2f"},"events_per_sec":${rate(fullSec)},""" +
+      s""""batch_ms":[${batchMs.mkString(",")}]},""" +
+      s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
+
+    // scratch cleanup: the dump is slices × the events table in JSON
+    import scala.reflect.io.Directory
+    Seq(dumpDir, s"$dumpDir-ckpt-parse", s"$dumpDir-ckpt-analyses")
+      .foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
+    spark.stop()
+  }
+}
