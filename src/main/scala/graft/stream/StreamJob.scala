@@ -40,21 +40,46 @@ object StreamJob {
    * events/s end-to-end. MEMORY_AND_DISK spills rather than evicting if
    * a trigger outgrows executor storage.
    */
-  def runAllAnalyses(batch: DataFrame, batchId: Long, steps: Seq[String])(
+  def runAllAnalyses(batch: DataFrame, batchId: Long, steps: Seq[String],
+                     parallelism: Int = 1)(
       sink: (DataFrame, String) => Unit): Unit = {
     val b = batch.persist()
     val sessionized = Sessionize(b).persist()
+    val work: Seq[(String, () => DataFrame)] = Seq(
+      "sessions" -> (() => Sessionize.sessionMetrics(sessionized)),
+      "user_paths" -> (() => UserPaths(sessionized)),
+      "funnel_analysis" -> (() => Funnel.countsWithProvenance(sessionized, steps, batchId)),
+      "events_per_minute" -> (() => MinuteStats.eventsPerMinute(b)),
+      "active_users" -> (() => MinuteStats.activeUsers(b)),
+      "event_type_distribution" -> (() => MinuteStats.eventTypeDistribution(b)),
+      "bounce_rate" -> (() => MinuteStats.bounceRate(b)),
+      "top_items" -> (() => Items.topItemsPerMinute(b)),
+      "item_interactions" -> (() => Items.itemInteractions(b)),
+      "most_viewed_items" -> (() => Items.mostViewedItems(b)))
     try {
-      sink(Sessionize.sessionMetrics(sessionized), "sessions")
-      sink(UserPaths(sessionized), "user_paths")
-      sink(Funnel.countsWithProvenance(sessionized, steps, batchId), "funnel_analysis")
-      sink(MinuteStats.eventsPerMinute(b), "events_per_minute")
-      sink(MinuteStats.activeUsers(b), "active_users")
-      sink(MinuteStats.eventTypeDistribution(b), "event_type_distribution")
-      sink(MinuteStats.bounceRate(b), "bounce_rate")
-      sink(Items.topItemsPerMinute(b), "top_items")
-      sink(Items.itemInteractions(b), "item_interactions")
-      sink(Items.mostViewedItems(b), "most_viewed_items")
+      if (parallelism <= 1) work.foreach { case (t, f) => sink(f(), t) }
+      else {
+        // Concurrent fan-out: each analysis is a small job whose scheduling
+        // latency is paid serially in the sequential mode while most cores
+        // idle. The cached frames are materialized FIRST (cheap counts) so
+        // concurrent consumers read the cache instead of racing to compute
+        // it. Opt-in because sink callbacks run from pool threads and their
+        // completion order is nondeterministic — the caller's sink must be
+        // thread-safe (per-table JDBC appends are; a shared mutable collector
+        // needs synchronization).
+        b.count(); sessionized.count()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          Await.result(
+            Future.sequence(work.map { case (t, f) => Future(sink(f(), t)) }),
+            Duration.Inf)
+          ()
+        } finally { pool.shutdown() }
+      }
     } finally { sessionized.unpersist(); b.unpersist(); () }
   }
 
@@ -105,11 +130,12 @@ object StreamJob {
   }
 
   /** Start the foreachBatch pipeline over any streaming DataFrame. */
-  def start(events: DataFrame, checkpointDir: String, steps: Seq[String])(
+  def start(events: DataFrame, checkpointDir: String, steps: Seq[String],
+            parallelism: Int = 1)(
       sink: (DataFrame, String) => Unit): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        runAllAnalyses(batch, batchId, steps)(sink)
+        runAllAnalyses(batch, batchId, steps, parallelism)(sink)
       }
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

@@ -31,13 +31,17 @@ import graft.stream.StreamJob
  *     datasource (all compute, no sink cost — the JDBC leg is
  *     SinksSpec's job and scales with result rows, not event rows).
  *
- * Two configurations bracket the cost: `analyses` (the 10-table
- * fan-out, what the reference runs per batch) and `parse` (envelope
- * parse + enrich only — the ingest ceiling of the same source).
+ * Three configurations bracket the cost: `analyses` (the 10-table
+ * fan-out run sequentially, what the reference runs per batch),
+ * `parallel` (the same fan-out with `parallelism=10` — the 10 small
+ * jobs overlap instead of paying scheduling latency serially), and
+ * `parse` (envelope parse + enrich only — the ingest ceiling of the
+ * same source).
  *
  * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10]
  * Output: one JSON line {"events":n,"slices":k,
  *   "analyses":{"sec":…,"events_per_sec":…,"batch_ms":[…]},
+ *   "parallel":{…same shape…},
  *   "parse":{"sec":…,"events_per_sec":…}}
  */
 object StreamBench {
@@ -70,14 +74,15 @@ object StreamBench {
       .write.json(dumpDir)
     val n = spark.read.json(dumpDir).count() // post-validate event count
 
-    def run(label: String, analyses: Boolean): (Double, Seq[Long]) = {
+    def run(label: String, analyses: Boolean, parallelism: Int = 1): (Double, Seq[Long]) = {
       val ckpt = s"$dumpDir-ckpt-$label"
       val stream = StreamJob.readEnvelopeFiles(spark, dumpDir, maxFilesPerTrigger = Some(1))
       val noop = (df: DataFrame, _: String) =>
         df.write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       val q =
-        if (analyses) StreamJob.start(stream, ckpt, Schemas.testdataFunnelSteps)(noop)
+        if (analyses)
+          StreamJob.start(stream, ckpt, Schemas.testdataFunnelSteps, parallelism)(noop)
         else stream.writeStream
           .foreachBatch((batch: DataFrame, _: Long) => noop(batch, "parse"))
           .option("checkpointLocation", ckpt).start()
@@ -91,16 +96,19 @@ object StreamBench {
 
     val (parseSec, _) = run("parse", analyses = false)
     val (fullSec, batchMs) = run("analyses", analyses = true)
+    val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
 
     def rate(sec: Double): Long = (n / sec).toLong
     println(s"""{"events":$n,"slices":$slices,"sf":"$sfDir",""" +
       s""""analyses":{"sec":${f"$fullSec%.2f"},"events_per_sec":${rate(fullSec)},""" +
       s""""batch_ms":[${batchMs.mkString(",")}]},""" +
+      s""""parallel":{"sec":${f"$parSec%.2f"},"events_per_sec":${rate(parSec)},""" +
+      s""""batch_ms":[${parBatchMs.mkString(",")}]},""" +
       s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
 
     // scratch cleanup: the dump is slices × the events table in JSON
     import scala.reflect.io.Directory
-    Seq(dumpDir, s"$dumpDir-ckpt-parse", s"$dumpDir-ckpt-analyses")
+    Seq(dumpDir, s"$dumpDir-ckpt-parse", s"$dumpDir-ckpt-analyses", s"$dumpDir-ckpt-parallel")
       .foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
     spark.stop()
   }

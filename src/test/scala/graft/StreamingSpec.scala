@@ -45,6 +45,42 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds === mutable.Buffer(0L, 1L))
   }
 
+  test("parallel fan-out produces the same rows per table as sequential") {
+    // runAllAnalyses(parallelism = n) overlaps the 10 per-batch jobs on a
+    // thread pool; results must be row-identical to the sequential mode
+    // (the sink just has to tolerate concurrent calls — here a concurrent
+    // map keyed by table, which is also the production JDBC shape).
+    // plain tuples, not the Ev inner class: the deserializer resolves
+    // lazily on the fan-out's pool threads, where an inner-class encoder
+    // has no outer scope
+    val batch = Seq(
+      ("u1", ts(100), "view", "i1"), ("u1", ts(200), "click", "i2"),
+      ("u1", ts(200 + 1801), "view", "i3"), // second session for u1
+      ("u2", ts(150), "view", "i1"), ("u2", ts(240), "purchase", "i3"),
+      ("u3", ts(120), "view", "i2"))
+      .toDF("visitorid", "event_time", "event", "itemid")
+    def collectAll(parallelism: Int): Map[String, Seq[String]] = {
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Array[Row]]()
+      StreamJob.runAllAnalyses(batch, 7L, Schemas.testdataFunnelSteps, parallelism) {
+        // analysis_time is a wall-clock provenance stamp — drop it, the
+        // two runs execute at different instants by construction
+        (df, table) =>
+          results.put(table,
+            (if (df.columns.contains("analysis_time")) df.drop("analysis_time") else df)
+              .collect())
+          ()
+      }
+      import scala.jdk.CollectionConverters._
+      results.asScala.toMap.map { case (t, rows) =>
+        t -> rows.toSeq.map(_.toSeq.mkString("|")).sorted
+      }
+    }
+    val sequential = collectAll(1)
+    val parallel = collectAll(10)
+    assert(sequential.keySet === StreamJob.tables.toSet)
+    assert(parallel === sequential)
+  }
+
   test("session_window (batch mode) merges what per-batch processing split") {
     val df = Seq(
       ("u1", ts(100)), ("u1", ts(200)), ("u1", ts(300)),  // one session
