@@ -130,7 +130,21 @@ object GlobalSessions {
         state.remove()
         return out
       }
-      val sorted = it.toSeq.sortBy(_.event_time.getTime)
+      // flatMapGroupsWithState does NOT drop late rows — watermark
+      // filtering is only automatic for built-in stateful operators — so
+      // an event behind the watermark must be ignored here: session_window
+      // drops it, and folding it in could yield a session whose timeout is
+      // earlier than the current watermark, which the state store rejects
+      // (throws) on setTimeoutTimestamp. With the filter in place every
+      // surviving event has time >= watermark, so the timeout set below
+      // (end + gap + 1) is always legal.
+      val wmMs = state.getCurrentWatermarkMs()
+      val sorted = it.toSeq.filter(_.event_time.getTime >= wmMs).sortBy(_.event_time.getTime)
+      if (sorted.isEmpty) {
+        // everything was late: leave any open session untouched — its
+        // previously-set timeout still stands and will fire normally
+        return Iterator.empty
+      }
       var open = state.getOption
       val closed = Seq.newBuilder[ClosedSession]
       sorted.foreach { e =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.clean.CleanStage
 import graft.schema.Schemas
 import graft.sources.Replay
-import graft.stream.StreamJob
+import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
 
 /**
  * End-to-end streaming pipeline throughput: how many events per second
@@ -73,6 +73,17 @@ object StreamBench {
         .select(Schemas.clean.fieldNames.map(col): _*))
       .write.json(dumpDir)
     val n = spark.read.json(dumpDir).count() // post-validate event count
+    // FileStreamSource replays files in MODIFICATION-TIME order, and the
+    // parallel json write stamps near-identical mod times — slice order
+    // (= event-time order, from repartitionByRange: task i writes range i
+    // to part-0000i) would be lost to timestamp ties. Re-stamp mod times
+    // in part-file-name order, 1 s apart, so the replay is an in-order
+    // archive and event-time watermarks advance monotonically.
+    new java.io.File(dumpDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 1000L); ()
+      }
 
     def run(label: String, analyses: Boolean, parallelism: Int = 1): (Double, Seq[Long]) = {
       val ckpt = s"$dumpDir-ckpt-$label"
@@ -94,9 +105,31 @@ object StreamBench {
       (sec, batchMs)
     }
 
+    // stateful correct-mode arms: cross-batch sessionization through the
+    // state store — the upgrade path over the reference's per-batch parity
+    // windows. Throughput-only (results are oracle-tested in batch mode by
+    // q_global_sessions and pinned streaming==batch in StreamingSpec);
+    // sessions still open at watermark end stay in state, as they would in
+    // production.
+    def runStateful(label: String)(build: DataFrame => DataFrame): Double = {
+      val ckpt = s"$dumpDir-ckpt-$label"
+      val stream = StreamJob.readEnvelopeFiles(spark, dumpDir, maxFilesPerTrigger = Some(1))
+      val t0 = System.nanoTime()
+      val q = build(stream).writeStream.outputMode("append")
+        .format("noop").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val (parseSec, _) = run("parse", analyses = false)
     val (fullSec, batchMs) = run("analyses", analyses = true)
     val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
+    val globalSec = runStateful("global")(s => GlobalSessions.sessionWindow(s))
+    val fmgwsSec = runStateful("fmgws") { s =>
+      import spark.implicits._
+      GlobalSessions.flatMapGroupsWithStateSessions(spark,
+        s.select(col("visitorid"), col("event_time")).as[SessionEvent]).toDF()
+    }
 
     def rate(sec: Double): Long = (n / sec).toLong
     println(s"""{"events":$n,"slices":$slices,"sf":"$sfDir",""" +
@@ -104,11 +137,14 @@ object StreamBench {
       s""""batch_ms":[${batchMs.mkString(",")}]},""" +
       s""""parallel":{"sec":${f"$parSec%.2f"},"events_per_sec":${rate(parSec)},""" +
       s""""batch_ms":[${parBatchMs.mkString(",")}]},""" +
+      s""""session_window":{"sec":${f"$globalSec%.2f"},"events_per_sec":${rate(globalSec)}},""" +
+      s""""flatmapgroups":{"sec":${f"$fmgwsSec%.2f"},"events_per_sec":${rate(fmgwsSec)}},""" +
       s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
 
     // scratch cleanup: the dump is slices × the events table in JSON
     import scala.reflect.io.Directory
-    Seq(dumpDir, s"$dumpDir-ckpt-parse", s"$dumpDir-ckpt-analyses", s"$dumpDir-ckpt-parallel")
+    Seq(dumpDir, s"$dumpDir-ckpt-parse", s"$dumpDir-ckpt-analyses", s"$dumpDir-ckpt-parallel",
+        s"$dumpDir-ckpt-global", s"$dumpDir-ckpt-fmgws")
       .foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
     spark.stop()
   }

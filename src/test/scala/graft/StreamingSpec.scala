@@ -486,6 +486,42 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Long]("session_length") === 200L)
   }
 
+  test("flatMapGroupsWithState ignores events behind the watermark instead of crashing") {
+    // flatMapGroupsWithState does NOT auto-drop late rows (built-in
+    // stateful operators do): an event behind the watermark must be
+    // filtered inside the state function — folding it in would produce a
+    // session whose timeout precedes the watermark, which the state store
+    // rejects with an exception. session_window's semantics (drop) are
+    // the parity target.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val sessions = GlobalSessions.flatMapGroupsWithStateSessions(
+      spark, ms.toDS(), gapSeconds = 1800L, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("late_drop_sessions").start()
+    try {
+      ms.addData(SessionEvent("u1", ts(1000)))
+      q.processAllAvailable()
+      // far-future event: watermark jumps hours past u1's gap boundary
+      ms.addData(SessionEvent("u2", ts(100000)))
+      q.processAllAvailable()
+      // u1 event BEHIND the watermark — must be ignored, not folded into
+      // (or reopen) the stale session
+      ms.addData(SessionEvent("u1", ts(1100)))
+      q.processAllAvailable()
+      // one more batch so u1's event-time timeout fires and emits
+      ms.addData(SessionEvent("u2", ts(100001)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val u1 = spark.table("late_drop_sessions")
+      .filter($"visitorid" === "u1").collect()
+    assert(u1.length === 1)
+    // the late ts(1100) event was dropped: 1 event, zero length
+    assert(u1.head.getAs[Long]("events_in_session") === 1L)
+    assert(u1.head.getAs[Long]("session_length") === 0L)
+  }
+
   test("streaming minute anomaly: causal z against prior finalized minutes only") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, java.sql.Timestamp)]
