@@ -53,14 +53,20 @@ object StreamAnomaly {
     def fn(event: String, it: Iterator[(String, Timestamp)],
            state: GroupState[AnomalyState]): Iterator[AnomalyPoint] = {
       val st0 = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L, Map.empty))
-      // fold new events into their open minutes
+      val wm = state.getCurrentWatermarkMs()
+      // fold new events into their open minutes. Late rows are NOT
+      // auto-dropped for flatMapGroupsWithState (only for built-in
+      // stateful operators): an event whose minute the watermark already
+      // closed would re-open and RE-EMIT that minute — a duplicate, out
+      // of causal order, with corrupted moments. Drop it, the same fate a
+      // windowed aggregation gives it.
       val pending = it.foldLeft(st0.pending) { case (p, (_, ts)) =>
         val m = minuteFloorMs(ts.getTime)
-        p.updated(m, p.getOrElse(m, 0L) + 1L)
+        if (m + 60000L <= wm) p
+        else p.updated(m, p.getOrElse(m, 0L) + 1L)
       }
       // finalize minutes the watermark has passed, oldest first — each is
       // scored against the moments of everything finalized before it
-      val wm = state.getCurrentWatermarkMs()
       val (done, open) = pending.partition { case (m, _) => m + 60000L <= wm }
       var st = st0
       val out = done.toSeq.sortBy(_._1).map { case (m, cnt) =>

@@ -553,6 +553,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).getAs[Double]("z") === 3.0)
   }
 
+  test("streaming minute anomaly drops events behind the watermark — no duplicate minutes") {
+    // same late-row class as the fMGWS session fix: a late event must not
+    // re-open a minute the watermark already finalized (it would re-emit
+    // the minute as a duplicate row with corrupted causal moments)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.stream.StreamAnomaly
+      .minuteAnomalyStreaming(spark,
+        ms.toDF().toDF("event", "event_time"))
+      .writeStream.format("memory").queryName("late_anomaly_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(("view", ts(600)), ("view", ts(601)))
+      q.processAllAvailable()
+      // watermark (10 min lag) passes minute 600 → finalized with cnt=2
+      ms.addData(("view", ts(600 + 3600)))
+      q.processAllAvailable()
+      // LATE event for the already-finalized minute — must be dropped
+      ms.addData(("view", ts(602)))
+      q.processAllAvailable()
+      ms.addData(("view", ts(600 + 7200)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val m600 = spark.table("late_anomaly_out")
+      .filter(col("minute") === ts(600)).collect()
+    assert(m600.length === 1)
+    assert(m600.head.getAs[Long]("cnt") === 2L)
+  }
+
   test("streaming sessionization across forced micro-batch cuts equals the batch result") {
     // the one semantics the batch oracles cannot certify: the CROSS-BATCH
     // state merge. Drive the real sf0.001 clickstream through
