@@ -326,6 +326,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.length === 1 && got.head.getAs[String]("visitorid") === "u1")
   }
 
+  test("file-source restart: the archive replay resumes at the committed file offset") {
+    // operational recovery on the production-shaped archive path: the
+    // MemoryStream restart test below pins the engine contract, this one
+    // pins FileStreamSource's file-offset log under readEnvelopeFiles —
+    // a relaunched replay must process only files added after the stop,
+    // and the batch counter must continue.
+    val dir = java.nio.file.Files.createTempDirectory("fsrestart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fsrestart_ckpt").toString
+    def writeFile(name: String, vis: String, ms: Long): Unit = {
+      val value = s"""{\\"timestamp\\":\\"t\\",\\"visitorid\\":\\"$vis\\",\\"event\\":\\"view\\",\\"itemid\\":\\"i1\\",\\"transactionid\\":null,\\"event_category\\":\\"c\\",\\"unix_timestamp\\":\\"$ms\\"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        s"""{"key":"$vis","value":"$value"}""".getBytes("UTF-8"))
+    }
+    val seen = mutable.Buffer[(Long, String)]()
+    def launch() = StreamJob.readEnvelopeFiles(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.collect().foreach(r => seen.synchronized {
+          seen += ((id, r.getAs[String]("visitorid"))); ()
+        })
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    writeFile("f0.json", "u1", 100000000L)
+    val q1 = launch()
+    try q1.processAllAvailable() finally q1.stop()
+
+    writeFile("f1.json", "u2", 100060000L)
+    val q2 = launch()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // u1's file was committed before the stop — not reprocessed; the new
+    // file arrives in a batch whose id continues from the first run
+    assert(seen.count(_._2 == "u1") === 1, s"got $seen")
+    assert(seen.count(_._2 == "u2") === 1, s"got $seen")
+    assert(seen.find(_._2 == "u2").get._1 > seen.find(_._2 == "u1").get._1)
+  }
+
   test("checkpoint restart: a relaunched query resumes offsets, no batch replays") {
     // operational recovery semantics (S9): stop the query, start a NEW one
     // on the same checkpoint — committed offsets must not reprocess, and
