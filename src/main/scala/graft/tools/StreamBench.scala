@@ -111,21 +111,28 @@ object StreamBench {
     // q_global_sessions and pinned streaming==batch in StreamingSpec);
     // sessions still open at watermark end stay in state, as they would in
     // production.
-    def runStateful(label: String)(build: DataFrame => DataFrame): Double = {
+    // returns (seconds, per-batch state-store row counts): the row
+    // trajectory is the bounded-state evidence — it must track the open
+    // sessions inside the watermark horizon, not stream length
+    def runStateful(label: String)(build: DataFrame => DataFrame): (Double, Seq[Long]) = {
       val ckpt = s"$dumpDir-ckpt-$label"
       val stream = StreamJob.readEnvelopeFiles(spark, dumpDir, maxFilesPerTrigger = Some(1))
       val t0 = System.nanoTime()
       val q = build(stream).writeStream.outputMode("append")
         .format("noop").option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      (sec, stateRows)
     }
 
     val (parseSec, _) = run("parse", analyses = false)
     val (fullSec, batchMs) = run("analyses", analyses = true)
     val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
-    val globalSec = runStateful("global")(s => GlobalSessions.sessionWindow(s))
-    val fmgwsSec = runStateful("fmgws") { s =>
+    val (globalSec, globalState) = runStateful("global")(s => GlobalSessions.sessionWindow(s))
+    val (fmgwsSec, fmgwsState) = runStateful("fmgws") { s =>
       import spark.implicits._
       GlobalSessions.flatMapGroupsWithStateSessions(spark,
         s.select(col("visitorid"), col("event_time")).as[SessionEvent]).toDF()
@@ -137,8 +144,10 @@ object StreamBench {
       s""""batch_ms":[${batchMs.mkString(",")}]},""" +
       s""""parallel":{"sec":${f"$parSec%.2f"},"events_per_sec":${rate(parSec)},""" +
       s""""batch_ms":[${parBatchMs.mkString(",")}]},""" +
-      s""""session_window":{"sec":${f"$globalSec%.2f"},"events_per_sec":${rate(globalSec)}},""" +
-      s""""flatmapgroups":{"sec":${f"$fmgwsSec%.2f"},"events_per_sec":${rate(fmgwsSec)}},""" +
+      s""""session_window":{"sec":${f"$globalSec%.2f"},"events_per_sec":${rate(globalSec)},""" +
+      s""""state_rows":[${globalState.mkString(",")}]},""" +
+      s""""flatmapgroups":{"sec":${f"$fmgwsSec%.2f"},"events_per_sec":${rate(fmgwsSec)},""" +
+      s""""state_rows":[${fmgwsState.mkString(",")}]},""" +
       s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
 
     // scratch cleanup: the dump is slices × the events table in JSON
