@@ -132,11 +132,20 @@ object StreamBench {
     val (fullSec, batchMs) = run("analyses", analyses = true)
     val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
     val (globalSec, globalState) = runStateful("global")(s => GlobalSessions.sessionWindow(s))
-    val (fmgwsSec, fmgwsState) = runStateful("fmgws") { s =>
+    def fmgwsDag(s: DataFrame): DataFrame = {
       import spark.implicits._
       GlobalSessions.flatMapGroupsWithStateSessions(spark,
         s.select(col("visitorid"), col("event_time")).as[SessionEvent]).toDF()
     }
+    val (fmgwsSec, fmgwsState) = runStateful("fmgws")(fmgwsDag)
+    // same DAG on the RocksDB provider — the state backend for state that
+    // outgrows executor heap (the 100 TB deployment choice); prices the
+    // off-heap put/get + changelog against HDFSBacked's in-memory maps
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (rocksSec, rocksState) =
+      try runStateful("fmgws-rocksdb")(fmgwsDag)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     def rate(sec: Double): Long = (n / sec).toLong
     println(s"""{"events":$n,"slices":$slices,"sf":"$sfDir",""" +
@@ -148,12 +157,14 @@ object StreamBench {
       s""""state_rows":[${globalState.mkString(",")}]},""" +
       s""""flatmapgroups":{"sec":${f"$fmgwsSec%.2f"},"events_per_sec":${rate(fmgwsSec)},""" +
       s""""state_rows":[${fmgwsState.mkString(",")}]},""" +
+      s""""flatmapgroups_rocksdb":{"sec":${f"$rocksSec%.2f"},"events_per_sec":${rate(rocksSec)},""" +
+      s""""state_rows":[${rocksState.mkString(",")}]},""" +
       s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
 
     // scratch cleanup: the dump is slices × the events table in JSON
     import scala.reflect.io.Directory
     Seq(dumpDir, s"$dumpDir-ckpt-parse", s"$dumpDir-ckpt-analyses", s"$dumpDir-ckpt-parallel",
-        s"$dumpDir-ckpt-global", s"$dumpDir-ckpt-fmgws")
+        s"$dumpDir-ckpt-global", s"$dumpDir-ckpt-fmgws", s"$dumpDir-ckpt-fmgws-rocksdb")
       .foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
     spark.stop()
   }

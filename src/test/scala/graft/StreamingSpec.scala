@@ -590,6 +590,86 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).getAs[Double]("z") === 3.0)
   }
 
+  test("stateful sessionization state survives a query restart") {
+    // operational recovery of the CORRECT-mode path: the open-session
+    // state must be restored from the checkpoint's state store, so an
+    // event arriving after the restart continues the same session
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_restart_ckpt").toString
+    val ms = MemoryStream[SessionEvent]
+    val emitted = mutable.Buffer[Row]()
+    // memory sink refuses checkpoint recovery (not fault-tolerant) —
+    // collect through foreachBatch, which is
+    def launch() = GlobalSessions.flatMapGroupsWithStateSessions(
+        spark, ms.toDS(), gapSeconds = 1800L, watermark = "0 seconds")
+      .toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => emitted.synchronized { emitted += r; () })
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = launch()
+    try {
+      ms.addData(SessionEvent("u1", ts(100)), SessionEvent("u1", ts(200)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = launch()
+    try {
+      // continues u1's checkpointed open session, not a fresh one
+      ms.addData(SessionEvent("u1", ts(300)))
+      q2.processAllAvailable()
+      ms.addData(SessionEvent("u2", ts(100000)))
+      q2.processAllAvailable()
+      ms.addData(SessionEvent("u2", ts(100001)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val u1 = emitted.synchronized {
+      emitted.filter(_.getAs[String]("visitorid") == "u1").toSeq
+    }
+    assert(u1.length === 1, s"got $u1")
+    assert(u1.head.getAs[Long]("events_in_session") === 3L)
+    assert(u1.head.getAs[Long]("session_length") === 200L)
+  }
+
+  test("stateful sessionization runs on the RocksDB state store") {
+    // the 100 TB state backend: HDFSBackedStateStore holds state in
+    // executor heap maps; RocksDB is the production provider when state
+    // outgrows memory. Certify the fMGWS machine (case-class state,
+    // event-time timeouts) against it end-to-end.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[SessionEvent]
+      val q = GlobalSessions.flatMapGroupsWithStateSessions(
+          spark, ms.toDS(), gapSeconds = 1800L, watermark = "0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocksdb_sessions")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("rocksdb_ckpt").toString)
+        .start()
+      try {
+        ms.addData(SessionEvent("u1", ts(100)), SessionEvent("u1", ts(200)))
+        q.processAllAvailable()
+        ms.addData(SessionEvent("u1", ts(300)))
+        q.processAllAvailable()
+        ms.addData(SessionEvent("u2", ts(100000)))
+        q.processAllAvailable()
+        ms.addData(SessionEvent("u2", ts(100001)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val u1 = spark.table("rocksdb_sessions")
+        .filter($"visitorid" === "u1").collect()
+      assert(u1.length === 1)
+      assert(u1.head.getAs[Long]("events_in_session") === 3L)
+      assert(u1.head.getAs[Long]("session_length") === 200L)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming minute anomaly drops events behind the watermark — no duplicate minutes") {
     // same late-row class as the fMGWS session fix: a late event must not
     // re-open a minute the watermark already finalized (it would re-emit
