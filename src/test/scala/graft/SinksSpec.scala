@@ -104,4 +104,28 @@ class SinksSpec extends SparkSpec {
       ("u3", Seq.empty[String]),
       ("u4", Seq("""a"b""", "c,d"))))
   }
+
+  test("parallel fan-out writes all 10 analyses concurrently through the JDBC sink") {
+    // certifies the claim the parallelism knob's scaladoc makes: per-table
+    // JDBC appends ARE a thread-safe sink — 10 concurrent Spark JDBC
+    // writes (one per analysis table, array columns through the dialect
+    // fallback) land on embedded Derby without losing a table or a row
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val batch = Seq(
+      ("u1", ts(100), "view", "i1"), ("u1", ts(200), "click", "i2"),
+      ("u2", ts(150), "view", "i1"), ("u2", ts(240), "purchase", "i3"),
+      ("u3", ts(120), "view", "i2"))
+      .toDF("visitorid", "event_time", "event", "itemid")
+    graft.stream.StreamJob.runAllAnalyses(
+        batch, 5L, graft.schema.Schemas.testdataFunnelSteps, parallelism = 10) {
+      (df, table) => Sinks.jdbcAppendArrays(df, s"par_$table", cfg)
+    }
+    val rowCounts = graft.stream.StreamJob.tables
+      .map(t => t -> readTable(s"par_$t").count()).toMap
+    assert(rowCounts.keySet.size === 10)
+    assert(rowCounts.values.forall(_ > 0L), s"got $rowCounts")
+    // spot-check content through a concurrent write: 3 sessions, 1 funnel row
+    assert(rowCounts("sessions") === 3L)
+    assert(rowCounts("funnel_analysis") === 1L)
+  }
 }
