@@ -140,12 +140,22 @@ object StreamBench {
     val (fmgwsSec, fmgwsState) = runStateful("fmgws")(fmgwsDag)
     // same DAG on the RocksDB provider — the state backend for state that
     // outgrows executor heap (the 100 TB deployment choice); prices the
-    // off-heap put/get + changelog against HDFSBacked's in-memory maps
+    // off-heap put/get against HDFSBacked's in-memory maps. Changelog
+    // checkpointing is ON (the at-scale config: commit uploads the delta,
+    // snapshots go async-background) — without it every commit uploads a
+    // full RocksDB snapshot, a per-batch cost proportional to STATE size
+    // rather than batch size.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val (rocksSec, rocksState) =
       try runStateful("fmgws-rocksdb")(fmgwsDag)
-      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      finally {
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
 
     def rate(sec: Double): Long = (n / sec).toLong
     println(s"""{"events":$n,"slices":$slices,"sf":"$sfDir",""" +
