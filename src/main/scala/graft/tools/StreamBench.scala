@@ -31,17 +31,23 @@ import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
  *     datasource (all compute, no sink cost — the JDBC leg is
  *     SinksSpec's job and scales with result rows, not event rows).
  *
- * Three configurations bracket the cost: `analyses` (the 10-table
- * fan-out run sequentially, what the reference runs per batch),
- * `parallel` (the same fan-out with `parallelism=10` — the 10 small
- * jobs overlap instead of paying scheduling latency serially), and
- * `parse` (envelope parse + enrich only — the ingest ceiling of the
- * same source).
+ * Six arms bracket the cost: `analyses` (the 10-table fan-out run
+ * sequentially, what the reference runs per batch), `parallel` (the same
+ * fan-out with `parallelism=10` — the 10 small jobs overlap instead of
+ * paying scheduling latency serially), `session_window` and
+ * `flatmapgroups` (correct-mode cross-batch sessionization through the
+ * state store, with per-batch state-row trajectories as the
+ * bounded-state evidence), `flatmapgroups_rocksdb` (the same DAG on the
+ * RocksDB provider with changelog checkpointing — the backend for state
+ * that outgrows executor heap), and `parse` (envelope parse + enrich
+ * only — the ingest ceiling of the same source).
  *
  * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10]
  * Output: one JSON line {"events":n,"slices":k,
  *   "analyses":{"sec":…,"events_per_sec":…,"batch_ms":[…]},
  *   "parallel":{…same shape…},
+ *   "session_window"/"flatmapgroups"/"flatmapgroups_rocksdb":
+ *     {"sec":…,"events_per_sec":…,"state_rows":[…]},
  *   "parse":{"sec":…,"events_per_sec":…}}
  */
 object StreamBench {
@@ -56,6 +62,10 @@ object StreamBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // recentProgress retains 100 updates by default — the per-batch
+      // batch_ms/state_rows trajectories must survive runs with >100 slices
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, (if (args.length > 1) args(1).toInt else 10) + 16).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
