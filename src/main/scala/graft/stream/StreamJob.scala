@@ -74,10 +74,15 @@ object StreamJob {
         try {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
-          Await.result(
-            Future.sequence(work.map { case (t, f) => Future(sink(f(), t)) }),
-            Duration.Inf)
-          ()
+          // settle ALL futures before surfacing a failure: a fail-fast
+          // Future.sequence would return (and the finally would unpersist)
+          // while sibling sinks are still mid-write — the first failure is
+          // rethrown only after every sink call has finished
+          val settled = Await.result(
+            Future.sequence(work.map { case (t, f) =>
+              Future(sink(f(), t)).transform(scala.util.Success(_))
+            }), Duration.Inf)
+          settled.foreach(_.get)
         } finally { pool.shutdown() }
       }
     } finally { sessionized.unpersist(); b.unpersist(); () }

@@ -81,6 +81,24 @@ class StreamingSpec extends SparkSpec {
     assert(parallel === sequential)
   }
 
+  test("parallel fan-out: a failing sink surfaces only after every sibling sink finished") {
+    // the all-settle contract: runAllAnalyses must not return (and
+    // unpersist its frames) while sibling sink futures are still writing —
+    // the first failure propagates only after all 10 calls completed
+    val batch = Seq(("u1", ts(100), "view", "i1"))
+      .toDF("visitorid", "event_time", "event", "itemid")
+    val finished = new java.util.concurrent.atomic.AtomicInteger(0)
+    val thrown = intercept[RuntimeException] {
+      StreamJob.runAllAnalyses(batch, 1L, Schemas.testdataFunnelSteps, parallelism = 10) {
+        (df, table) =>
+          if (table == "sessions") throw new RuntimeException("sink down")
+          df.collect(); finished.incrementAndGet(); ()
+      }
+    }
+    assert(thrown.getMessage === "sink down")
+    assert(finished.get() === 9, s"only ${finished.get()} sibling sinks finished")
+  }
+
   test("session_window (batch mode) merges what per-batch processing split") {
     val df = Seq(
       ("u1", ts(100)), ("u1", ts(200)), ("u1", ts(300)),  // one session
