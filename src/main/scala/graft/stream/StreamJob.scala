@@ -82,7 +82,14 @@ object StreamJob {
             Future.sequence(work.map { case (t, f) =>
               Future(sink(f(), t)).transform(scala.util.Success(_))
             }), Duration.Inf)
-          settled.foreach(_.get)
+          // surface the first failure with the rest attached as suppressed:
+          // when a shared cause (e.g. the JDBC target down) fails several
+          // sinks, the sibling exceptions often carry the diagnostic detail
+          val failures = settled.collect { case scala.util.Failure(e) => e }
+          failures.headOption.foreach { first =>
+            failures.drop(1).foreach(first.addSuppressed)
+            throw first
+          }
         } finally { pool.shutdown() }
       }
     } finally { sessionized.unpersist(); b.unpersist(); () }

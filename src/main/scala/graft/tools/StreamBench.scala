@@ -65,7 +65,7 @@ object StreamBench {
       // recentProgress retains 100 updates by default — the per-batch
       // batch_ms/state_rows trajectories must survive runs with >100 slices
       .config("spark.sql.streaming.numRecentProgressUpdates",
-        math.max(100, (if (args.length > 1) args(1).toInt else 10) + 16).toString)
+        math.max(100, slices + 16).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,7 +82,10 @@ object StreamBench {
       clean.repartitionByRange(slices, col("event_time"))
         .select(Schemas.clean.fieldNames.map(col): _*))
       .write.json(dumpDir)
-    val n = spark.read.json(dumpDir).count() // post-validate event count
+    // post-validate event count: the envelope write is 1:1 with `clean`,
+    // so count the columnar source instead of schema-inferring the JSON
+    // dump back (which would scan the multi-GB dump twice)
+    val n = clean.count()
     // FileStreamSource replays files in MODIFICATION-TIME order, and the
     // parallel json write stamps near-identical mod times — slice order
     // (= event-time order, from repartitionByRange: task i writes range i
@@ -138,6 +141,7 @@ object StreamBench {
       (sec, stateRows)
     }
 
+    try {
     val (parseSec, _) = run("parse", analyses = false)
     val (fullSec, batchMs) = run("analyses", analyses = true)
     val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
@@ -180,12 +184,18 @@ object StreamBench {
       s""""flatmapgroups_rocksdb":{"sec":${f"$rocksSec%.2f"},"events_per_sec":${rate(rocksSec)},""" +
       s""""state_rows":[${rocksState.mkString(",")}]},""" +
       s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
-
-    // scratch cleanup: the dump is slices × the events table in JSON
-    import scala.reflect.io.Directory
-    Seq(dumpDir, s"$dumpDir-ckpt-parse", s"$dumpDir-ckpt-analyses", s"$dumpDir-ckpt-parallel",
-        s"$dumpDir-ckpt-global", s"$dumpDir-ckpt-fmgws", s"$dumpDir-ckpt-fmgws-rocksdb")
-      .foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
-    spark.stop()
+    } finally {
+      // scratch cleanup, ALSO on a failing arm (a leaked dump is slices ×
+      // the events table in JSON, and the nanoTime-unique name means
+      // repeated failed runs accumulate): every scratch dir — the dump and
+      // each arm's checkpoint — shares the dump's unique base name, so a
+      // prefix match catches them all, present and future arms alike
+      import scala.reflect.io.Directory
+      val base = new java.io.File(dumpDir).getName
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(base))
+        .foreach(d => { new Directory(d).deleteRecursively(); () })
+      spark.stop()
+    }
   }
 }
