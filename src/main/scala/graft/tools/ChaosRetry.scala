@@ -208,6 +208,64 @@ object ChaosRetry {
           .foreach(p => System.err.println(s"[chaos] $name diff: ${p._1} <> ${p._2}"))
     }
 
+    // -- Streaming stateful task retry: a task that fails INSIDE the
+    // stateful stage (the mapPartitions hook below is narrow, so it lands
+    // in the same post-shuffle stage as the flatMapGroupsWithState
+    // operator) forces the state store to ABORT the uncommitted version
+    // and the retried task to rebuild it — the exactly-once contract a
+    // lost executor leans on. The gate: injected and clean runs emit
+    // byte-identical session rows. --
+    locally {
+      import spark.implicits._
+      val streamDir = java.nio.file.Files.createTempDirectory("chaos-stream").toString
+      val evSlim = events.select(
+        org.apache.spark.sql.functions.col("visitorid").cast("string"),
+        org.apache.spark.sql.functions.col("event_time").cast("timestamp"))
+      evSlim.write.mode("overwrite").parquet(streamDir)
+      val schema = evSlim.schema
+
+      def runStreaming(inject: Boolean): Seq[String] = {
+        val src = spark.readStream.schema(schema).parquet(streamDir)
+          .as[graft.stream.SessionEvent]
+        val doInject = inject
+        val hooked = graft.stream.GlobalSessions
+          .flatMapGroupsWithStateSessions(spark, src)
+          .mapPartitions { it =>
+            // fires once per TASK (not per row): partition 0 must inject
+            // even when it emits no closed session
+            val tc = TaskContext.get()
+            if (doInject && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+              injectedFailures.incrementAndGet()
+              throw new RuntimeException("chaos: injected stateful-task failure")
+            }
+            it
+          }
+        val out = scala.collection.mutable.Buffer[String]()
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"chaos-stream-ckpt-$inject").toString
+        val q = hooked.toDF().writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            out.synchronized { out ++= b.collect().map(_.toString); () }
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+        out.synchronized(out.sorted.toSeq)
+      }
+
+      val clean = runStreaming(inject = false)
+      val before = firedCount
+      val chaotic = runStreaming(inject = true)
+      val fired = firedCount - before
+      val ok = clean.nonEmpty && clean == chaotic && fired >= 1
+      if (!ok) failed = true
+      println(s"""{"family":"streaming_stateful_sessions","rows":${clean.size},""" +
+        s""""injected_failures":$fired,"match":${clean == chaotic}}""")
+      if (clean != chaotic)
+        clean.zipAll(chaotic, "<missing>", "<missing>")
+          .filter(p => p._1 != p._2).take(5)
+          .foreach(p => System.err.println(s"[chaos] streaming diff: ${p._1} <> ${p._2}"))
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
