@@ -110,6 +110,24 @@ object Bench {
       // plausible-looking timing from the surviving runs
       name -> (if (times.size == runs) times.sorted.apply((runs - 1) / 2) else -1.0)
     }
+    // Optional UNTIMED output-row counts (SPARK_GRAFT_BENCH_ROWS=q1,q2):
+    // one extra count() execution per listed query, recorded in bench.json
+    // only — the sweep uses it to normalize pair-emitting queries whose
+    // output grows superlinearly (q_embed_neardup_lsh: pairs ∝ n², so the
+    // honest scaling metric is seconds PER PAIR, not wall ratio). Runs
+    // after all timing so the extra pass can't contaminate the medians.
+    val rowsFor = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.split(",").toSet)
+      .getOrElse(Set.empty[String])
+    val rowCounts = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        rowsFor(name) && only.forall(_.contains(name)) && !skip(name) }
+      .map { case (name, fn) =>
+        val n = try fn(spark, sfDir).count()
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] rows($name) failed: ${e.getMessage}"); -1L }
+        spark.catalog.clearCache()
+        name -> n
+      }
     val ctxEnd = machineCtx()
     // environment stamp: loadavg + total procs + sibling JVMs at start/end
     // — lets the judge classify a contaminated run without a re-run
@@ -121,7 +139,11 @@ object Bench {
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,${envJson(compact = false)},"queries":$fullQs,"sf":"$sfDir"}"""
+    val rowsJson =
+      if (rowCounts.isEmpty) ""
+      else rowCounts.map { case (k, n) => "\"" + k + "\":" + n }
+        .mkString(",\"rows\":{", ",", "}")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,${envJson(compact = false)},"queries":$fullQs$rowsJson,"sf":"$sfDir"}"""
     // The full per-query dict (84+ entries, ~2.2 KB) no longer fits the
     // consumer's 2000-char stdout tail window (r1/r3/r4 artifacts all came
     // back "parsed": null with the line's FRONT cut off). The stdout line

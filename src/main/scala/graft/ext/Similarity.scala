@@ -202,7 +202,12 @@ object Similarity {
         col("q_band") === col("band") && col("q_key") === col("band_key") &&
           col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id")).distinct()
-    val qe = sig.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // the broadcast side MUST be pre-filtered to the numQueries probe rows:
+    // cand only carries q_id < numQueries, but scoreCandidates' broadcast
+    // hint is honored regardless of size, so an unfiltered frame here would
+    // collect every corpus embedding to the driver
+    val qe = sig.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val ce = sig.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     scoreCandidates(cand, qe, ce, k)
   }
@@ -217,7 +222,13 @@ object Similarity {
     * window over (q_id, c_id, cosine) — candidate-count skinny rows. The
     * hint-free form planned the same BHJs at test SFs but flipped to
     * shuffling the full corpus by c_id once size estimates crossed the
-    * broadcast threshold — the r10 lineage census caught exactly that. */
+    * broadcast threshold — the r10 lineage census caught exactly that.
+    *
+    * CONTRACT: callers must pass `qe` already filtered to the probe rows
+    * (vec_id < numQueries). `broadcast()` is honored unconditionally, so a
+    * corpus-sized frame here would be collected to the driver whole — the
+    * r11 census extension (fat columns crossing BroadcastExchange,
+    * ScaleSpec) pins this. */
   private def scoreCandidates(cand: DataFrame, qe: DataFrame, ce: DataFrame,
                               k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
@@ -321,7 +332,10 @@ object Similarity {
     val cand = probes.join(assign, "cluster")
       .filter(col("q_id") =!= col("member_id"))
       .select(col("q_id"), col("member_id").as("c_id")).distinct()
-    val qe = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // pre-filter the broadcast side to the probe rows (see lshTopK note:
+    // broadcast() is unconditional, an unfiltered qe ships the whole corpus)
+    val qe = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val ce = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     scoreCandidates(cand, qe, ce, k)
   }

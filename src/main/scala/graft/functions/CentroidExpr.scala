@@ -21,6 +21,17 @@ final class Codebook(val ids: Array[Long], val embs: Array[Array[Float]],
   require(ids.nonEmpty, "empty codebook — guard at the call site")
   require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
     "codebook ids must be strictly ascending (the argmax tiebreak order)")
+  // A zero norm makes that centroid's divisor 0 for EVERY row — the window
+  // form this expression replaced THROWS there (ANSI Divide raises
+  // DIVIDE_BY_ZERO on a zero divisor even for doubles — empirically pinned
+  // in ExtSpec), while the fold's Java 0/0 is a NaN that silently never
+  // wins; a NaN/Inf norm likewise turns a loud degenerate input into a
+  // silent skip. Reject both at construction so the error-vs-fallback
+  // divergence is unrepresentable.
+  require(nrms.forall(n => n > 0 && !n.isNaN && !n.isInfinity),
+    "codebook norms must be positive finite (the rank-1 window form throws on " +
+      "a zero-norm centroid where this fold would silently skip it — drop " +
+      "degenerate centroids first)")
   override def equals(o: Any): Boolean = o match {
     case c: Codebook => java.util.Arrays.equals(ids, c.ids) &&
       java.util.Arrays.equals(nrms, c.nrms) &&
@@ -50,11 +61,14 @@ final class Codebook(val ids: Array[Long], val embs: Array[Array[Float]],
  * embedding length) contributes a null cosine — skipped, as the window
  * form's `desc` NULLS-LAST ordering loses nulls to any real cosine. A
  * row where NO centroid yields a comparable cosine (all ragged, or all
- * NaN from a zero norm) falls back to the smallest cent_id. On zero
- * norms this is strictly MORE tolerant than the window it replaced:
- * that form's SQL division throws DIVIDE_BY_ZERO under default ANSI
- * mode (pinned in ExtSpec), where this expression's Java 0/0 is a NaN
- * that simply never wins the fold.
+ * NaN from a zero-norm ROW vector) falls back to the smallest cent_id.
+ * On zero norms this is strictly MORE tolerant than the window it
+ * replaced: Spark's ANSI `Divide` raises DIVIDE_BY_ZERO on a zero
+ * divisor even for DOUBLES (IEEE semantics apply only with ANSI off —
+ * the throw is pinned empirically in ExtSpec), where this expression's
+ * Java 0/0 is a NaN that simply never wins the fold. The same throw-vs-
+ * skip divergence on a zero-norm CENTROID is unrepresentable:
+ * [[Codebook]] rejects non-positive/non-finite norms at construction.
  *
  * The codebook rides the expression as config (like [[SketchBytes]]),
  * referenced once per generated class — k·dim floats, fine through

@@ -52,23 +52,29 @@ object BloomJoin {
     * sketch wastes memory on every executor. Counting rows (not distinct
     * keys) over-sizes under key duplication — the safe direction.
     *
-    * Auto-sizing PERSISTS `small` for the duration: the build side's
-    * lineage is otherwise evaluated three times (count, bloomFilter, and
-    * the verify join) — free for a filtered dimension scan, but not for
-    * a derived frame a caller passes in. The sizing count materializes
-    * the cache; the persist is caller-owned thereafter (same contract as
-    * the other persisting operators — see README cache lifecycle), or
-    * wrap the call in [[graft.ext.CacheScope]] to reclaim it. With an
-    * explicit `expectedItems` the build side is evaluated twice and
-    * nothing is persisted — callers who already cache keep full control. */
+    * Auto-sizing persists `small` TRANSIENTLY: the sizing `count()`
+    * materializes the cache, `bloomFilter` reads it, and the cache is
+    * dropped the moment the sketch bytes are collected to the driver —
+    * before this method even returns. The verify join then re-evaluates
+    * the build side's lineage once, uncached — the same two total
+    * evaluations as the explicit-`expectedItems` path, and no cache
+    * entry with caller-owned lifetime escapes (the r10 form leaked one
+    * per invocation until the driver's clearCache). Callers with an
+    * EXPENSIVE derived build side should persist it themselves (ideally
+    * under [[graft.ext.CacheScope.withCached]]) before calling. */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
                expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
-    import graft.ext.CacheScope.TrackedPersist
-    val build =
-      if (expectedItems > 0) small
-      else small.persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    big.filter(probeFor(build, smallKey, bigKey, expectedItems, fpp))
-      .join(build.select(col(smallKey)).distinct(),
+    val probe =
+      if (expectedItems > 0) probeFor(small, smallKey, bigKey, expectedItems, fpp)
+      else {
+        val build = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // probeFor is EAGER (count + bloomFilter collect the sketch), so
+        // the cache's useful life ends when it returns
+        try probeFor(build, smallKey, bigKey, expectedItems, fpp)
+        finally build.unpersist(blocking = false)
+      }
+    big.filter(probe)
+      .join(small.select(col(smallKey)).distinct(),
         col(bigKey) === col(smallKey), "left_semi")
   }
 

@@ -302,9 +302,10 @@ object Relational {
     * lineitems of URGENT orders, summarized per return flag. The Bloom
     * probe kills non-matching lineitem rows at scan speed; the exact semi
     * join then only shuffles survivors — identical results to a plain
-    * `IN (subquery)`, which is what the oracle runs. `expectedItems` is
-    * sized for the largest test SF (sf0.1 ≈ 30k urgent orders); at real
-    * scale it comes from table stats. */
+    * `IN (subquery)`, which is what the oracle runs. The sketch is
+    * AUTO-sized from a count of the urgent-orders side (a fixed guess is
+    * the scale trap: 30k fits sf0.1 but saturates at the 100× sweep's 3M
+    * keys, FPP → 1); the sizing cache is transient inside semiJoin. */
   def urgentLineitemsBloom(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))

@@ -69,7 +69,67 @@ object PlanAudit {
     * with the seed name they alias (`embedding->emb1`) so a report reads
     * without chasing exprIds. */
   def fatShuffled(p: SparkPlan,
-                  fatNames: Set[String] = Set("text", "embedding")): Seq[String] = {
+                  fatNames: Set[String] = Set("text", "embedding")): Seq[String] =
+    fatCensus(p, fatNames) { (node, taintOf, emit) =>
+      node match {
+        case x: ShuffleExchangeExec =>
+          x.output.foreach(a =>
+            taintOf(a.exprId).foreach(seed => emit(s"$seed->${a.name}")))
+        case _ =>
+      }
+    }
+
+  /** Fat columns carried through any BroadcastExchange of `p` — the OTHER
+    * way corpus payload bytes can leave the scan: `broadcast()` hints are
+    * honored unconditionally, so a corpus-sized frame behind one is
+    * collected whole to the driver and shipped to every executor (the r11
+    * ADVICE finding: scoreCandidates broadcast the full-corpus qe, and the
+    * shuffle census was structurally blind to it). Same lineage taint as
+    * [[fatShuffled]]; each hit is suffixed with a boundedness marker —
+    * `!unbounded` when the broadcast subtree contains NO row-bounding node
+    * (a FilterExec with at least one non-IsNotNull conjunct / GlobalLimit /
+    * LocalLimit / a collected LocalTableScan / TakeOrderedAndProject —
+    * planning pushes `isnotnull(joinkey)` filters under EVERY equi-join's
+    * broadcast side, so an IsNotNull-only filter must not count as a
+    * bound). The marker is a tripwire, not a proof: a filter does not
+    * guarantee small cardinality, but every DESIGNED fat broadcast in the
+    * engine is parameter-bounded by exactly such a node (vec_id <
+    * numQueries probes, limit-k codebooks), so a regression that drops
+    * the bound flips the pinned string. */
+  def fatBroadcast(p: SparkPlan,
+                   fatNames: Set[String] = Set("text", "embedding")): Seq[String] =
+    fatCensus(p, fatNames) { (node, taintOf, emit) =>
+      node match {
+        case x: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull}
+          def conjuncts(e: Expression): Seq[Expression] = e match {
+            case And(l, r) => conjuncts(l) ++ conjuncts(r)
+            case other => Seq(other)
+          }
+          val sub = allNodes(x.child)
+          val bounded = sub.exists {
+            case f: org.apache.spark.sql.execution.FilterExec =>
+              conjuncts(f.condition).exists(!_.isInstanceOf[IsNotNull])
+            case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+            case _: org.apache.spark.sql.execution.LocalLimitExec => true
+            case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+            case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+            case _ => false
+          }
+          val mark = if (bounded) "" else "!unbounded"
+          x.output.foreach(a =>
+            taintOf(a.exprId).foreach(seed => emit(s"$seed->${a.name}$mark")))
+        case _ =>
+      }
+    }
+
+  /** Shared lineage-taint walk behind [[fatShuffled]] and [[fatBroadcast]]:
+    * seeds taint at the parquet scans reading `fatNames`, propagates through
+    * identity aliases, persist/reuse rebinds and adaptive curtains, and
+    * calls `onNode(node, taintOf, emit)` at every node (children first) so
+    * the caller decides which node type constitutes a hazard crossing. */
+  private def fatCensus(p: SparkPlan, fatNames: Set[String])(
+      onNode: (SparkPlan, ExprId => Option[String], String => Unit) => Unit): Seq[String] = {
     // exprId -> seed column name it (transitively) aliases
     val taint = scala.collection.mutable.Map[ExprId, String]()
     val hits = scala.collection.mutable.SortedSet[String]()
@@ -109,12 +169,7 @@ object PlanAudit {
         }
         case _ =>
       })
-      node match {
-        case x: ShuffleExchangeExec =>
-          x.output.foreach(a =>
-            taint.get(a.exprId).foreach(seed => hits += s"$seed->${a.name}"))
-        case _ =>
-      }
+      onNode(node, taint.get, hits += _)
     }
     walk(p)
     hits.toSeq
@@ -153,23 +208,26 @@ object PlanAudit {
         // contains NO exchanges at all — the r9 name census was blind
         // for that reason, not just because of renames), lineage-traced
         // via [[fatShuffled]]. This census IS pinned in ScaleSpec now.
-        val fatShuffle = {
+        val (fatShuffle, fatBcast) = {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           spark.conf.set("spark.sql.adaptive.enabled", "false")
           spark.catalog.clearCache() // drop frames cached under default conf
-          try fatShuffled(fn(spark, dir).queryExecution.executedPlan)
-          finally {
+          try {
+            val plan = fn(spark, dir).queryExecution.executedPlan
+            (fatShuffled(plan), fatBroadcast(plan))
+          } finally {
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
           }
         }
         if (cartesian.nonEmpty || bnlj.nonEmpty || fallback.nonEmpty ||
-            fat.nonEmpty || fatShuffle.nonEmpty)
+            fat.nonEmpty || fatShuffle.nonEmpty || fatBcast.nonEmpty)
           println(s"""{"q":"$name","cartesian":${cartesian.size},""" +
             s""""bnlj":${bnlj.size},""" +
             s""""fallback":${fallback.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""fat":${fat.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-            s""""fat_shuffle":${fatShuffle.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+            s""""fat_shuffle":${fatShuffle.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""fat_broadcast":${fatBcast.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
       } catch {
         case e: Exception => println(s"""{"q":"$name","err":"${e.getClass.getSimpleName}"}""")
       }

@@ -809,12 +809,16 @@ class ExtSpec extends SparkSpec {
     //    smaller cent_id must win),
     //  - a ragged centroid (3-dim vs the corpus's 4) whose cosine is
     //    null on both sides (window: NULLS LAST under desc; fold: skip),
-    //  - a zero-norm vector: under default ANSI mode the WINDOW form
-    //    THROWS (DIVIDE_BY_ZERO on cosine = dot/0) — it is excluded from
-    //    the reference and asserted directly against the fold's
-    //    documented fallback (bid==-1 → smallest cent_id). The narrow
-    //    form computing in Java (0/0 = NaN, silently skipped) is strictly
-    //    more tolerant than what it replaced.
+    //  - a zero-norm ROW vector: ANSI Divide throws DIVIDE_BY_ZERO on a
+    //    zero DIVISOR even for doubles (r11 re-verified this empirically —
+    //    including the row in the window reference fails with
+    //    SparkArithmeticException, pinned below rather than assumed) — so
+    //    it is excluded from the reference and asserted directly against
+    //    the fold's documented fallback (bid==-1 → smallest cent_id). The
+    //    narrow form computing in Java (0/0 = NaN, silently skipped) is
+    //    strictly more tolerant than what it replaced. The same throw-vs-
+    //    skip divergence on a zero-norm CENTROID is unrepresentable:
+    //    Codebook rejects degenerate norms at construction (pinned below).
     import org.apache.spark.sql.functions.{broadcast, col, expr, row_number}
     import org.apache.spark.sql.expressions.Window
     graft.functions.SketchExprs.register(spark)
@@ -831,16 +835,25 @@ class ExtSpec extends SparkSpec {
       .toDF("cent_id", "cent_emb")
       .select(col("cent_id"), col("cent_emb"),
         expr("sqrt(graft_dot(cent_emb, cent_emb))").as("cent_nrm"))
+    // the claimed throw, PINNED not assumed: the window form over the
+    // zero-norm row raises ANSI DIVIDE_BY_ZERO
+    def windowAssign(in: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      in.crossJoin(broadcast(cents))
+        .withColumn("arank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy((expr("graft_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm"))).desc,
+              col("cent_id").asc)))
+        .filter(col("arank") === 1)
+        .select(col("vec_id"), col("cent_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // SparkArithmeticException is private[spark]; it extends the JDK type
+    val thrown = intercept[ArithmeticException] {
+      windowAssign(vecs)
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"))
     // reference: the window form the operators used through r9 (zero-norm
-    // vector excluded — ANSI division-by-zero, see header comment)
-    val win = vecs.filter(col("nrm") > 0).crossJoin(broadcast(cents))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy((expr("graft_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm"))).desc,
-            col("cent_id").asc)))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("cent_id"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // vector excluded — the division-by-zero throw just proven above)
+    val win = windowAssign(vecs.filter(col("nrm") > 0))
     // actual: the codegen expression over the same collected codebook
     val rows = cents.collect().sortBy(_.getLong(0))
     val cb = new graft.functions.Codebook(
@@ -856,7 +869,14 @@ class ExtSpec extends SparkSpec {
     assert((narrow - 3L) === win)
     // spell out the edges so a regression names itself:
     assert(narrow(0L) === 2L) // tie between duplicate centroids 2 and 5 → min id
-    assert(narrow(3L) === 2L) // zero-norm vector: all-NaN fold → smallest cent_id (window form would throw)
+    assert(narrow(3L) === 2L) // zero-norm vector: all-NaN fold → smallest cent_id (window form throws, pinned above)
+    // the throw-vs-skip divergence on the CENTROID side is unrepresentable:
+    // a zero-norm centroid is rejected at Codebook construction
+    val degenerate = intercept[IllegalArgumentException] {
+      new graft.functions.Codebook(Array(1L, 2L),
+        Array(Array(1f, 0f), Array(0f, 0f)), Array(1.0, 0.0))
+    }
+    assert(degenerate.getMessage.contains("positive finite"))
     assert(narrow(1L) === 7L) // plain argmax
     assert(narrow(4L) === 7L) // negative alignment to 2/5: orthogonal 7 wins at cosine 0
     // interpreted eval matches codegen (the DataFrame run above is

@@ -626,4 +626,66 @@ class ScaleSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("registry audit: every fat column crossing a BroadcastExchange is row-bounded and pinned") {
+    // The shuffle census's structural blind spot (found by the r10 ADVICE):
+    // `broadcast()` hints are honored UNCONDITIONALLY, so a corpus-sized
+    // frame behind one never shuffles — it is collected whole to the
+    // driver and shipped to every executor, a worse 100 TB failure than
+    // the shuffle the other census pins (the ANN scoring tail did exactly
+    // this: both call sites passed the UNFILTERED corpus as the "query"
+    // frame). PlanAudit.fatBroadcast runs the same lineage taint at
+    // BroadcastExchange nodes and marks each hit `!unbounded` when the
+    // broadcast subtree carries NO row-bounding node (Filter / Limit /
+    // TakeOrdered / collected literal). Equality pin, two invariants:
+    //  - population: only the designed parameter-bounded broadcasts exist
+    //    (numQueries-row probe frames; the k-row seed codebook — only
+    //    q_ann_topk_ivf keeps a PLAN-side codebook, the trained variant
+    //    and semantic dedup collect theirs into a literal Codebook);
+    //  - boundedness: none carries the `!unbounded` marker — dropping the
+    //    `vec_id < numQueries` probe filter flips the string and fails
+    //    here even though the population is unchanged.
+    // Same planning regime as the shuffle census (broadcast threshold -1,
+    // AQE off, FrameCache off) so explicit hints are the ONLY broadcasts.
+    val sf = "/root/testdata/sf0.001"
+    val bcastPin: Map[String, Set[String]] = Map(
+      "q_ann_topk" -> Set("embedding->q_emb"),
+      "q_ann_topk_lsh" -> Set("embedding->q_emb"),
+      "q_ann_topk_ivf" -> Set("embedding->cent_emb", "embedding->q_emb"),
+      "q_ann_topk_ivf_trained" -> Set("embedding->q_emb"))
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val oldBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sys.props("graft.frame.cache.disable") = "1"
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.catalog.clearCache()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val census = graft.tools.PlanAudit
+          .fatBroadcast(fn(spark, sf).queryExecution.executedPlan).toSet
+        assert(census === bcastPin.getOrElse(name, Set.empty[String]),
+          s"$name fat-broadcast census drifted: got $census, pinned " +
+            s"${bcastPin.getOrElse(name, Set.empty[String])} — an `!unbounded` " +
+            "suffix means a corpus-sized frame sits behind a broadcast() hint " +
+            "(driver OOM at scale); a new entry needs its parameter bound " +
+            "documented and pinned")
+      }
+      // the marker is live, not vacuous: the exact regression shape the
+      // ADVICE found (an UNFILTERED corpus frame behind broadcast()) must
+      // come back flagged
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val emb = Tables.embeddings(spark, sf)
+      val unbounded = emb.join(
+        broadcast(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        col("vec_id") === col("q_id"))
+      val flagged = graft.tools.PlanAudit
+        .fatBroadcast(unbounded.queryExecution.executedPlan)
+      assert(flagged.contains("embedding->q_emb!unbounded"), flagged.toString)
+    } finally {
+      sys.props.remove("graft.frame.cache.disable")
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      spark.catalog.clearCache()
+    }
+  }
 }

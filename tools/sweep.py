@@ -48,13 +48,24 @@ def load_ref_ratios(path):
     try:
         with open(path) as f:
             for line in f:
-                m = re.match(r"(q_\w+)\s+[\d.]+\s+[\d.-]+\s+([\d.]+)x", line.strip())
+                # two artifact generations: r7-r9 print (query, base_s,
+                # scaled_s, ratio'x'); r10+ insert an isolated_s column
+                # rendered as '-' or a float — optional in the pattern so
+                # either vintage parses (a silent zero-match here disables
+                # the outlier auto-probe entirely)
+                m = re.match(
+                    r"(q_\w+)\s+[\d.]+\s+[\d.-]+\s+(?:(?:[\d.]+|-)\s+)?([\d.]+)x",
+                    line.strip())
                 if m:
                     out[m.group(1)] = float(m.group(2))
     except OSError:
         return {}
     if out:
         print(f"[sweep] outlier reference: {path} ({len(out)} ratios)", flush=True)
+    else:
+        print(f"[sweep] WARNING: reference {path} yielded ZERO ratios — "
+              "relative outlier auto-probe disabled (absolute floor still "
+              "active)", flush=True)
     return out
 
 
@@ -84,6 +95,14 @@ if not os.path.isdir(scaled):
 # instead of here.
 exclude = set(os.environ.get("GRAFT_SWEEP_EXCLUDE", "q_embed_neardup").split(","))
 
+# pair-emitting queries whose OUTPUT grows superlinearly with the corpus
+# (near-dup pairs ∝ n² is a data property, not a plan defect): Bench
+# additionally records their output row counts (untimed pass) and the
+# verdict line normalizes seconds-per-pair across the two SFs — the claim
+# "per-pair cost is falling" becomes a printed number instead of prose.
+pair_queries = [q for q in os.environ.get(
+    "GRAFT_SWEEP_PAIRS", "q_embed_neardup_lsh").split(",") if q]
+
 
 def bench(sf_dir):
     # remove the artifact first: Bench swallows its own write failure, and
@@ -96,6 +115,7 @@ def bench(sf_dir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=runs,
                SPARK_GRAFT_BENCH_SKIP=",".join(sorted(exclude)),
+               SPARK_GRAFT_BENCH_ROWS=",".join(pair_queries),
                GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
     print(f"[sweep] benching {sf_dir} (runs={runs}, skip={sorted(exclude)})", flush=True)
     run(["sbt", "-batch", "runMain graft.Bench"], env=env)
@@ -133,11 +153,19 @@ for q, tb in b["queries"].items():
         rows.append([float("inf"), q, tb, ts, None])
     else:
         rows.append([ts / tb, q, tb, ts, None])
-# auto-probe suite outliers: ratio > 1.5x its reference-sweep ratio
+# auto-probe suite outliers. Two triggers (either fires):
+#  - relative: ratio > 1.5x its reference-sweep ratio (drift vs last round)
+#  - absolute: ratio >= ABS_FLOOR regardless of history — r10's
+#    q_collocations (30.4x) and q_revenue_concentration (27.1x) escaped the
+#    relative trigger by landing just under 1.5x their r9 ratios on
+#    untouched code; any query that far past the data ratio deserves its
+#    one fresh-JVM probe no matter what last round said.
+ABS_FLOOR = float(os.environ.get("GRAFT_SWEEP_ABS_FLOOR", "25"))
 for row in rows:
     r, q, tb, ts = row[0], row[1], row[2], row[3]
     ref = ref_ratios.get(q)
-    if ref and tb and tb > 0 and ts and ts > 0 and r > 1.5 * ref:
+    if tb and tb > 0 and ts and ts > 0 and (
+            (ref and r > 1.5 * ref) or r >= ABS_FLOOR):
         iso = probe_isolated(q, scaled)
         row[4] = iso
         if iso is not None:
@@ -147,6 +175,22 @@ print(f"\n{'query':34} {'base_s':>8} {'scaled_s':>9} {'isolated_s':>11} {'ratio'
 for r, q, tb, ts, iso in rows:
     iso_s = f"{iso:11.2f}" if iso is not None else f"{'-':>11}"
     print(f"{q:34} {tb:8.2f} {ts if ts else -1:9.2f} {iso_s} {r:7.1f}x")
+# pair-normalized verdicts for the superlinear-output queries
+by_q = {row[1]: row for row in rows}
+for q in pair_queries:
+    pb, ps = b.get("rows", {}).get(q), s.get("rows", {}).get(q)
+    row = by_q.get(q)
+    if not row or pb is None or ps is None or pb <= 0 or ps <= 0:
+        print(f"[pairs] {q}: counts unavailable (base={pb} scaled={ps})")
+        continue
+    r, tb, ts, iso = row[0], row[2], row[3], row[4]
+    ts_eff = min(ts, iso) if iso is not None else ts
+    pair_ratio = ps / pb
+    per_pair = r / pair_ratio
+    print(f"[pairs] {q}: pairs {pb} -> {ps} ({pair_ratio:.1f}x); wall "
+          f"{tb:.2f}s -> {ts_eff:.2f}s ({r:.1f}x); per-pair cost ratio "
+          f"{per_pair:.2f}x ({'falling' if per_pair < 1 else 'RISING'} "
+          f"per-pair cost at {factor}x data)")
 print(f"\ntotal: {b['value']:.1f}s -> {s['value']:.1f}s "
       f"= {s['value'] / b['value']:.2f}x wall-clock at {factor}x data "
       f"({len(rows)} queries; ratio column uses min(suite, isolated) "
