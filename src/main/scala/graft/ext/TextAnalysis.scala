@@ -303,7 +303,24 @@ object TextAnalysis {
    * dominant cost at scale (PLANS.md round-8 table). `localCheckpoint`
    * still truncates lineage each round — partitions and intra-partition
    * order survive it, so the carried sort is never redone.
-   */
+   *
+   * Checkpoint generations are stored SERIALIZED (MEMORY_AND_DISK_SER):
+   * the default deserialized level keeps ~2 objects per row alive in old
+   * gen — 54M for the 100× corpus's 27M-row stream — and even with the
+   * r10 per-round free, the per-round churn of that object population
+   * made late rounds GC-bound (r11 instrumented probe: rebuild wall
+   * 1.5→8.3→27 s with gc_ms 446→3511→8833 while storage_mb stayed FLAT —
+   * the blocks were freed fine; the garbage collector was the bottleneck).
+   * Serialized blocks are a handful of byte arrays per partition; the
+   * per-round deserialize cost is one pass over data the phase scans
+   * anyway. */
+  // GRAFT_BPE_DESER_CKPT=1 restores the deserialized level — the A/B
+  // reproduction arm for the GC measurement, like GRAFT_BPE_NO_FREE
+  private[graft] def CheckpointLevel =
+    if (sys.env.contains("GRAFT_BPE_DESER_CKPT"))
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   def bpeTrainMergesCarried(docs: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
@@ -314,7 +331,7 @@ object TextAnalysis {
       .sortWithinPartitions(col("doc_id"), col("pos"))
       .select(col("doc_id").cast("long").as("doc_id"), col("tok"))
       .as[(Long, String)]
-      .localCheckpoint(true)
+      .localCheckpoint(true, CheckpointLevel)
     val winners = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var drained = false
@@ -362,7 +379,7 @@ object TextAnalysis {
                 out
               }
             } ++ tail
-          }.localCheckpoint(true)
+          }.localCheckpoint(true, CheckpointLevel)
           // round r's EAGER checkpoint supersedes round r−1's stream; free
           // the old generation's blocks now instead of letting `rounds`
           // corpus-sized generations pile up in the block manager for the

@@ -41,10 +41,24 @@ object BpeTrainProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // per-phase wall + JVM GC delta + post-phase block-manager storage:
+    // the r11 re-probe saw late-round growth REAPPEAR after the r10 free
+    // fix; these columns separate "GC pressure" from "blocks piling up"
+    // from "the phase genuinely does more work"
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def storageMb: Long =
+      org.apache.spark.SparkEnv.get.blockManager.master.getMemoryStatus
+        .values.map { case (max, free) => max - free }.sum / (1024 * 1024)
     def timed[A](phase: String)(f: => A): A = {
+      val g0 = gcMs
       val t0 = System.nanoTime()
       val r = f
-      println(f"""{"phase":"$phase","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      println(f"""{"phase":"$phase","sec":${(System.nanoTime() - t0) / 1e9}%.2f,""" +
+        s""""gc_ms":${gcMs - g0},"storage_mb":$storageMb}""")
       r
     }
 
@@ -58,7 +72,7 @@ object BpeTrainProbe {
         .sortWithinPartitions(col("doc_id"), col("pos"))
         .select(col("doc_id").cast("long").as("doc_id"), col("tok"))
         .as[(Long, String)]
-        .localCheckpoint(true)
+        .localCheckpoint(true, graft.ext.TextAnalysis.CheckpointLevel)
       t
     }
     val nTokens = timed("token_count")(tp.count())
@@ -102,7 +116,7 @@ object BpeTrainProbe {
                 out
               }
             } ++ tail
-          }.localCheckpoint(true)
+          }.localCheckpoint(true, graft.ext.TextAnalysis.CheckpointLevel)
         }
         // mirror the operator's r10 fix: free the superseded generation
         // (toggle with GRAFT_BPE_NO_FREE=1 to reproduce the pileup arm)
