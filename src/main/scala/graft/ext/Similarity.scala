@@ -301,8 +301,20 @@ object Similarity {
     * per-round lineage, which previously nested each round's plan inside
     * the next. */
   private def nearestCentroidCol(cents: DataFrame): Column = {
+    // Drop degenerate centroids (zero/NaN/Inf norm) BEFORE building the
+    // Codebook — its constructor rejects them (the window form this fold
+    // replaced THROWS DIVIDE_BY_ZERO there, so keeping one would diverge).
+    // The engine can legitimately produce one: initCentroids seeds from the
+    // smallest vec_ids (a zero corpus vector qualifies) and a k-means round
+    // can average a cluster to ~zero. A zero-norm centroid never wins the
+    // fold anyway (its cosine is NaN for every row), so dropping it changes
+    // only the all-incomparable fallback id — from "smallest cent_id
+    // including degenerates" to "smallest REAL cent_id", the more useful
+    // assignment.
     val rows = cents
       .select(col("cent_id").cast("long"), col("cent_emb"), col("cent_nrm").cast("double"))
+      .filter(col("cent_nrm") > 0 && !isnan(col("cent_nrm")) &&
+        col("cent_nrm") =!= Double.PositiveInfinity)
       .collect().sortBy(_.getLong(0))
     if (rows.isEmpty) return lit(null).cast("long")
     val cb = new graft.functions.Codebook(

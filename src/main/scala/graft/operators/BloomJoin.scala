@@ -61,7 +61,22 @@ object BloomJoin {
     * entry with caller-owned lifetime escapes (the r10 form leaked one
     * per invocation until the driver's clearCache). Callers with an
     * EXPENSIVE derived build side should persist it themselves (ideally
-    * under [[graft.ext.CacheScope.withCached]]) before calling. */
+    * under [[graft.ext.CacheScope.withCached]]) before calling.
+    *
+    * CONTRACT: `small` must be DETERMINISTIC (no `sample`/`rand`-derived
+    * lineage) on the auto-sized path. The Bloom sketch is built from the
+    * transient cache snapshot, but the verify join lazily re-evaluates
+    * `small`'s lineage after the cache is dropped — a nondeterministic
+    * build side can materialize keys ABSENT from the sketch, whose big-
+    * side rows the prefilter already dropped: a silent FALSE NEGATIVE,
+    * the one failure mode the verify join cannot repair (extra sketch
+    * keys are harmless — spurious probe survivors die in the verify).
+    * Pinning the snapshot instead would mean a cache entry whose lifetime
+    * outlives this call (the r10 leak this form fixed) or collecting an
+    * unbounded key set to the driver. Nondeterministic callers must
+    * persist/checkpoint `small` themselves before calling — then both
+    * evaluations read one snapshot. Every engine call site passes
+    * deterministic frames (parquet-rooted filters/aggregates). */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
                expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     val probe =

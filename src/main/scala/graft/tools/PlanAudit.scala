@@ -87,15 +87,24 @@ object PlanAudit {
     * shuffle census was structurally blind to it). Same lineage taint as
     * [[fatShuffled]]; each hit is suffixed with a boundedness marker —
     * `!unbounded` when the broadcast subtree contains NO row-bounding node
-    * (a FilterExec with at least one non-IsNotNull conjunct / GlobalLimit /
-    * LocalLimit / a collected LocalTableScan / TakeOrderedAndProject —
-    * planning pushes `isnotnull(joinkey)` filters under EVERY equi-join's
-    * broadcast side, so an IsNotNull-only filter must not count as a
-    * bound). The marker is a tripwire, not a proof: a filter does not
-    * guarantee small cardinality, but every DESIGNED fat broadcast in the
-    * engine is parameter-bounded by exactly such a node (vec_id <
-    * numQueries probes, limit-k codebooks), so a regression that drops
-    * the bound flips the pinned string. */
+    * ON THE TAINTED DATAFLOW PATH — a FilterExec with at least one
+    * non-IsNotNull conjunct, a GlobalLimit, or a TakeOrderedAndProject
+    * whose own output carries the fat taint (planning pushes
+    * `isnotnull(joinkey)` filters under EVERY equi-join's broadcast side,
+    * so an IsNotNull-only filter must not count as a bound). Two evidence
+    * classes the r11 form accepted are deliberately EXCLUDED (r11 ADVICE):
+    * a LocalLimitExec bounds rows PER PARTITION only (n_partitions × limit
+    * is unbounded in the partition count), and a LocalTableScanExec is an
+    * untainted leaf by construction (taint seeds at parquet scans), so
+    * either could only ever testify for an UNRELATED branch nested under
+    * the exchange — e.g. the bounded build side of an inner join whose
+    * probe side is the corpus — masking the exact hazard this census pins.
+    * Requiring taint on the bounding node's output ties the evidence to
+    * the fat column's own lineage. The marker is a tripwire, not a proof:
+    * a filter does not guarantee small cardinality, but every DESIGNED fat
+    * broadcast in the engine is parameter-bounded by exactly such a node
+    * (vec_id < numQueries probes, limit-k codebooks), so a regression that
+    * drops the bound flips the pinned string. */
   def fatBroadcast(p: SparkPlan,
                    fatNames: Set[String] = Set("text", "embedding")): Seq[String] =
     fatCensus(p, fatNames) { (node, taintOf, emit) =>
@@ -107,13 +116,13 @@ object PlanAudit {
             case other => Seq(other)
           }
           val sub = allNodes(x.child)
+          def onTaintedPath(n: SparkPlan): Boolean =
+            n.output.exists(a => taintOf(a.exprId).isDefined)
           val bounded = sub.exists {
             case f: org.apache.spark.sql.execution.FilterExec =>
-              conjuncts(f.condition).exists(!_.isInstanceOf[IsNotNull])
-            case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-            case _: org.apache.spark.sql.execution.LocalLimitExec => true
-            case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-            case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+              onTaintedPath(f) && conjuncts(f.condition).exists(!_.isInstanceOf[IsNotNull])
+            case g: org.apache.spark.sql.execution.GlobalLimitExec => onTaintedPath(g)
+            case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => onTaintedPath(t)
             case _ => false
           }
           val mark = if (bounded) "" else "!unbounded"

@@ -31,24 +31,31 @@ import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
  *     datasource (all compute, no sink cost — the JDBC leg is
  *     SinksSpec's job and scales with result rows, not event rows).
  *
- * Six arms bracket the cost: `analyses` (the 10-table fan-out run
+ * Ten arms bracket the cost: `analyses` (the 10-table fan-out run
  * sequentially, what the reference runs per batch), `parallel` (the same
  * fan-out with `parallelism=10` — the 10 small jobs overlap instead of
  * paying scheduling latency serially), `session_window` and
  * `flatmapgroups` (correct-mode cross-batch sessionization through the
  * state store, with per-batch state-row trajectories as the
- * bounded-state evidence), `flatmapgroups_rocksdb` (the same DAG on the
- * RocksDB provider with changelog checkpointing — the backend for state
- * that outgrows executor heap), and `parse` (envelope parse + enrich
- * only — the ingest ceiling of the same source).
+ * bounded-state evidence and commit/update ms as the state-commit
+ * profile), `flatmapgroups_files5` (the batch-size lever: 5 files per
+ * trigger, amortizing per-batch fixed costs over 5x rows),
+ * `flatmapgroups_rocksdb[_files5]` (the same pair on the RocksDB
+ * provider with changelog checkpointing — the backend for state that
+ * outgrows executor heap), `parse` (envelope parse + enrich only — the
+ * ingest ceiling of the same source), and `parse_async` (the same with
+ * asyncProgressTrackingEnabled — stateless-only in Spark 4.1, so the
+ * offset-log-off-critical-path arm lives here).
  *
  * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10]
  * Output: one JSON line {"events":n,"slices":k,
  *   "analyses":{"sec":…,"events_per_sec":…,"batch_ms":[…]},
  *   "parallel":{…same shape…},
- *   "session_window"/"flatmapgroups"/"flatmapgroups_rocksdb":
- *     {"sec":…,"events_per_sec":…,"state_rows":[…]},
- *   "parse":{"sec":…,"events_per_sec":…}}
+ *   "session_window":{"sec":…,"events_per_sec":…,"state_rows":[…]},
+ *   "flatmapgroups[_files5]"/"flatmapgroups_rocksdb[_files5]":
+ *     {"sec":…,"events_per_sec":…,"state_rows":[…],"commit_ms":[…],
+ *      "update_ms":[…]},
+ *   "parse"/"parse_async":{"sec":…,"events_per_sec":…}}
  */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -124,34 +131,56 @@ object StreamBench {
     // q_global_sessions and pinned streaming==batch in StreamingSpec);
     // sessions still open at watermark end stay in state, as they would in
     // production.
-    // returns (seconds, per-batch state-store row counts): the row
-    // trajectory is the bounded-state evidence — it must track the open
-    // sessions inside the watermark horizon, not stream length
-    def runStateful(label: String)(build: DataFrame => DataFrame): (Double, Seq[Long]) = {
+    // returns (seconds, per-batch state-store row counts, per-batch state
+    // COMMIT ms, per-batch state UPDATE ms): the row trajectory is the
+    // bounded-state evidence — it must track the open sessions inside the
+    // watermark horizon, not stream length — and the commit/update split
+    // is the state-commit profile (VERDICT r10 item 5 / r11 item 4): how
+    // much of each micro-batch is state-store bookkeeping vs applying the
+    // batch's rows, the number that says whether fewer-larger batches can
+    // close the gap to the parse ceiling.
+    def runStateful(label: String, filesPerTrigger: Int = 1)(
+        build: DataFrame => DataFrame): (Double, Seq[Long], Seq[Long], Seq[Long]) = {
       val ckpt = s"$dumpDir-ckpt-$label"
-      val stream = StreamJob.readEnvelopeFiles(spark, dumpDir, maxFilesPerTrigger = Some(1))
+      val stream = StreamJob.readEnvelopeFiles(spark, dumpDir,
+        maxFilesPerTrigger = Some(filesPerTrigger))
       val t0 = System.nanoTime()
       val q = build(stream).writeStream.outputMode("append")
         .format("noop").option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
-      val stateRows = q.recentProgress.toSeq
-        .filter(_.numInputRows > 0)
-        .map(_.stateOperators.map(_.numRowsTotal).sum)
-      (sec, stateRows)
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val commitMs = progress.map(_.stateOperators.map(_.commitTimeMs).sum)
+      val updateMs = progress.map(_.stateOperators.map(_.allUpdatesTimeMs).sum)
+      (sec, stateRows, commitMs, updateMs)
     }
 
     try {
     val (parseSec, _) = run("parse", analyses = false)
     val (fullSec, batchMs) = run("analyses", analyses = true)
     val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
-    val (globalSec, globalState) = runStateful("global")(s => GlobalSessions.sessionWindow(s))
+    val (globalSec, globalState, _, _) =
+      runStateful("global")(s => GlobalSessions.sessionWindow(s))
     def fmgwsDag(s: DataFrame): DataFrame = {
       import spark.implicits._
       GlobalSessions.flatMapGroupsWithStateSessions(spark,
         s.select(col("visitorid"), col("event_time")).as[SessionEvent]).toDF()
     }
-    val (fmgwsSec, fmgwsState) = runStateful("fmgws")(fmgwsDag)
+    val (fmgwsSec, fmgwsState, fmgwsCommit, fmgwsUpdate) = runStateful("fmgws")(fmgwsDag)
+    // the batch-size lever: same DAG, 5 files per trigger — one fifth the
+    // micro-batches, so the per-batch fixed costs (state-store commit,
+    // offset/commit-log writes, trigger scheduling, the groupByKey
+    // shuffle's task overhead) amortize over 5x the rows. At 100 TB this
+    // is the trigger-interval knob: stateful throughput is bought with
+    // latency, and the commit_ms profile above says how much is for sale.
+    // (The OTHER commit-path lever, asyncProgressTrackingEnabled, is
+    // structurally unavailable here: Spark 4.1's
+    // AsyncProgressTrackingMicroBatchExecution.checkNotStatefulStreamingQuery
+    // rejects stateful queries at start — offset-log async only helps
+    // stateless pipelines, so it is measured on the parse arm instead.)
+    val (fmgws5Sec, fmgws5State, fmgws5Commit, fmgws5Update) =
+      runStateful("fmgws-files5", filesPerTrigger = 5)(fmgwsDag)
     // same DAG on the RocksDB provider — the state backend for state that
     // outgrows executor heap (the 100 TB deployment choice); prices the
     // off-heap put/get against HDFSBacked's in-memory maps. Changelog
@@ -163,15 +192,37 @@ object StreamBench {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    val (rocksSec, rocksState) =
-      try runStateful("fmgws-rocksdb")(fmgwsDag)
+    val ((rocksSec, rocksState, rocksCommit, rocksUpdate),
+         (rocks5Sec, rocks5State, rocks5Commit, rocks5Update)) =
+      try (runStateful("fmgws-rocksdb")(fmgwsDag),
+           runStateful("fmgws-rocksdb-files5", filesPerTrigger = 5)(fmgwsDag))
       finally {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         spark.conf.unset(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
+    // async progress tracking on the STATELESS arm (its only legal home,
+    // see above): offset/commit-log writes leave the trigger critical path
+    val parseAsyncSec = {
+      val ckpt = s"$dumpDir-ckpt-parse-async"
+      val stream = StreamJob.readEnvelopeFiles(spark, dumpDir, maxFilesPerTrigger = Some(1))
+      val t0 = System.nanoTime()
+      val q = stream.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.format("noop").mode("overwrite").save())
+        .option("asyncProgressTrackingEnabled", "true")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     def rate(sec: Double): Long = (n / sec).toLong
+    def statefulJson(sec: Double, state: Seq[Long], commit: Seq[Long],
+                     update: Seq[Long]): String =
+      s"""{"sec":${f"$sec%.2f"},"events_per_sec":${rate(sec)},""" +
+        s""""state_rows":[${state.mkString(",")}],""" +
+        s""""commit_ms":[${commit.mkString(",")}],""" +
+        s""""update_ms":[${update.mkString(",")}]}"""
     println(s"""{"events":$n,"slices":$slices,"sf":"$sfDir",""" +
       s""""analyses":{"sec":${f"$fullSec%.2f"},"events_per_sec":${rate(fullSec)},""" +
       s""""batch_ms":[${batchMs.mkString(",")}]},""" +
@@ -179,11 +230,12 @@ object StreamBench {
       s""""batch_ms":[${parBatchMs.mkString(",")}]},""" +
       s""""session_window":{"sec":${f"$globalSec%.2f"},"events_per_sec":${rate(globalSec)},""" +
       s""""state_rows":[${globalState.mkString(",")}]},""" +
-      s""""flatmapgroups":{"sec":${f"$fmgwsSec%.2f"},"events_per_sec":${rate(fmgwsSec)},""" +
-      s""""state_rows":[${fmgwsState.mkString(",")}]},""" +
-      s""""flatmapgroups_rocksdb":{"sec":${f"$rocksSec%.2f"},"events_per_sec":${rate(rocksSec)},""" +
-      s""""state_rows":[${rocksState.mkString(",")}]},""" +
-      s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
+      s""""flatmapgroups":${statefulJson(fmgwsSec, fmgwsState, fmgwsCommit, fmgwsUpdate)},""" +
+      s""""flatmapgroups_files5":${statefulJson(fmgws5Sec, fmgws5State, fmgws5Commit, fmgws5Update)},""" +
+      s""""flatmapgroups_rocksdb":${statefulJson(rocksSec, rocksState, rocksCommit, rocksUpdate)},""" +
+      s""""flatmapgroups_rocksdb_files5":${statefulJson(rocks5Sec, rocks5State, rocks5Commit, rocks5Update)},""" +
+      s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}},""" +
+      s""""parse_async":{"sec":${f"$parseAsyncSec%.2f"},"events_per_sec":${rate(parseAsyncSec)}}}""")
     } finally {
       // scratch cleanup, ALSO on a failing arm (a leaked dump is slices ×
       // the events table in JSON, and the nanoTime-unique name means

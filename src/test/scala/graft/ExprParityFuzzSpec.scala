@@ -167,13 +167,25 @@ class ExprParityFuzzSpec extends SparkSpec {
   }
 
   test("NearestCentroid: eval == codegen on ties/ragged/zero-norm/NaN fuzz") {
-    // codebook with an exact-duplicate pair (tie), a ragged centroid and a
-    // zero-norm centroid — every branch of the fold
+    // codebook with an exact-duplicate pair (tie) and a ragged centroid —
+    // every REPRESENTABLE branch of the fold. A zero/NaN/Inf CENTROID norm
+    // is rejected at Codebook construction (pinned below), so the fuzz
+    // exercises degenerate norms only on the ROW side (nrmGen).
     val cb = new Codebook(
-      Array(2L, 5L, 7L, 9L, 11L),
+      Array(2L, 5L, 7L, 9L),
       Array(Array(1f, 0f, 0f, 0f), Array(1f, 0f, 0f, 0f),
-        Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f), Array(0f, 0f, 0f, 0f)),
-      Array(1.0, 1.0, 1.0, 1.0, 0.0))
+        Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f)),
+      Array(1.0, 1.0, 1.0, 1.0))
+    // construction-time rejection of degenerate codebook norms: zero, NaN,
+    // +Inf each abort — the throw-vs-silent-skip divergence vs the window
+    // form is unrepresentable, not merely untested
+    for (bad <- Seq(0.0, -1.0, Double.NaN, Double.PositiveInfinity)) {
+      val e = intercept[IllegalArgumentException] {
+        new Codebook(Array(1L, 2L), Array(Array(1f, 0f), Array(0f, 1f)),
+          Array(1.0, bad))
+      }
+      assert(e.getMessage.contains("positive finite"), s"norm=$bad")
+    }
     val nrmGen: Gen[java.lang.Double] = Gen.oneOf[java.lang.Double](
       1.0, 0.0, -1.0, Double.NaN, Double.PositiveInfinity, 1e-300, 1e300)
     val row: Gen[Seq[Any]] = for {

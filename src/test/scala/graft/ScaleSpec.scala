@@ -636,8 +636,12 @@ class ScaleSpec extends SparkSpec {
     // this: both call sites passed the UNFILTERED corpus as the "query"
     // frame). PlanAudit.fatBroadcast runs the same lineage taint at
     // BroadcastExchange nodes and marks each hit `!unbounded` when the
-    // broadcast subtree carries NO row-bounding node (Filter / Limit /
-    // TakeOrdered / collected literal). Equality pin, two invariants:
+    // broadcast subtree carries NO row-bounding node ON THE TAINTED
+    // DATAFLOW PATH (a taint-carrying Filter with a non-IsNotNull
+    // conjunct / GlobalLimit / TakeOrdered — per-partition LocalLimits
+    // and untainted LocalTableScan leaves no longer testify, r11 ADVICE:
+    // either could only ever bound an UNRELATED branch under the
+    // exchange). Equality pin, two invariants:
     //  - population: only the designed parameter-bounded broadcasts exist
     //    (numQueries-row probe frames; the k-row seed codebook — only
     //    q_ann_topk_ivf keeps a PLAN-side codebook, the trained variant
@@ -681,6 +685,20 @@ class ScaleSpec extends SparkSpec {
       val flagged = graft.tools.PlanAudit
         .fatBroadcast(unbounded.queryExecution.executedPlan)
       assert(flagged.contains("embedding->q_emb!unbounded"), flagged.toString)
+      // ...and the r12 tightening is live: a row-bounded UNRELATED branch
+      // nested under the exchange (the masking shape the r11 ADVICE named)
+      // no longer testifies for the fat side. The left-outer join keeps
+      // every corpus row — genuinely unbounded — while the filtered j_id
+      // branch plants a non-IsNotNull FilterExec in the subtree that the
+      // r11 subtree-wide search accepted as a bound.
+      val maskShape = emb.join(
+        broadcast(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .join(emb.select(col("vec_id").as("j_id")).filter(col("j_id") < 8),
+            col("q_id") === col("j_id"), "left_outer")),
+        col("vec_id") === col("q_id"))
+      val masked = graft.tools.PlanAudit
+        .fatBroadcast(maskShape.queryExecution.executedPlan)
+      assert(masked.contains("embedding->q_emb!unbounded"), masked.toString)
     } finally {
       sys.props.remove("graft.frame.cache.disable")
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
