@@ -614,13 +614,27 @@ object Relational {
       .groupBy(col("visitorid")).agg(count(lit(1)).as("x"))
       .withColumn("variant",
         pmod(graft.ext.TextAnalysis.hash32(col("visitorid")), lit(2)))
-    val byVariant = perUser.groupBy(col("variant"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-        sum(col("x") * col("x")).as("s2"))
-    byVariant.filter(col("variant") === 0)
-      .select(col("n").as("n0"), col("s").as("s0"), col("s2").as("s20"))
-      .crossJoin(broadcast(byVariant.filter(col("variant") === 1)
-        .select(col("n").as("n1"), col("s").as("s1"), col("s2").as("s21"))))
+    // ONE conditional aggregation computes both variants' moments. The
+    // previous two-branch form (byVariant.filter(variant===0) crossJoin
+    // byVariant.filter(variant===1)) planned the whole scan → per-user
+    // shuffle → per-variant shuffle chain TWICE — ReuseExchange did not
+    // unify the branches (verified on the executed plan: two parquet
+    // scans, four exchanges) — a 2× tax a 100 TB events table cannot pay
+    // for a 1-row result. Moments are algebraic, so the conditional form
+    // is map-side-combined into one pass. The trailing filter preserves
+    // the old form's one corner: a variant with ZERO users emitted zero
+    // rows there (empty crossJoin side — and empties the oracle's a0×a1
+    // the same way), where an unfiltered conditional agg would emit one
+    // row of nulls.
+    perUser
+      .agg(
+        count(when(col("variant") === 0, lit(1))).as("n0"),
+        sum(when(col("variant") === 0, col("x"))).as("s0"),
+        sum(when(col("variant") === 0, col("x") * col("x"))).as("s20"),
+        count(when(col("variant") === 1, lit(1))).as("n1"),
+        sum(when(col("variant") === 1, col("x"))).as("s1"),
+        sum(when(col("variant") === 1, col("x") * col("x"))).as("s21"))
+      .filter(col("n0") > 0 && col("n1") > 0)
       .selectExpr("n0", "s0", "n1", "s1",
         "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0",
         "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1",

@@ -534,7 +534,7 @@ class ScaleSpec extends SparkSpec {
       "NamedLambdaVariable", "Percentile", "PivotFirst", "ZipWith",
       "CountMinSketchAgg")
     val bnljPin = Set(
-      "q_ab_test", "q_ann_topk", "q_ann_topk_ivf", "q_ann_topk_ivf_trained",
+      "q_ann_topk", "q_ann_topk_ivf", "q_ann_topk_ivf_trained",
       "q_bm25", "q_cms_counts", "q_collocations", "q_datamix",
       "q_embed_neardup", "q_gap_histogram", "q_item_cooccurrence",
       "q_key_skew", "q_length_filter", "q_minute_anomaly",
@@ -543,9 +543,12 @@ class ScaleSpec extends SparkSpec {
       "q_unigram_logprob")
     // q_semantic_dedup left this pin in r10: its three codebook cross
     // joins became the narrow codegen'd NearestCentroid argmax, so the
-    // plan carries no nested-loop join at all now. q_ann_topk_ivf[(_
-    // trained)] keep one BNLJ each — the numQueries-row PROBE crossjoin,
-    // which stays windowed by design (parameter-bounded input).
+    // plan carries no nested-loop join at all now. q_ab_test left in r12:
+    // the two-branch byVariant crossJoin became one conditional
+    // aggregation (no join at all — the plan is a single scan chain).
+    // q_ann_topk_ivf[(_trained)] keep one BNLJ each — the numQueries-row
+    // PROBE crossjoin, which stays windowed by design (parameter-bounded
+    // input).
     val bnljSeen = scala.collection.mutable.Set[String]()
     sys.props("graft.frame.cache.disable") = "1"
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
