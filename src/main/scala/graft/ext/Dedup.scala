@@ -717,7 +717,12 @@ object Dedup {
     // frame is NOT cache-backed (a hit is already a cheap parquet scan)
     val covered =
       if (FrameCache.active(cacheDir)) coveredRaw else coveredRaw.persistTracked()
-    val touched = covered.select(col("doc_id")).distinct()
+    // THREE consumers (positions semi, rebuilt semi, untouched anti), each
+    // of which would otherwise re-run the distinct's shuffle over the
+    // covered frame; one long per touched doc — the cheapest frame in the
+    // operator to pin, unconditionally (even cache-backed, the distinct
+    // itself is the repeated cost, not the scan under it)
+    val touched = covered.select(col("doc_id")).distinct().persistTracked()
     // token-grain rebuild for TOUCHED docs only (see scaladoc)
     val positions = toks.join(touched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("toks")))

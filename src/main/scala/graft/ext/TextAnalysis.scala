@@ -494,7 +494,14 @@ object TextAnalysis {
    */
   def termDocFreq(docs: DataFrame): DataFrame = {
     val ex = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("token"))
+    // tf feeds BOTH the df derivation and the join's left side, and
+    // ReuseExchange does not unify the branches (r12, verified on the
+    // executed plan: two full scan→tokenize→explode→tf-shuffle chains,
+    // zero ReusedExchange nodes) — so the corpus was tokenized and
+    // token-shuffled twice for one result. Persist per the cms
+    // convention (narrow integer frame; session owner reclaims).
     val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persistTracked()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(df, "token").select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
@@ -511,7 +518,14 @@ object TextAnalysis {
    * a ScalaTest instead).
    */
   def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // two consumers (corpus stats + the per-doc join) — persisted for the
+    // same reason as termDocFreq's tf frame: without it each consumer
+    // re-tokenizes the corpus. dl is NOT derivable from tf (sum(tf) per
+    // doc loses ZERO-TOKEN docs, which this frame counts into n_docs and
+    // avgdl), so it stays its own one-tokenize pass — two total for the
+    // operator, down from four.
     val dl = withTokens(docs).select(col("doc_id"), size(col("toks")).as("dl"))
+      .persistTracked()
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     termDocFreq(docs)
       .join(dl, "doc_id")
