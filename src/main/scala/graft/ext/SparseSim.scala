@@ -113,6 +113,12 @@ object SparseSim {
           .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= col("sz") - expr(s"CAST(ceil($threshold * sz) AS BIGINT)") + 1)
       .select(col("doc_id"), col("tok"), col("sz"), col("rn"))
+      // both sides of the candidate self-join read this frame, and each
+      // side otherwise re-runs the explode → df-join → doc-window chain
+      // (two shuffles per side; ReuseExchange does not unify renamed
+      // branches — the r12 q_ab_test/termDocFreq finding). Four longs per
+      // PREFIX entry (≤ |d|−⌈t·|d|⌉+1 per doc, ~20% of shingles at t=0.8)
+      .persistTracked()
     // positional filter (the ppjoin bound): both docs order tokens by the
     // same global (df, value) order, so at the EARLIEST shared prefix
     // token nothing before it overlaps — overlap ≤ 1 + min(suffix
