@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ext.CacheScope.TrackedPersist
+
 /**
  * Conversion-funnel analysis (A4/A12, stream_processor.py:186-229).
  *
@@ -108,8 +110,18 @@ object Funnel {
                    windowSeconds: Long = 1800): DataFrame = {
     require(steps.size >= 2, "windowFunnel needs at least 2 steps")
     val iv = expr(s"INTERVAL $windowSeconds SECOND")
+    // every stage frame is PERSISTED (narrow visitor-grain: one
+    // (visitorid, t_k) row per qualifying visitor): stage k's plan
+    // references stage k−1 AND s1, and the final assembly references all
+    // of them again, so without the pins each reference re-ran the whole
+    // recursive lineage — 1+3+5 = NINE filtered event scans for 3 steps
+    // (the r12 ScanCensus find; ReuseExchange does not unify them) where
+    // the documented shape is one per step. The pins make the plan match
+    // the scaladoc: |steps| filtered scans, each stage's agg computed
+    // once. The LAST stage has a single consumer and stays unpinned.
     val s1 = events.filter(col("event") === steps.head)
       .groupBy(col("visitorid")).agg(min(col("event_time")).as("t1"))
+      .persistTracked()
     // fold the remaining steps: stage k needs t_{k-1} (strictly after) and
     // t1 (window bound), both joined back by visitor key
     val stages = steps.indices.tail.foldLeft(Vector(s1)) { (acc, i) =>
@@ -120,7 +132,7 @@ object Funnel {
         .join(s1.select(col("visitorid"), col("t1").as("w1")), "visitorid")
         .filter(col("event_time") > col(prevT) && col("event_time") <= col("w1") + iv)
         .groupBy(col("visitorid")).agg(min(col("event_time")).as(s"t${i + 1}"))
-      acc :+ next
+      acc :+ (if (i == steps.indices.last) next else next.persistTracked())
     }
     val joined = stages.tail.foldLeft(s1) { (acc, st) =>
       acc.join(st, Seq("visitorid"), "left")

@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Redundant-evaluation census: for every registered query, count the
+ * parquet FileScan leaves and the distinct tables they read in the
+ * PLANNED physical tree (sparkPlan — no execution), walking through
+ * persist boundaries and adaptive curtains via [[PlanAudit.allNodes]].
+ * A query whose scan count exceeds its distinct-table count evaluates
+ * some table's lineage more than once — exactly the shape that cost
+ * q_ab_test 2× (two-branch conditional agg), termDocFreq 2× (tf feeding
+ * df + join), and q_prefix_jaccard 25% at sf10 (prefix self-join):
+ * ReuseExchange does NOT unify same-lineage branches when anything
+ * differs above the shared subtree, so each extra scan is a full
+ * scan→(tokenize)→shuffle chain at 100 TB.
+ *
+ * NOT a pinned equality census (multi-pass designs can be measured and
+ * deliberate — pmiCollocations' three passes, dupSpanCoverage's
+ * recompute-over-cache); this is the AUDIT view that says where to look.
+ * Cached subtrees are counted once per cache point (the persist makes
+ * re-reads cheap), so the report separates "scans reachable only through
+ * an InMemoryRelation" from plan-direct scans.
+ *
+ * Usage: runMain graft.tools.ScanCensus <sfDir> [minExcess=1]
+ * Output: one line per query with excess scans, sorted worst-first:
+ *   <query> tables=<n> direct_scans=<n> cached_scans=<n> excess=<n>
+ */
+object ScanCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val minExcess = if (args.length > 1) args(1).toInt else 1
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.SketchExprs.register(spark)
+    // FrameCache off so the census sees the real computation pipelines
+    sys.props("graft.frame.cache.disable") = "1"
+    try {
+      val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val res = scala.util.Try {
+            val plan = fn(spark, sfDir).queryExecution.sparkPlan
+            val all = PlanAudit.allNodes(plan)
+            // a scan is "cached" when it is reachable only through an
+            // InMemoryTableScan (allNodes walks into cachedPlan); direct
+            // scans re-run their lineage on every consumer
+            val direct = collectScans(
+              plan, through = false).map(_.toString)
+            val withCached = collectScansFromAll(all)
+            val tables = withCached.map(tableOf).distinct.sorted
+            val cachedCount = withCached.size - direct.size
+            (name, tables.size, direct.size, cachedCount)
+          }
+          res.toOption
+      }
+      rows.map { case (name, t, d, c) => (name, t, d, c, d - t) }
+        .filter(_._5 >= minExcess)
+        .sortBy(-_._5)
+        .foreach { case (name, t, d, c, e) =>
+          println(f"$name%-34s tables=$t direct_scans=$d cached_scans=$c excess=$e")
+        }
+    } finally {
+      sys.props.remove("graft.frame.cache.disable")
+      spark.stop()
+    }
+  }
+
+  private def tableOf(s: org.apache.spark.sql.execution.FileSourceScanExec): String =
+    s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+
+  /** FileScans in the tree, optionally walking into cache/adaptive
+    * curtains. `through = false` stops at InMemoryTableScan (those
+    * re-reads are cache-backed, not lineage re-runs). */
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan,
+                           through: Boolean)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val out = Seq.newBuilder[org.apache.spark.sql.execution.FileSourceScanExec]
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => out += s
+      case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        if (through) walk(imts.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case other =>
+        other.children.foreach(walk)
+        other.subqueries.foreach(walk)
+    }
+    walk(p)
+    out.result()
+  }
+
+  private def collectScansFromAll(all: Seq[org.apache.spark.sql.execution.SparkPlan])
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    all.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+}
