@@ -27,6 +27,24 @@ import org.apache.spark.sql.SparkSession
  *   <query> tables=<n> direct_scans=<n> cached_scans=<n> excess=<n>
  */
 object ScanCensus {
+
+  /** (query, distinct tables, direct scans, cache-backed scans) for every
+    * registered query whose plan builds; FrameCache must already be
+    * disabled by the caller (main and the ScaleSpec pin both do). */
+  def report(spark: SparkSession, sfDir: String): Seq[(String, Int, Int, Int)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      scala.util.Try {
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        // a scan is "cached" when it is reachable only through an
+        // InMemoryTableScan (allNodes walks into cachedPlan); direct
+        // scans re-run their lineage on every consumer
+        val direct = collectScans(plan, through = false)
+        val withCached = collectScansFromAll(PlanAudit.allNodes(plan))
+        val tables = withCached.map(tableOf).distinct.sorted
+        (name, tables.size, direct.size, withCached.size - direct.size)
+      }.toOption
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val minExcess = if (args.length > 1) args(1).toInt else 1
@@ -42,24 +60,8 @@ object ScanCensus {
     // FrameCache off so the census sees the real computation pipelines
     sys.props("graft.frame.cache.disable") = "1"
     try {
-      val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, fn) =>
-          val res = scala.util.Try {
-            val plan = fn(spark, sfDir).queryExecution.sparkPlan
-            val all = PlanAudit.allNodes(plan)
-            // a scan is "cached" when it is reachable only through an
-            // InMemoryTableScan (allNodes walks into cachedPlan); direct
-            // scans re-run their lineage on every consumer
-            val direct = collectScans(
-              plan, through = false).map(_.toString)
-            val withCached = collectScansFromAll(all)
-            val tables = withCached.map(tableOf).distinct.sorted
-            val cachedCount = withCached.size - direct.size
-            (name, tables.size, direct.size, cachedCount)
-          }
-          res.toOption
-      }
-      rows.map { case (name, t, d, c) => (name, t, d, c, d - t) }
+      report(spark, sfDir)
+        .map { case (name, t, d, c) => (name, t, d, c, d - t) }
         .filter(_._5 >= minExcess)
         .sortBy(-_._5)
         .foreach { case (name, t, d, c, e) =>

@@ -709,4 +709,46 @@ class ScaleSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("registry audit: redundant-evaluation census — excess scans pinned to the documented multi-pass designs") {
+    // The r12 ScanCensus finding class: a frame consumed by two plan
+    // branches re-runs its WHOLE scan/shuffle lineage per branch, because
+    // ReuseExchange does not unify same-lineage subtrees once anything
+    // differs above them (pushed-down filters on a grouping key, renamed
+    // join keys). Three of those shapes were live defects this round
+    // (q_ab_test 2x, q_prefix_jaccard -25% at sf10, windowFunnel NINE
+    // filtered event scans where the scaladoc promised one per step).
+    // This pin holds the excess-scan population (direct parquet scans
+    // minus distinct tables, per query) at the DOCUMENTED multi-pass
+    // designs, each with a measured or inherent justification:
+    //  - q_collocations 3: pmiCollocations' three corpus passes + the
+    //    unigram frame read per join side — persisting measured ~2x
+    //    SLOWER (scaladoc's recorded A/B);
+    //  - q_dup_spans/_filter/_remove 2/3/2: dupSpanCoverage deliberately
+    //    recomputes the fused scan->explode lineage (persisting the
+    //    per-position frame measured ~1.9x slower; scaladoc A/B);
+    //  - q_spacesaving_approx 2: the exact / total / sketch triple pass
+    //    IS the query (error-bound certification of the Aggregator).
+    // A NEW entry (or a bump) means some frame lost its persist or grew
+    // an extra consumer — justify and re-pin, or fix the plan. Queries
+    // with excess 1 are not pinned: that population is dominated by the
+    // cheap-by-design totals pattern (crossJoin(broadcast(agg)) — the
+    // second pass is a no-explode running sum) and by filtered-scan
+    // pairs where pushdown makes two narrow scans CHEAPER than one wide
+    // scan materialized.
+    val excessPin = Map(
+      "q_collocations" -> 3, "q_dup_spans" -> 2, "q_dup_spans_filter" -> 3,
+      "q_dup_spans_remove" -> 2, "q_spacesaving_approx" -> 2)
+    sys.props("graft.frame.cache.disable") = "1"
+    try {
+      val got = graft.tools.ScanCensus.report(spark, "/root/testdata/sf0.001")
+        .map { case (name, tables, direct, _) => name -> (direct - tables) }
+        .filter(_._2 >= 2).toMap
+      assert(got === excessPin,
+        s"excess-scan census drifted: got $got, pinned $excessPin — a new " +
+          "entry re-evaluates a table's lineage in multiple plan branches " +
+          "(the windowFunnel regression shape); document the design or " +
+          "persist the shared frame")
+    } finally sys.props.remove("graft.frame.cache.disable")
+  }
 }
