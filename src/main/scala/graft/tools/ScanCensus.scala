@@ -29,10 +29,24 @@ import org.apache.spark.sql.SparkSession
 object ScanCensus {
 
   /** (query, distinct tables, direct scans, cache-backed scans) for every
-    * registered query whose plan builds; FrameCache must already be
-    * disabled by the caller (main and the ScaleSpec pin both do). */
-  def report(spark: SparkSession, sfDir: String): Seq[(String, Int, Int, Int)] =
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    * registered query whose plan builds, plus (query, error) for every one
+    * that throws at planning time — a query regressing to fails-to-plan
+    * must be visible to the audit, not silently absent (r12 ADVICE).
+    * FrameCache must already be disabled by the caller (main and the
+    * ScaleSpec pin both do). The CacheManager is cleared BETWEEN per-query
+    * builds: operators persistTracked() engine-internal frames eagerly at
+    * construction, so a frame registered while planning an alphabetically
+    * earlier query would otherwise be substituted as an InMemoryRelation
+    * into later queries' plans — making direct-scan counts iteration-order
+    * dependent and masking exactly the redundant-lineage regressions this
+    * census exists to catch (r12 ADVICE).
+    */
+  def report(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Int, Int, Int)], Seq[(String, String)]) = {
+    val rows = Seq.newBuilder[(String, Int, Int, Int)]
+    val fails = Seq.newBuilder[(String, String)]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      spark.catalog.clearCache()
       scala.util.Try {
         val plan = fn(spark, sfDir).queryExecution.sparkPlan
         // a scan is "cached" when it is reachable only through an
@@ -42,8 +56,15 @@ object ScanCensus {
         val withCached = collectScansFromAll(PlanAudit.allNodes(plan))
         val tables = withCached.map(tableOf).distinct.sorted
         (name, tables.size, direct.size, withCached.size - direct.size)
-      }.toOption
+      } match {
+        case scala.util.Success(r) => rows += r
+        case scala.util.Failure(e) =>
+          fails += ((name, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
     }
+    spark.catalog.clearCache()
+    (rows.result(), fails.result())
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -60,13 +81,17 @@ object ScanCensus {
     // FrameCache off so the census sees the real computation pipelines
     sys.props("graft.frame.cache.disable") = "1"
     try {
-      report(spark, sfDir)
+      val (rows, fails) = report(spark, sfDir)
+      rows
         .map { case (name, t, d, c) => (name, t, d, c, d - t) }
         .filter(_._5 >= minExcess)
         .sortBy(-_._5)
         .foreach { case (name, t, d, c, e) =>
           println(f"$name%-34s tables=$t direct_scans=$d cached_scans=$c excess=$e")
         }
+      fails.foreach { case (name, err) =>
+        println(f"$name%-34s FAILED TO PLAN: $err")
+      }
     } finally {
       sys.props.remove("graft.frame.cache.disable")
       spark.stop()

@@ -31,7 +31,7 @@ import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
  *     datasource (all compute, no sink cost — the JDBC leg is
  *     SinksSpec's job and scales with result rows, not event rows).
  *
- * Nine arms bracket the cost: `analyses` (the 10-table fan-out run
+ * Eight arms bracket the cost: `analyses` (the 10-table fan-out run
  * sequentially, what the reference runs per batch), `parallel` (the same
  * fan-out with `parallelism=10` — the 10 small jobs overlap instead of
  * paying scheduling latency serially), `session_window` and
@@ -182,8 +182,8 @@ object StreamBench {
     // (The OTHER commit-path lever, asyncProgressTrackingEnabled, is
     // structurally unavailable here: Spark 4.1's
     // AsyncProgressTrackingMicroBatchExecution.checkNotStatefulStreamingQuery
-    // rejects stateful queries at start — offset-log async only helps
-    // stateless pipelines, so it is measured on the parse arm instead.)
+    // rejects stateful queries at start; see the adjudication block below
+    // for why no stateless arm can legally carry it either.)
     val (fmgws5Sec, fmgws5State, fmgws5Commit, fmgws5Update) =
       runStateful("fmgws-files5", filesPerTrigger = 5)(fmgwsDag)
     // same DAG on the RocksDB provider — the state backend for state that

@@ -741,7 +741,11 @@ class ScaleSpec extends SparkSpec {
       "q_dup_spans_remove" -> 2, "q_spacesaving_approx" -> 2)
     sys.props("graft.frame.cache.disable") = "1"
     try {
-      val got = graft.tools.ScanCensus.report(spark, "/root/testdata/sf0.001")
+      val (rows, fails) = graft.tools.ScanCensus.report(spark, "/root/testdata/sf0.001")
+      // a query that throws at planning time silently vanished from the
+      // census in the r12 shape — it is now a first-class failure here
+      assert(fails.isEmpty, s"queries failed to plan during census: $fails")
+      val got = rows
         .map { case (name, tables, direct, _) => name -> (direct - tables) }
         .filter(_._2 >= 2).toMap
       assert(got === excessPin,
@@ -749,6 +753,13 @@ class ScaleSpec extends SparkSpec {
           "entry re-evaluates a table's lineage in multiple plan branches " +
           "(the windowFunnel regression shape); document the design or " +
           "persist the shared frame")
-    } finally sys.props.remove("graft.frame.cache.disable")
+    } finally {
+      sys.props.remove("graft.frame.cache.disable")
+      // report() clears between queries and at exit, but keep the suite-level
+      // guarantee symmetric with the sibling registry-audit tests: nothing
+      // this test planned may leak InMemoryRelations into later suites
+      // (Test/fork runs every suite in one JVM)
+      spark.catalog.clearCache()
+    }
   }
 }
