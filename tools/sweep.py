@@ -23,8 +23,14 @@ ratio (previous round's SWEEP100 artifact, parsed from the table) by
 >1.5x is re-run ONCE in a fresh JVM at the scaled dir before being
 believed; the table then carries an `isolated_s` column for those
 queries, and the final verdict column uses min(suite, isolated).
+Probes additionally fire for any ratio >= the 25x absolute floor and
+for the top-3 ratios regardless of floor, and each probe LOAD-GATES
+itself (waits for 1-min loadavg < GRAFT_SWEEP_LOAD_GATE, default 1.5,
+stamping start_load into its log line): the r12 q_bucketed_join probe
+started inside the suite's decaying load tail at loadavg >10 and read
+garbage that cost a manual re-adjudication.
 """
-import json, os, re, subprocess, sys
+import json, os, re, subprocess, sys, time
 
 base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 scaled = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
@@ -126,6 +132,29 @@ def bench(sf_dir):
         return json.load(f)
 
 
+def wait_quiet(gate=None, timeout_s=900):
+    """Block until 1-minute loadavg drops below the gate (default 1.5,
+    GRAFT_SWEEP_LOAD_GATE to override). The r12 q_bucketed_join probe
+    started at loadavg >10 — the suite's decaying load tail — and read a
+    garbage 13.87 s that cost a manual re-adjudication commit; probes gate
+    themselves now instead of relying on the operator to notice. Returns
+    the load observed when the gate opened (stamped into the probe line so
+    the artifact proves the reading was quiet)."""
+    gate = gate if gate is not None else float(
+        os.environ.get("GRAFT_SWEEP_LOAD_GATE", "1.5"))
+    deadline = time.time() + timeout_s
+    load = os.getloadavg()[0]
+    while load >= gate and time.time() < deadline:
+        print(f"[sweep] load {load:.2f} >= gate {gate} — waiting", flush=True)
+        time.sleep(20)
+        load = os.getloadavg()[0]
+    if load >= gate:
+        print(f"[sweep] WARNING: load gate never opened (load {load:.2f} "
+              f"after {timeout_s}s) — probing anyway, treat with suspicion",
+              flush=True)
+    return load
+
+
 def probe_isolated(q, sf_dir):
     """One fresh-JVM re-run of a single query (the r9 'any outlier gets
     one isolated probe before it is believed' rule). Returns the lower
@@ -135,7 +164,9 @@ def probe_isolated(q, sf_dir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=runs, SPARK_GRAFT_BENCH_ONLY=q,
                GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
-    print(f"[sweep] isolated probe: {q} @ {sf_dir}", flush=True)
+    load = wait_quiet()
+    print(f"[sweep] isolated probe: {q} @ {sf_dir} start_load={load:.2f}",
+          flush=True)
     try:
         run(["sbt", "-batch", "runMain graft.Bench"], env=env)
         with open(artifact) as f:
@@ -160,12 +191,19 @@ for q, tb in b["queries"].items():
 #    relative trigger by landing just under 1.5x their r9 ratios on
 #    untouched code; any query that far past the data ratio deserves its
 #    one fresh-JVM probe no matter what last round said.
+#  - top-3: the three highest suite ratios are ALWAYS probed, floor or no
+#    floor — r11/r12's q_multimodal_resize sat at 23.9x (just under the
+#    floor) for two sweeps running without ever earning its one isolated
+#    reading; rank-based probing closes that gap class permanently.
 ABS_FLOOR = float(os.environ.get("GRAFT_SWEEP_ABS_FLOOR", "25"))
+top3 = {row[1] for row in sorted(
+    (r for r in rows if r[2] and r[2] > 0 and r[3] and r[3] > 0),
+    key=lambda x: -x[0])[:3]}
 for row in rows:
     r, q, tb, ts = row[0], row[1], row[2], row[3]
     ref = ref_ratios.get(q)
     if tb and tb > 0 and ts and ts > 0 and (
-            (ref and r > 1.5 * ref) or r >= ABS_FLOOR):
+            (ref and r > 1.5 * ref) or r >= ABS_FLOOR or q in top3):
         iso = probe_isolated(q, scaled)
         row[4] = iso
         if iso is not None:
