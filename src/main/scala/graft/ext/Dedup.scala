@@ -201,7 +201,7 @@ object Dedup {
     * same shuffle key the join would use anyway — it never materializes a
     * bucket², which is exactly what it exists to prevent. Expects columns
     * `band` and `band_key`. */
-  private[ext] def capBuckets(bands: DataFrame, cap: Option[Int]): DataFrame =
+  private[graft] def capBuckets(bands: DataFrame, cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>
         import org.apache.spark.sql.expressions.Window
