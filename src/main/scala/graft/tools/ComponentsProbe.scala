@@ -28,11 +28,13 @@ import org.apache.spark.storage.StorageLevel
  * the BPE probe's three columns that separate "GC pressure" from "blocks
  * piling up" from "the phase genuinely does more work".
  *
- * `ser=1` switches every loop-side localCheckpoint to
- * MEMORY_AND_DISK_SER — the lever that bought q_bpe_encode 28×→12.7×
- * (flat GC at sf10). The label tables here are two long columns, so the
- * prediction going in is that the level is neutral and the candidate
- * phases dominate; the probe exists to measure, not to assume.
+ * `ser=1` switches EVERY localCheckpoint in the probe — the bucket_join
+ * edge barrier, the setup checkpoints (touched/symAll/labels0), and the
+ * loop-side round checkpoints — to MEMORY_AND_DISK_SER, the lever that
+ * bought q_bpe_encode 28×→12.7× (flat GC at sf10). The label tables here
+ * are two long columns, so the prediction going in is that the level is
+ * neutral and the candidate phases dominate; the probe exists to
+ * measure, not to assume.
  *
  * Drift guard: the restated pipeline's final label table is hash-compared
  * against the real operator's output when `parity=1` (costs a second full
@@ -55,9 +57,16 @@ object ComponentsProbe {
       .asScala.map(_.getCollectionTime).sum
   }
 
-  def storageMb: Long =
-    org.apache.spark.SparkEnv.get.blockManager.master.getMemoryStatus
-      .values.map { case (max, free) => max - free }.sum / (1024 * 1024)
+  /** Block-manager MEMORY + DISK in use. Memory alone (getMemoryStatus
+    * max-free) is blind to this probe's own dominant storage — the bands
+    * DISK_ONLY persist and disk-resident checkpoint blocks — so a
+    * memory-only delta would read ~0 while blocks pile up on disk. */
+  def storageMb: Long = {
+    val status = org.apache.spark.SparkEnv.get.blockManager.master
+    val mem = status.getMemoryStatus.values.map { case (max, free) => max - free }.sum
+    val disk = status.getStorageStatus.map(_.diskUsed).sum
+    (mem + disk) / (1024 * 1024)
+  }
 
   /** Restated [[graft.ext.Similarity.embeddingComponents]] with a timer at
     * each barrier; returns (labels, per-phase log). Bodies are verbatim from
@@ -171,6 +180,11 @@ object ComponentsProbe {
       val out = labels.union(inactive)
         .select(col("doc_id").as("vec_id"), col("component"))
       println(s"""{"labels":${out.count()}}""")
+      // release the bands DISK_ONLY persist: in parity mode (and in the
+      // spec's back-to-back probed() calls) a stale resident frame would
+      // otherwise compete for disk + block-manager bookkeeping while the
+      // comparison operator runs at sf10
+      bands.unpersist(blocking = false)
       out
     }
   }

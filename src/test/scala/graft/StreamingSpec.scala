@@ -9,15 +9,24 @@ import org.apache.spark.sql.functions.col
 import graft.schema.Schemas
 import graft.stream.{GlobalSessions, SessionEvent, StreamDedup, StreamJob}
 
+// Top-level (NOT nested in the suite): Janino can't call accessors on a
+// case class declared inside a test class, so MemoryStream encoders fall
+// back to interpreter mode with a WARN stack trace in every suite run —
+// top level keeps the tests on the codegen path the product uses.
+case class StreamingEv(visitorid: String, event_time: java.sql.Timestamp,
+                       event: String, itemid: String)
+
+case class StreamingDoc(text: String, event_time: java.sql.Timestamp)
+
 /** Pins the per-batch parity semantics (SURVEY.md §2.7) and the
   * correct-mode cross-batch sessionization upgrades. */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Ev(visitorid: String, event_time: java.sql.Timestamp,
-                        event: String, itemid: String)
-
-  private case class Doc(text: String, event_time: java.sql.Timestamp)
+  private type Ev = StreamingEv
+  private val Ev = StreamingEv
+  private type Doc = StreamingDoc
+  private val Doc = StreamingDoc
 
   test("foreachBatch parity: sessions split at batch boundaries, ids collide") {
     implicit val sqlCtx = spark.sqlContext

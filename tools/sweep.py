@@ -202,6 +202,19 @@ top3 = {row[1] for row in sorted(
 for row in rows:
     r, q, tb, ts = row[0], row[1], row[2], row[3]
     ref = ref_ratios.get(q)
+    # inf-ratio rows (query completed at base but died/missing at scaled)
+    # are the single MOST suspicious class — always probed: an isolated
+    # fresh JVM may succeed where the suite run was killed by a neighbor
+    # (OOM tail, GCLocker), and a probe failure confirms a real scale wall
+    if tb and tb > 0 and (ts is None or ts <= 0):
+        iso = probe_isolated(q, scaled)
+        row[4] = iso
+        if iso is not None:
+            row[0] = iso / tb
+        else:
+            print(f"[sweep] {q}: failed at {scaled} in suite AND isolated "
+                  "probe — treat as a hard scale failure", flush=True)
+        continue
     if tb and tb > 0 and ts and ts > 0 and (
             (ref and r > 1.5 * ref) or r >= ABS_FLOOR or q in top3):
         iso = probe_isolated(q, scaled)
