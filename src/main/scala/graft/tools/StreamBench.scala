@@ -46,7 +46,16 @@ import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
  * the ingest ceiling of the same source). `asyncProgressTrackingEnabled`
  * has NO legal arm here — see the adjudication comment at the arm site.
  *
- * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10]
+ * KNEE MODE (r13 verdict item: find the files-per-trigger knee): a third
+ * arg `knee=1,5,10,20` skips the standard arms and runs ONLY the
+ * flatMapGroupsWithState DAG once per files-per-trigger level on the
+ * same archive, emitting per-arm seconds, events/s, batch count, and the
+ * per-micro-batch trigger-latency distribution (p50/p95/max) — the
+ * latency price of each throughput point. Use more slices than the
+ * largest level (e.g. slices=40 for files20) so every arm still has ≥2
+ * micro-batches.
+ *
+ * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10] [knee=1,5,...]
  * Output: one `[arm] <label> sec=…` line as each arm completes (a failed
  * later arm cannot erase earlier measurements), then one JSON line
  * {"events":n,"slices":k,
@@ -61,7 +70,8 @@ import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val slices = if (args.length > 1) args(1).toInt else 10
+    val kneeArg = args.drop(1).find(_.startsWith("knee="))
+    val slices = args.drop(1).find(!_.startsWith("knee=")).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -143,7 +153,7 @@ object StreamBench {
     // batch's rows, the number that says whether fewer-larger batches can
     // close the gap to the parse ceiling.
     def runStateful(label: String, filesPerTrigger: Int = 1)(
-        build: DataFrame => DataFrame): (Double, Seq[Long], Seq[Long], Seq[Long]) = {
+        build: DataFrame => DataFrame): (Double, Seq[Long], Seq[Long], Seq[Long], Seq[Long]) = {
       val ckpt = s"$dumpDir-ckpt-$label"
       val stream = StreamJob.readEnvelopeFiles(spark, dumpDir,
         maxFilesPerTrigger = Some(filesPerTrigger))
@@ -156,23 +166,48 @@ object StreamBench {
       val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
       val commitMs = progress.map(_.stateOperators.map(_.commitTimeMs).sum)
       val updateMs = progress.map(_.stateOperators.map(_.allUpdatesTimeMs).sum)
+      val triggerMs = progress
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
       println(f"""[arm] $label sec=$sec%.2f commit_ms_total=${commitMs.sum} """ +
         s"update_ms_total=${updateMs.sum}")
-      (sec, stateRows, commitMs, updateMs)
+      (sec, stateRows, commitMs, updateMs, triggerMs)
     }
 
     try {
-    val (parseSec, _) = run("parse", analyses = false)
-    val (fullSec, batchMs) = run("analyses", analyses = true)
-    val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
-    val (globalSec, globalState, _, _) =
-      runStateful("global")(s => GlobalSessions.sessionWindow(s))
     def fmgwsDag(s: DataFrame): DataFrame = {
       import spark.implicits._
       GlobalSessions.flatMapGroupsWithStateSessions(spark,
         s.select(col("visitorid"), col("event_time")).as[SessionEvent]).toDF()
     }
-    val (fmgwsSec, fmgwsState, fmgwsCommit, fmgwsUpdate) = runStateful("fmgws")(fmgwsDag)
+    // KNEE MODE: sweep files-per-trigger on the stateful DAG only. Each
+    // arm's per-batch triggerExecution distribution is the latency price
+    // of its throughput point — the operating-point table the fixed ~8 s
+    // state commit makes necessary (throughput scales with batch size;
+    // latency IS the batch duration under continuous replay).
+    kneeArg match {
+      case Some(spec) =>
+        val levels = spec.stripPrefix("knee=").split(",").map(_.trim.toInt).toSeq
+        def pct(xs: Seq[Long], p: Double): Long =
+          if (xs.isEmpty) -1
+          else xs.sorted.apply(
+            math.min(xs.size - 1, math.max(0, math.ceil(p * xs.size).toInt - 1)))
+        val arms = levels.map { f =>
+          val (sec, _, commit, update, trig) =
+            runStateful(s"fmgws-files$f", filesPerTrigger = f)(fmgwsDag)
+          s""""files$f":{"sec":${f"$sec%.2f"},"events_per_sec":${(n / sec).toLong},""" +
+            s""""batches":${trig.size},"trigger_ms":[${trig.mkString(",")}],""" +
+            s""""trigger_p50":${pct(trig, 0.5)},"trigger_p95":${pct(trig, 0.95)},""" +
+            s""""commit_ms_total":${commit.sum},"update_ms_total":${update.sum}}"""
+        }
+        println(s"""{"knee":true,"events":$n,"slices":$slices,"sf":"$sfDir",""" +
+          s""""arms":{${arms.mkString(",")}}}""")
+      case None =>
+    val (parseSec, _) = run("parse", analyses = false)
+    val (fullSec, batchMs) = run("analyses", analyses = true)
+    val (parSec, parBatchMs) = run("parallel", analyses = true, parallelism = 10)
+    val (globalSec, globalState, _, _, _) =
+      runStateful("global")(s => GlobalSessions.sessionWindow(s))
+    val (fmgwsSec, fmgwsState, fmgwsCommit, fmgwsUpdate, _) = runStateful("fmgws")(fmgwsDag)
     // the batch-size lever: same DAG, 5 files per trigger — one fifth the
     // micro-batches, so the per-batch fixed costs (state-store commit,
     // offset/commit-log writes, trigger scheduling, the groupByKey
@@ -184,7 +219,7 @@ object StreamBench {
     // AsyncProgressTrackingMicroBatchExecution.checkNotStatefulStreamingQuery
     // rejects stateful queries at start; see the adjudication block below
     // for why no stateless arm can legally carry it either.)
-    val (fmgws5Sec, fmgws5State, fmgws5Commit, fmgws5Update) =
+    val (fmgws5Sec, fmgws5State, fmgws5Commit, fmgws5Update, _) =
       runStateful("fmgws-files5", filesPerTrigger = 5)(fmgwsDag)
     // same DAG on the RocksDB provider — the state backend for state that
     // outgrows executor heap (the 100 TB deployment choice); prices the
@@ -197,8 +232,8 @@ object StreamBench {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    val ((rocksSec, rocksState, rocksCommit, rocksUpdate),
-         (rocks5Sec, rocks5State, rocks5Commit, rocks5Update)) =
+    val ((rocksSec, rocksState, rocksCommit, rocksUpdate, _),
+         (rocks5Sec, rocks5State, rocks5Commit, rocks5Update, _)) =
       try (runStateful("fmgws-rocksdb")(fmgwsDag),
            runStateful("fmgws-rocksdb-files5", filesPerTrigger = 5)(fmgwsDag))
       finally {
@@ -237,6 +272,7 @@ object StreamBench {
       s""""flatmapgroups_rocksdb":${statefulJson(rocksSec, rocksState, rocksCommit, rocksUpdate)},""" +
       s""""flatmapgroups_rocksdb_files5":${statefulJson(rocks5Sec, rocks5State, rocks5Commit, rocks5Update)},""" +
       s""""parse":{"sec":${f"$parseSec%.2f"},"events_per_sec":${rate(parseSec)}}}""")
+    }
     } finally {
       // scratch cleanup, ALSO on a failing arm (a leaked dump is slices ×
       // the events table in JSON, and the nanoTime-unique name means

@@ -762,4 +762,45 @@ class ScaleSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("registry audit: exchange-reuse census — no plan-identical exchange survives unreused") {
+    // Complement of the scan census (r13 verdict item 3): that one counts
+    // FileScan leaves, so a duplicated shuffle chain whose subtrees are
+    // canonically IDENTICAL — the one shape ReuseExchange/AQE-stage-cache
+    // is supposed to unify — could in principle survive over non-scan
+    // lineage without moving the leaf count (e.g. across a subquery
+    // boundary, or an exprId-divergent rebuild of the same frame). The
+    // census plans every registered query with AQE off (so the
+    // ReuseExchangeAndSubquery preparation rule runs) and counts live
+    // Exchange nodes that are canonical duplicates of another live
+    // exchange in the same plan. Pin: the population is EMPTY — every
+    // identical exchange pair is unified into a ReusedExchangeExec stub.
+    // A new entry means reuse silently broke for that query: at 100 TB the
+    // duplicate re-executes a full shuffle stage per consumer.
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    sys.props("graft.frame.cache.disable") = "1"
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      val (rows, fails) = graft.tools.ExchangeCensus.report(spark, "/root/testdata/sf0.001")
+      assert(fails.isEmpty, s"queries failed to plan during census: $fails")
+      val dup = rows.filter(_._4 > 0).map { case (n, ex, re, d) =>
+        n -> ((ex, re, d))
+      }.toMap
+      assert(dup.isEmpty,
+        s"exchange-reuse census drifted: $dup — a canonical-duplicate " +
+          "exchange survived preparation unreused (a full redundant " +
+          "shuffle stage per consumer at scale); find why ReuseExchange " +
+          "missed it or restructure the plan to share the frame")
+      // the counter is live, not vacuous: reuse DOES fire on the engine's
+      // plans — at least one query must carry a ReusedExchangeExec stub
+      assert(rows.exists(_._3 > 0),
+        "no query planned any ReusedExchangeExec: either the preparation " +
+          "rule stopped running or the census walk went blind")
+    } finally {
+      sys.props.remove("graft.frame.cache.disable")
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.catalog.clearCache()
+    }
+  }
 }
