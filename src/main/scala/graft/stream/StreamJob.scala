@@ -141,6 +141,18 @@ object StreamJob {
         timestamp_millis(col("unix_timestamp").cast("long")))
   }
 
+  /** Measured throughput/latency operating point for stateful replay
+    * (STREAMBENCH_r14 knee table, 10M events, 50 slices): per-trigger
+    * state commit is FIXED ~6–8 s summed over the state partitions
+    * regardless of batch size, so events/s scales with files-per-trigger
+    * — 224k at 1 file, 746k at 5, 1.13M at 10, 1.90M at the single-batch
+    * asymptote. 10 files/trigger is the knee of the latency trade: 60%
+    * of the batch-mode ceiling at p50 batch latency 1.5 s / p95 2.0 s;
+    * past it each throughput increment costs proportionally more latency
+    * than it returns. Size production micro-batches so each trigger
+    * carries ~60k events per state partition before tuning further. */
+  val RecommendedFilesPerTrigger: Int = 10
+
   /** Start the foreachBatch pipeline over any streaming DataFrame. */
   def start(events: DataFrame, checkpointDir: String, steps: Seq[String],
             parallelism: Int = 1)(

@@ -19,7 +19,12 @@ import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
  * every exchange it could unify is a [[ReusedExchangeExec]] stub, so any
  * remaining pair of canonically-equal [[Exchange]] nodes is a REAL miss
  * (the adaptive path reuses by the same canonicalized-plan equality via
- * its stage cache, so AQE-off is a faithful static proxy). Walking stops
+ * its stage cache, so AQE-off is a faithful static proxy). Auto-broadcast
+ * is ALSO disabled (PlanAudit's fat-census lesson): small-sf size
+ * estimates plan scale-relevant joins as broadcasts, and a duplicated
+ * SHUFFLE chain a 100 TB run would execute twice is invisible behind two
+ * cheap-looking broadcast twins — the census audits the shape the big
+ * corpus takes, not the one the test sf takes. Walking stops
  * at InMemoryTableScan (exchanges below a persist run once at
  * materialization) and does not enter ReusedExchangeExec (its child IS
  * the original exchange counted where it lives); subquery plans are
@@ -97,6 +102,9 @@ object ExchangeCensus {
       // AQE OFF: preparation must run ReuseExchangeAndSubquery so a
       // surviving canonical duplicate is a genuine reuse miss
       .config("spark.sql.adaptive.enabled", "false")
+      // broadcast OFF: audit the shuffle shape a 100 TB corpus plans,
+      // not the broadcast shape the test sf's size estimates pick
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

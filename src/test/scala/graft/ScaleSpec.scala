@@ -771,16 +771,20 @@ class ScaleSpec extends SparkSpec {
     // lineage without moving the leaf count (e.g. across a subquery
     // boundary, or an exprId-divergent rebuild of the same frame). The
     // census plans every registered query with AQE off (so the
-    // ReuseExchangeAndSubquery preparation rule runs) and counts live
-    // Exchange nodes that are canonical duplicates of another live
-    // exchange in the same plan. Pin: the population is EMPTY — every
-    // identical exchange pair is unified into a ReusedExchangeExec stub.
-    // A new entry means reuse silently broke for that query: at 100 TB the
-    // duplicate re-executes a full shuffle stage per consumer.
+    // ReuseExchangeAndSubquery preparation rule runs) and auto-broadcast
+    // off (so small-sf size estimates can't hide a scale-relevant shuffle
+    // pair behind two broadcast twins — the fat-census regime), and
+    // counts live Exchange nodes that are canonical duplicates of another
+    // live exchange in the same plan. Pin: the population is EMPTY —
+    // every identical exchange pair is unified into a ReusedExchangeExec
+    // stub. A new entry means reuse silently broke for that query: at
+    // 100 TB the duplicate re-executes a full shuffle stage per consumer.
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val oldBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     sys.props("graft.frame.cache.disable") = "1"
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.catalog.clearCache()
       val (rows, fails) = graft.tools.ExchangeCensus.report(spark, "/root/testdata/sf0.001")
       assert(fails.isEmpty, s"queries failed to plan during census: $fails")
@@ -800,6 +804,7 @@ class ScaleSpec extends SparkSpec {
     } finally {
       sys.props.remove("graft.frame.cache.disable")
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
       spark.catalog.clearCache()
     }
   }
