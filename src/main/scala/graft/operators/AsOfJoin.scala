@@ -62,8 +62,8 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTime: String, rightTime: String): DataFrame = {
-    val leftPayload = struct(left.columns.map(col): _*)
-    val rightPayload = struct(right.columns.map(col): _*)
+    val leftPayload = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rightPayload = struct(right.columns.toIndexedSeq.map(col): _*)
 
     val l = left.select(
       col(leftKey).cast("string").as("_k"), col(leftTime).as("_t"),
@@ -79,7 +79,7 @@ object AsOfJoin {
 
     val lAligned = l.withColumn("_r", lit(null).cast(r.schema("_r").dataType))
     val rAligned = r.withColumn("_l", lit(null).cast(l.schema("_l").dataType))
-      .select(lAligned.columns.map(col): _*)
+      .select(lAligned.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_typ"))

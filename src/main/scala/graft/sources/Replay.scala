@@ -47,7 +47,7 @@ object Replay {
   def kafkaEnvelope(events: DataFrame): DataFrame =
     events.select(
       col("visitorid").cast("string").as("key"),
-      to_json(struct(events.columns.map(col): _*)).as("value"))
+      to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   def writeKafka(events: DataFrame, bootstrapServers: String, topic: String): Unit =
     kafkaEnvelope(events).write

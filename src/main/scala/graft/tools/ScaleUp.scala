@@ -105,7 +105,7 @@ object ScaleUp {
 
     def scale(t: String, keys: Set[String], parts: Int): Unit = {
       val df = read(t).crossJoin(reps)
-      write(df.select(shifted(df, keys): _*), t, parts)
+      write(df.select(shifted(df, keys).toIndexedSeq: _*), t, parts)
     }
 
     scale("customer", Set("c_custkey"), 4)

@@ -98,7 +98,7 @@ object StreamBench {
     val dumpDir = s"/tmp/graft-stream-bench-${System.nanoTime()}"
     Replay.kafkaEnvelope(
       clean.repartitionByRange(slices, col("event_time"))
-        .select(Schemas.clean.fieldNames.map(col): _*))
+        .select(Schemas.clean.fieldNames.toIndexedSeq.map(col): _*))
       .write.json(dumpDir)
     // post-validate event count: the envelope write is 1:1 with `clean`,
     // so count the columnar source instead of schema-inferring the JSON
