@@ -53,9 +53,11 @@ import graft.stream.{GlobalSessions, SessionEvent, StreamJob}
  * per-micro-batch trigger-latency distribution (p50/p95/max) — the
  * latency price of each throughput point. Use more slices than the
  * largest level (e.g. slices=40 for files20) so every arm still has ≥2
- * micro-batches.
+ * micro-batches. Add `provider=rocksdb` to run every knee arm on the
+ * RocksDB state store with changelog checkpointing — the at-scale
+ * backend — so the operating-point table exists for both providers.
  *
- * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10] [knee=1,5,...]
+ * Usage: runMain graft.tools.StreamBench <sfDir> [slices=10] [knee=1,5,...] [provider=rocksdb]
  * Output: one `[arm] <label> sec=…` line as each arm completes (a failed
  * later arm cannot erase earlier measurements), then one JSON line
  * {"events":n,"slices":k,
@@ -71,7 +73,14 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val kneeArg = args.drop(1).find(_.startsWith("knee="))
-    val slices = args.drop(1).find(!_.startsWith("knee=")).map(_.toInt).getOrElse(10)
+    // knee mode may run on the at-scale state backend: provider=rocksdb
+    // switches the store (with changelog checkpointing, the 100 TB config)
+    // for every knee arm, so the operating-point table exists for both
+    // backends
+    val rocks = args.drop(1).contains("provider=rocksdb")
+    val slices = args.drop(1)
+      .find(a => !a.startsWith("knee=") && !a.startsWith("provider="))
+      .map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -191,15 +200,24 @@ object StreamBench {
           if (xs.isEmpty) -1
           else xs.sorted.apply(
             math.min(xs.size - 1, math.max(0, math.ceil(p * xs.size).toInt - 1)))
+        if (rocks) {
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true")
+        }
+        val tag = if (rocks) "-rocksdb" else ""
         val arms = levels.map { f =>
           val (sec, _, commit, update, trig) =
-            runStateful(s"fmgws-files$f", filesPerTrigger = f)(fmgwsDag)
+            runStateful(s"fmgws-files$f$tag", filesPerTrigger = f)(fmgwsDag)
           s""""files$f":{"sec":${f"$sec%.2f"},"events_per_sec":${(n / sec).toLong},""" +
             s""""batches":${trig.size},"trigger_ms":[${trig.mkString(",")}],""" +
             s""""trigger_p50":${pct(trig, 0.5)},"trigger_p95":${pct(trig, 0.95)},""" +
             s""""commit_ms_total":${commit.sum},"update_ms_total":${update.sum}}"""
         }
         println(s"""{"knee":true,"events":$n,"slices":$slices,"sf":"$sfDir",""" +
+          s""""provider":"${if (rocks) "rocksdb" else "hdfs"}",""" +
           s""""arms":{${arms.mkString(",")}}}""")
       case None =>
     val (parseSec, _) = run("parse", analyses = false)
