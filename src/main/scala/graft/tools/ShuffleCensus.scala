@@ -79,6 +79,52 @@ object ShuffleCensus {
     }.sum
   }
 
+  /** One census row: (query, scanned bytes, shuffle write, shuffle read,
+    * disk spill, amp) — amp is -1 when the plan holds no file scan
+    * (iterative queries materialize during construction behind checkpoint
+    * curtains). Caller owns the session; FrameCache should be disabled and
+    * the caller's listener hygiene is handled here (listener added and
+    * removed around the run, bus drained before every snapshot). */
+  def census(spark: SparkSession, sfDir: String, names: Seq[String])
+      : Seq[(String, Long, Long, Long, Long, Double)] = {
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      names.flatMap { name =>
+        val fn = graft.SparkEntry.queries(name)
+        spark.catalog.clearCache()
+        import org.apache.spark.sql.graftshim.Shim
+        Shim.drainListenerBus(spark)
+        listener.reset()
+        val ok = scala.util.Try {
+          val df = fn(spark, sfDir)
+          val scan = scannedBytes(df.queryExecution.sparkPlan)
+          df.write.format("noop").mode("overwrite").save()
+          scan
+        }
+        Shim.drainListenerBus(spark)
+        ok match {
+          case scala.util.Success(scan) =>
+            val w = listener.shuffleWrite.sum()
+            val r = listener.shuffleRead.sum(); val sp = listener.spill.sum()
+            // scan == 0: iterative queries (BPE train, pagerank,
+            // triangles) materialize during CONSTRUCTION and return a
+            // checkpoint-rooted frame — their scans happened before the
+            // final plan existed, so amp is undefined (-1), not infinite;
+            // absolute shuffle bytes are still the record
+            Some((name, scan, w, r, sp,
+              if (scan > 0) w.toDouble / scan else -1.0))
+          case scala.util.Failure(e) =>
+            println(f"$name%-34s FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val minAmp = if (args.length > 1) args(1).toDouble else 0.0
@@ -94,42 +140,12 @@ object ShuffleCensus {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.SketchExprs.register(spark)
     sys.props("graft.frame.cache.disable") = "1"
-    val listener = new MetricsListener
-    spark.sparkContext.addSparkListener(listener)
     // the sweep's by-design exclusion: the all-pairs recall ground truth
     val exclude = Set("q_embed_neardup")
     val mb = 1024.0 * 1024.0
     try {
-      val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-        .filterNot { case (n, _) => exclude(n) }
-        .flatMap { case (name, fn) =>
-          spark.catalog.clearCache()
-          import org.apache.spark.sql.graftshim.Shim
-          Shim.drainListenerBus(spark)
-          listener.reset()
-          val ok = scala.util.Try {
-            val df = fn(spark, sfDir)
-            val scan = scannedBytes(df.queryExecution.sparkPlan)
-            df.write.format("noop").mode("overwrite").save()
-            scan
-          }
-          Shim.drainListenerBus(spark)
-          ok match {
-            case scala.util.Success(scan) =>
-              val w = listener.shuffleWrite.sum()
-              val r = listener.shuffleRead.sum(); val sp = listener.spill.sum()
-              // scan == 0: iterative queries (BPE train, pagerank,
-              // triangles) materialize during CONSTRUCTION and return a
-              // checkpoint-rooted frame — their scans happened before the
-              // final plan existed, so amp is undefined (-1), not infinite;
-              // absolute shuffle bytes are still the record
-              Some((name, scan, w, r, sp,
-                if (scan > 0) w.toDouble / scan else -1.0))
-            case scala.util.Failure(e) =>
-              println(f"$name%-34s FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-              None
-          }
-        }
+      val names = graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(exclude)
+      val rows = census(spark, sfDir, names)
       println(f"\n${"query"}%-34s ${"scan_mb"}%8s ${"shuffle_w_mb"}%13s ${"shuffle_r_mb"}%13s ${"spill_mb"}%9s ${"amp"}%7s")
       rows.sortBy(-_._6).filter(r => r._6 >= minAmp || r._6 < 0).foreach {
         case (n, in, w, r, sp, amp) =>
