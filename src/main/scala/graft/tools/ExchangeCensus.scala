@@ -81,6 +81,10 @@ object ExchangeCensus {
       n match {
         case _: InMemoryTableScanExec => // cache-backed: runs once
         case _: ReusedExchangeExec => // stub: original counted where it lives
+        // A reused subquery shares its SubqueryExec child with the original
+        // site; walking it again would double-count every live exchange in
+        // the shared subtree and report a false dup_unreused (ADVICE r14).
+        case _: org.apache.spark.sql.execution.ReusedSubqueryExec =>
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.inputPlan)
         case other =>

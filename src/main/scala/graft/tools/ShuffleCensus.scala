@@ -43,9 +43,66 @@ import org.apache.spark.sql.execution.FileSourceScanExec
  * so attribution can't bleed across queries.
  *
  * Usage: runMain graft.tools.ShuffleCensus <sfDir> [minAmp=0.0]
- * Output: one line per query (worst amp first) + totals.
+ *                [--diff <priorArtifact> [tol=2.0]]
+ * Output: one line per query (worst amp first) + totals. With --diff, a
+ * final section compares against the prior round's artifact and prints
+ * ONLY queries whose shuffle-write MB or amp moved beyond tolerance
+ * (VERDICT r14 item 2: the magnitude axis was re-run-and-eyeball — a new
+ * fat shuffle in a 135-row table is invisible without a machine diff).
+ * The tolerance band absorbs byte wobble under compression/AQE: a move
+ * is flagged only when it exceeds BOTH an absolute floor (0.25 MB write /
+ * 0.1 amp) and the tol ratio. The deliberate no-pin decision stands —
+ * this is an artifact-to-artifact diff, not a test; run it each round and
+ * adjudicate the (usually empty) flagged list in PLANS.md.
  */
 object ShuffleCensus {
+
+  /** Parse a prior census artifact's per-query table lines into
+    * query -> (scan_mb, shuffle_w_mb, shuffle_r_mb, spill_mb, amp);
+    * amp '-' (scan-less iterative plans) parses as -1. Header, FAILED,
+    * summary, and wrapper noise lines are skipped by the row shape. */
+  def parseArtifact(lines: Iterator[String]): Map[String, (Double, Double, Double, Double, Double)] = {
+    val row =
+      """^(q_\w+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+|-)$""".r
+    lines.map(_.trim).collect {
+      case row(q, scan, w, r, sp, amp) =>
+        q -> (scan.toDouble, w.toDouble, r.toDouble, sp.toDouble,
+          if (amp == "-") -1.0 else amp.toDouble)
+    }.toMap
+  }
+
+  /** Census-vs-prior deltas beyond tolerance: (query, field, prior,
+    * current), where field is "shuffle_w_mb" / "amp" for movers, "NEW"
+    * for a query absent from the prior artifact that ships real bytes
+    * (current in the 4th slot, prior -1), and "GONE" for a prior query
+    * no longer registered (prior write MB in the 3rd slot, current -1).
+    * A numeric move is flagged only when it clears the absolute floor
+    * (0.25 MB / 0.1 amp — compression+AQE byte wobble) AND the tol
+    * ratio; floor-only or ratio-only moves pass silently. */
+  def diffRows(current: Seq[(String, Long, Long, Long, Long, Double)],
+               prior: Map[String, (Double, Double, Double, Double, Double)],
+               tol: Double): Seq[(String, String, Double, Double)] = {
+    val mb = 1024.0 * 1024.0
+    def beyond(a: Double, b: Double, absFloor: Double): Boolean = {
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      hi - lo > absFloor && (lo <= 0 || hi / lo > tol)
+    }
+    val out = Seq.newBuilder[(String, String, Double, Double)]
+    current.foreach { case (n, _, w, _, _, amp) =>
+      val wMb = w / mb
+      prior.get(n) match {
+        case None => if (wMb > 0.25) out += ((n, "NEW", -1.0, wMb))
+        case Some((_, pw, _, _, pAmp)) =>
+          if (beyond(wMb, pw, 0.25)) out += ((n, "shuffle_w_mb", pw, wMb))
+          if (amp >= 0 && pAmp >= 0 && beyond(amp, pAmp, 0.1))
+            out += ((n, "amp", pAmp, amp))
+      }
+    }
+    val curNames = current.map(_._1).toSet
+    prior.keysIterator.filterNot(curNames).toSeq.sorted
+      .foreach(n => out += ((n, "GONE", prior(n)._2, -1.0)))
+    out.result()
+  }
 
   private class MetricsListener extends SparkListener {
     val shuffleWrite = new LongAdder
@@ -127,7 +184,13 @@ object ShuffleCensus {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val minAmp = if (args.length > 1) args(1).toDouble else 0.0
+    val diffIdx = args.indexOf("--diff")
+    val diffPath = if (diffIdx >= 0) Some(args(diffIdx + 1)) else None
+    val tol = args.find(_.startsWith("tol="))
+      .map(_.stripPrefix("tol=").toDouble).getOrElse(2.0)
+    val minAmp = args.drop(1)
+      .find(a => a != "--diff" && !a.startsWith("tol=") && !diffPath.contains(a))
+      .map(_.toDouble).getOrElse(0.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -158,6 +221,24 @@ object ShuffleCensus {
       println(f"[shuffle-census] ${rows.size} queries: scan ${ti / mb}%.0f MB, " +
         f"shuffle write ${tw / mb}%.0f MB (amp ${tw.toDouble / ti}%.2f), " +
         f"read ${tr / mb}%.0f MB, spill ${ts / mb}%.0f MB")
+      diffPath.foreach { path =>
+        val prior = parseArtifact(
+          scala.io.Source.fromFile(path).getLines())
+        require(prior.nonEmpty, s"[shuffle-diff] $path yielded zero rows — " +
+          "wrong file or format drift; a vacuous diff must not read as clean")
+        val moved = diffRows(rows, prior, tol)
+        if (moved.isEmpty)
+          println(s"[shuffle-diff] CLEAN vs $path (tol ${tol}x, " +
+            s"${prior.size} prior rows): no query moved beyond tolerance")
+        else {
+          println(s"[shuffle-diff] vs $path (tol ${tol}x): ${moved.size} moved")
+          moved.foreach { case (q, field, p, c) =>
+            val pS = if (p < 0) "-" else f"$p%.2f"
+            val cS = if (c < 0) "-" else f"$c%.2f"
+            println(f"$q%-34s $field%-13s $pS -> $cS")
+          }
+        }
+      }
     } finally {
       sys.props.remove("graft.frame.cache.disable")
       spark.stop()

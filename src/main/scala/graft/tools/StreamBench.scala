@@ -73,14 +73,26 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val kneeArg = args.drop(1).find(_.startsWith("knee="))
-    // knee mode may run on the at-scale state backend: provider=rocksdb
-    // switches the store (with changelog checkpointing, the 100 TB config)
-    // for every knee arm, so the operating-point table exists for both
-    // backends
+    // crash-recovery certification mode (VERDICT r14 item 4): see the
+    // dispatch block below
+    val recovery = args.drop(1).contains("recovery")
+    // knee and recovery modes may run on the at-scale state backend:
+    // provider=rocksdb switches the store (with changelog checkpointing,
+    // the 100 TB config) for every arm, so the operating-point and
+    // recovery tables exist for both backends
     val rocks = args.drop(1).contains("provider=rocksdb")
+    // fail fast instead of silently measuring the wrong backend: the
+    // standard arms manage their own rocksdb legs, so provider=rocksdb
+    // without a mode that honors it would run HDFS-provider arms while
+    // the artifact claims rocksdb (ADVICE r14)
+    if (rocks && kneeArg.isEmpty && !recovery)
+      throw new IllegalArgumentException(
+        "provider=rocksdb is only honored with knee=... or recovery; " +
+          "the standard arms run their own rocksdb legs")
     val slices = args.drop(1)
-      .find(a => !a.startsWith("knee=") && !a.startsWith("provider="))
-      .map(_.toInt).getOrElse(10)
+      .find(a => !a.startsWith("knee=") && !a.startsWith("provider=") &&
+        a != "recovery")
+      .map(_.toInt).getOrElse(if (recovery) 30 else 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -188,6 +200,142 @@ object StreamBench {
       GlobalSessions.flatMapGroupsWithStateSessions(spark,
         s.select(col("visitorid"), col("event_time")).as[SessionEvent]).toDF()
     }
+    // RECOVERY MODE (VERDICT r14 item 4): certify exactly-once stateful
+    // recovery at the documented operating point. The stream is killed
+    // MID-BATCH by a sink that throws after materializing its rows but
+    // before the batch can commit — from the checkpoint's perspective
+    // identical to a process kill at that instant: offsets are WAL'd, the
+    // commit-log entry and the batch's state version are not durable as
+    // committed. A relaunch on the same checkpoint must replay the failed
+    // batch against the rolled-back state version, emit the identical
+    // rows (the keyed sink overwrites idempotently), and the final
+    // session table must equal the batch twin — no session lost, none
+    // doubled. Timings recorded: wall to crash, the replayed batch's
+    // trigger ms (state reload + re-execution), and restart-to-drain.
+    if (recovery) {
+      import scala.jdk.CollectionConverters._
+      // no-data micro-batches OFF: the watermark advance after batch 0
+      // would otherwise run an EMPTY batch with id 1 and the injected
+      // crash would kill a batch with no state work to replay — batch ids
+      // must map 1:1 to data batches so the dead batch carries ~fpt files
+      // of real sessions. Timeouts then fire on sentinel DATA batches
+      // (the defensive writeSentinel loop below provides them).
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      if (rocks) {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      }
+      // the constant's one production consumer: recovery is certified at
+      // the same batch size the knee table recommends operating at
+      val fpt = StreamJob.RecommendedFilesPerTrigger
+      val maxMs = clean
+        .agg(max(unix_millis(col("event_time").cast("timestamp")))).head().getLong(0)
+      val ckpt = s"$dumpDir-ckpt-recovery"
+      val perBatch =
+        new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+      val invocations = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+      val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val crashBatch = 1L
+      def launch() =
+        fmgwsDag(StreamJob.readEnvelopeFiles(spark, dumpDir,
+            maxFilesPerTrigger = Some(fpt)))
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            val rows = df.collect()
+            invocations.merge(id, 1, (a, b) => a + b)
+            // keyed overwrite = the idempotent-sink contract foreachBatch
+            // requires: a replayed batch rewrites its own key, never appends
+            perBatch.put(id, rows)
+            if (id == crashBatch && crashArmed.getAndSet(false))
+              throw new RuntimeException(
+                "injected crash: sink wrote, batch commit never happened")
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+      val t0 = System.nanoTime()
+      val q1 = launch()
+      val crashSec =
+        try { q1.processAllAvailable(); -1.0 }
+        catch { case _: Exception => (System.nanoTime() - t0) / 1e9 }
+        finally q1.stop()
+      require(crashSec > 0,
+        s"crash never fired: need >= ${crashBatch + 1} batches (slices=$slices, files=$fpt)")
+      println(f"[arm] recovery-crash sec=$crashSec%.2f (batch $crashBatch died mid-flight)")
+      // watermark-flush sentinels: far-future events push the watermark
+      // past every real session's gap boundary; the engine's no-data batch
+      // then fires the event-time timeouts and the open sessions emit
+      var sentinelI = 0
+      def writeSentinel(): Unit = {
+        val ms = maxMs + (1800L + 3600L + 60L + sentinelI) * 1000L
+        val value = "{\\\"timestamp\\\":\\\"t\\\",\\\"visitorid\\\":\\\"~wm~\\\"," +
+          "\\\"event\\\":\\\"view\\\",\\\"itemid\\\":\\\"i\\\",\\\"transactionid\\\":null," +
+          "\\\"event_category\\\":\\\"c\\\",\\\"unix_timestamp\\\":\\\"" + ms + "\\\"}"
+        val f = new java.io.File(dumpDir, f"zz-sentinel-$sentinelI%02d.json")
+        java.nio.file.Files.write(f.toPath,
+          s"""{"key":"~wm~","value":"$value"}""".getBytes("UTF-8"))
+        f.setLastModified(1000000000000L + (slices + 10 + sentinelI) * 1000L)
+        sentinelI += 1
+      }
+      writeSentinel(); writeSentinel()
+      // the batch twin: same archive, same session semantics, one batch job
+      def tMillis(v: Any): Long = v match {
+        case ldt: java.time.LocalDateTime =>
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case t: java.sql.Timestamp => t.getTime
+      }
+      val twin = GlobalSessions.sessionWindow(
+          clean.select(col("visitorid"), col("event_time")), streaming = false)
+        .collect()
+        .map(r => (r.getString(0), tMillis(r.get(1)), tMillis(r.get(2)), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val t1 = System.nanoTime()
+      val q2 = launch()
+      var drainSec = 0.0
+      try {
+        q2.processAllAvailable()
+        drainSec = (System.nanoTime() - t1) / 1e9
+        // defensive: if the no-data timeout batch was missed, one more
+        // sentinel forces another watermark advance + batch
+        var extra = 0
+        while (perBatch.values.asScala.map(_.length).sum -
+                 perBatch.values.asScala.flatMap(_.toSeq)
+                   .count(_.getString(0) == "~wm~") < twin.size && extra < 3) {
+          writeSentinel(); q2.processAllAvailable(); extra += 1
+        }
+      } finally q2.stop()
+      val firstProgress = q2.recentProgress.headOption
+      val replayBatchId = firstProgress.map(_.batchId).getOrElse(-1L)
+      val replayTriggerMs = firstProgress
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .getOrElse(-1L)
+      // ClosedSession.session_end = last event; session_window's end is
+      // last event + gap — align to the twin's convention before comparing
+      val streamed = perBatch.values.asScala.flatMap(_.toSeq)
+        .filter(_.getString(0) != "~wm~")
+        .map(r => (r.getString(0), tMillis(r.get(1)),
+          tMillis(r.get(2)) + 1800L * 1000L, r.getLong(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      val doubled = streamed.size - streamed.distinct.size
+      val lost = (twin.toSet -- streamed.toSet).size
+      val matches = streamed == twin
+      println(f"[arm] recovery-replay drain_sec=$drainSec%.2f " +
+        s"replay_batch=$replayBatchId replay_trigger_ms=$replayTriggerMs " +
+        s"sessions=${streamed.size}/${twin.size} lost=$lost doubled=$doubled match=$matches")
+      println(s"""{"recovery":true,"provider":"${if (rocks) "rocksdb" else "hdfs"}",""" +
+        s""""events":$n,"slices":$slices,"files_per_trigger":$fpt,""" +
+        s""""crash_batch":$crashBatch,"crash_sec":${f"$crashSec%.2f"},""" +
+        s""""replay_batch_id":$replayBatchId,"replay_trigger_ms":$replayTriggerMs,""" +
+        s""""recovery_drain_sec":${f"$drainSec%.2f"},""" +
+        s""""crash_batch_executions":${invocations.getOrDefault(crashBatch, 0)},""" +
+        s""""sessions_streamed":${streamed.size},"sessions_batch_twin":${twin.size},""" +
+        s""""lost":$lost,"doubled":$doubled,"match":$matches}""")
+      require(matches && invocations.getOrDefault(crashBatch, 0) == 2,
+        s"recovery certification FAILED: match=$matches " +
+          s"executions=${invocations.getOrDefault(crashBatch, 0)} lost=$lost doubled=$doubled")
+    } else
     // KNEE MODE: sweep files-per-trigger on the stateful DAG only. Each
     // arm's per-batch triggerExecution distribution is the latency price
     // of its throughput point — the operating-point table the fixed ~8 s

@@ -47,4 +47,53 @@ class ShuffleCensusSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("diff mode: artifact parser reads real table rows, skips noise, keeps '-' amps") {
+    // the r15 diff mode turns the magnitude axis from re-run-and-eyeball
+    // into a machine diff; its parser must survive the artifact's noise
+    // lines (header, wrapper output, FAILED rows, the summary) and the
+    // '-' amp of scan-less iterative plans — a silent zero-row parse
+    // would make every diff vacuously clean, which main() guards against
+    val artifact = Seq(
+      "[wrapper] gate open at load 0.00",
+      "query                               scan_mb  shuffle_w_mb  shuffle_r_mb  spill_mb     amp",
+      "q_bpe_encode                            0.6          3.11          3.11       0.0    5.49",
+      "q_zorder                                2.0          0.00          0.00       0.0    0.00",
+      "q_bpe_train                             0.0          3.11          3.11       0.0       -",
+      "q_broken                           FAILED: SparkException: boom",
+      "[shuffle-census] 135 queries: scan 382 MB, shuffle write 135 MB (amp 0.35), read 135 MB, spill 0 MB")
+    val parsed = tools.ShuffleCensus.parseArtifact(artifact.iterator)
+    assert(parsed.keySet === Set("q_bpe_encode", "q_zorder", "q_bpe_train"))
+    assert(parsed("q_bpe_encode") === ((0.6, 3.11, 3.11, 0.0, 5.49)))
+    assert(parsed("q_bpe_train")._5 === -1.0, "'-' amp must parse as -1, not drop the row")
+  }
+
+  test("diff mode: only moves past BOTH the absolute floor and the tol ratio are flagged") {
+    val mb = 1024L * 1024L
+    def cur(n: String, wMb: Double, amp: Double) =
+      (n, 10L * mb, (wMb * mb).toLong, (wMb * mb).toLong, 0L, amp)
+    val prior = Map(
+      "q_same" -> (10.0, 2.0, 2.0, 0.0, 0.2),       // unchanged
+      "q_wobble" -> (10.0, 0.05, 0.05, 0.0, 0.005), // 4x ratio but under the 0.25 MB floor
+      "q_fat" -> (10.0, 2.0, 2.0, 0.0, 0.2),        // write 2 -> 6 MB: flagged (both gates)
+      "q_creep" -> (10.0, 10.0, 10.0, 0.0, 1.0),    // 10 -> 11 MB: past floor, under ratio
+      "q_iter" -> (0.0, 3.0, 3.0, 0.0, -1.0),       // '-' amp on both sides: amp leg skipped
+      "q_gone" -> (10.0, 5.0, 5.0, 0.0, 0.5))       // no longer registered
+    val current = Seq(
+      cur("q_same", 2.0, 0.2),
+      cur("q_wobble", 0.2, 0.02),
+      cur("q_fat", 6.0, 0.6),
+      cur("q_creep", 11.0, 1.1),
+      cur("q_iter", 3.0, -1.0),
+      cur("q_new_fat", 4.0, 0.4),                   // new query shipping real bytes
+      cur("q_new_tiny", 0.1, 0.01))                 // new but under the floor: silent
+    val moved = tools.ShuffleCensus.diffRows(current, prior, tol = 2.0)
+    val byKey = moved.map(m => (m._1, m._2)).toSet
+    assert(byKey === Set(
+      ("q_fat", "shuffle_w_mb"), ("q_fat", "amp"),
+      ("q_new_fat", "NEW"), ("q_gone", "GONE")), s"got $moved")
+    // flagged rows carry (prior, current) for the one-line adjudication
+    val fat = moved.find(m => m._1 == "q_fat" && m._2 == "shuffle_w_mb").get
+    assert(fat._3 === 2.0 && math.abs(fat._4 - 6.0) < 1e-9)
+  }
 }

@@ -849,6 +849,138 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === batchCensus)
   }
 
+  // Crash recovery certification (VERDICT r14 item 4), on BOTH state
+  // providers: the stream dies MID-BATCH — the sink throws after
+  // materializing rows, before the batch commit, which from the
+  // checkpoint's perspective equals a process kill at that instant
+  // (offsets WAL'd, commit log and durable state version absent). The
+  // relaunch must replay the dead batch against the rolled-back state
+  // version, re-emit the identical rows, and the recovered session table
+  // must equal the batch twin — no session lost, none doubled. The
+  // StreamBench `recovery` mode carries the wall-time leg of the same
+  // certification at sf0.1; this spec carries the batch-oracle leg.
+  Seq("hdfs", "rocksdb").foreach { provider =>
+    test(s"crash mid-batch ($provider): checkpoint recovery loses no session, doubles none") {
+      implicit val sqlCtx = spark.sqlContext
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      // no-data micro-batches OFF: after chunk 0's batch the watermark
+      // advance would otherwise run an empty batch with id 1 and the
+      // injected crash would fire there (outside the intercept, on a batch
+      // with no state work to replay). With them off, batch ids map 1:1 to
+      // data batches — the crash batch carries real session state — and
+      // event-time timeouts fire on the sentinel DATA batches instead.
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      if (provider == "rocksdb") {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // changelog checkpointing is the at-scale config: commits upload
+        // deltas, snapshots go async — the recovery path that matters
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      }
+      try {
+        val batchDf = Tables.clickstream(spark, "/root/testdata/sf0.001")
+          .select(col("visitorid"), col("event_time"))
+        def ntzMillis(v: Any): Long = v match {
+          case ldt: java.time.LocalDateTime =>
+            ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case t: java.sql.Timestamp => t.getTime
+        }
+        val evs = batchDf.collect()
+          .map(r => SessionEvent(r.getString(0),
+            new java.sql.Timestamp(ntzMillis(r.get(1)))))
+          .sortBy(e => (e.event_time.getTime, e.visitorid))
+        val chunks = evs.grouped(math.max(1, evs.length / 4 + 1)).toSeq
+        assert(chunks.length >= 3, "need a batch after the crash batch")
+
+        val ms = MemoryStream[SessionEvent]
+        val perBatch = mutable.Map[Long, Seq[Row]]()
+        val invocations = mutable.Map[Long, Int]()
+        val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val ckpt = java.nio.file.Files.createTempDirectory(s"crash_ckpt_$provider").toString
+        def launch() = GlobalSessions.flatMapGroupsWithStateSessions(spark, ms.toDS())
+          .toDF().writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            val rows = df.collect().toSeq
+            perBatch.synchronized {
+              // keyed overwrite = the idempotent sink foreachBatch requires
+              perBatch(id) = rows
+              invocations(id) = invocations.getOrElse(id, 0) + 1
+            }
+            if (id == 1L && crashArmed.getAndSet(false))
+              throw new RuntimeException(
+                "injected crash: sink wrote, batch never committed")
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+
+        // batch 0 commits; batch 1 dies mid-flight after the sink's write
+        val q1 = launch()
+        try {
+          ms.addData(chunks(0).toSeq); q1.processAllAvailable()
+          ms.addData(chunks(1).toSeq)
+          intercept[Exception] { q1.processAllAvailable() }
+        } finally q1.stop()
+        val (crashRows, crashCount) = perBatch.synchronized {
+          (perBatch.get(1L), invocations.getOrElse(1L, 0))
+        }
+        assert(crashCount === 1, s"crash batch should have run once, ran $crashCount")
+
+        // relaunch on the same checkpoint: batch 1 replays first (its
+        // offsets are WAL'd, its commit is not), then the rest streams
+        val q2 = launch()
+        try {
+          chunks.drop(2).foreach { c => ms.addData(c.toSeq); q2.processAllAvailable() }
+          val maxT = evs.last.event_time.getTime
+          val sentinel = maxT + (1800L + 3600L + 60L) * 1000L
+          ms.addData(SessionEvent("~wm~", new java.sql.Timestamp(sentinel)))
+          q2.processAllAvailable()
+          ms.addData(SessionEvent("~wm~", new java.sql.Timestamp(sentinel + 1000L)))
+          q2.processAllAvailable()
+        } finally q2.stop()
+
+        val (replayRows, totalCount) = perBatch.synchronized {
+          (perBatch.get(1L), invocations.getOrElse(1L, 0))
+        }
+        // the dead batch really re-executed, and deterministically: same
+        // input range + rolled-back state version => identical emissions
+        assert(totalCount === 2, s"crash batch should have replayed, ran $totalCount")
+        assert(replayRows.get.map(_.toString).sorted ===
+          crashRows.get.map(_.toString).sorted, "replay emitted different rows")
+
+        val streamed = perBatch.synchronized { perBatch.values.flatten.toSeq }
+          .filter(_.getAs[String]("visitorid") != "~wm~")
+          .map { r =>
+            (r.getAs[String]("visitorid"),
+              r.getAs[java.sql.Timestamp]("session_start").getTime,
+              r.getAs[java.sql.Timestamp]("session_end").getTime + 1800L * 1000L,
+              r.getAs[Long]("events_in_session"))
+          }.sortBy(t => (t._1, t._2))
+        assert(streamed.size === streamed.distinct.size, "a session was doubled")
+        val batch = GlobalSessions.sessionWindow(batchDf, streaming = false)
+          .collect()
+          .map { r =>
+            (r.getAs[String]("visitorid"),
+              ntzMillis(r.get(r.fieldIndex("session_start"))),
+              ntzMillis(r.get(r.fieldIndex("session_end"))),
+              r.getAs[Long]("events_in_session"))
+          }.sortBy(t => (t._1, t._2)).toSeq
+        assert(streamed.size === batch.size,
+          s"session count diverged after recovery: stream=${streamed.size} batch=${batch.size}")
+        streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+      } finally {
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        if (provider == "rocksdb")
+          spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    }
+  }
+
   test("census: concurrent duplicate commits of one generation race safely") {
     // the StreamCensus twin of the FrameCache forced-race test (which
     // showed Linux rename(2) onto a non-empty directory surfaces as a
