@@ -356,13 +356,31 @@ object StreamBench {
             "true")
         }
         val tag = if (rocks) "-rocksdb" else ""
+        // durable checkpoint bytes: what each arm WROTE to the checkpoint
+        // — state deltas/changelogs + snapshots under state/, offset-WAL +
+        // commit-log beside it. The knee's commit_ms prices the TIME of
+        // per-trigger durability; this prices the BYTES (at 100 TB the
+        // object-store PUT cost per trigger). RocksDB's async snapshot
+        // maintenance makes its state/ size timing-dependent at the
+        // margin; measured after the arm fully drains and stops, which is
+        // the reproducible point.
+        def dirBytes(d: java.io.File): Long =
+          if (d.isFile) d.length
+          else Option(d.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
         val arms = levels.map { f =>
           val (sec, _, commit, update, trig) =
             runStateful(s"fmgws-files$f$tag", filesPerTrigger = f)(fmgwsDag)
+          val ckpt = new java.io.File(s"$dumpDir-ckpt-fmgws-files$f$tag")
+          val mbD = 1024.0 * 1024.0
+          val stateMb = dirBytes(new java.io.File(ckpt, "state")) / mbD
+          val totalMb = dirBytes(ckpt) / mbD
+          println(f"[arm] fmgws-files$f$tag ckpt_state_mb=$stateMb%.2f " +
+            f"ckpt_total_mb=$totalMb%.2f batches=${trig.size}")
           s""""files$f":{"sec":${f"$sec%.2f"},"events_per_sec":${(n / sec).toLong},""" +
             s""""batches":${trig.size},"trigger_ms":[${trig.mkString(",")}],""" +
             s""""trigger_p50":${pct(trig, 0.5)},"trigger_p95":${pct(trig, 0.95)},""" +
-            s""""commit_ms_total":${commit.sum},"update_ms_total":${update.sum}}"""
+            s""""commit_ms_total":${commit.sum},"update_ms_total":${update.sum},""" +
+            s""""ckpt_state_mb":${f"$stateMb%.2f"},"ckpt_total_mb":${f"$totalMb%.2f"}}"""
         }
         println(s"""{"knee":true,"events":$n,"slices":$slices,"sf":"$sfDir",""" +
           s""""provider":"${if (rocks) "rocksdb" else "hdfs"}",""" +
