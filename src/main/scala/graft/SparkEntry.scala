@@ -270,6 +270,7 @@ object SparkEntry {
       cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
       datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))),
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "q_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
     "q_orders_grouping_sets" -> ((s, d) => Relational.ordersGroupingSets(s, d)),
     "q_customer_standing" -> ((s, d) => Relational.customerBalanceStanding(s, d)),
     // the bounded-state heavy-hitter Aggregator, oracle-gated: capacity
@@ -1592,6 +1593,37 @@ object SparkEntry {
         |) SELECT doc_id, n_tokens,
         |  round(CAST(sum_ln_tf AS DOUBLE) / n_tokens - ln(CAST(tot AS DOUBLE)), 6) AS avg_logprob
         |FROM d, t""".stripMargin),
+    // same DECIMAL routing as q_unigram_logprob; the ln arguments combine
+    // exact BIGINT counts in DOUBLE with the identical left-assoc shape as
+    // the Spark side, so operand bits match before ln runs
+    "q_bigram_logprob" -> (TOK +
+      """, bd AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+        |bgu AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM bd
+        |), tf AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS tf
+        |  FROM bgu GROUP BY 1, 2, 3
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT u.token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(toks) AS token FROM tok) u GROUP BY 1
+        |), tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
+        |d AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(tf.tf AS DECIMAL(12,0)) * (
+        |      CAST(ln(3.0 * CAST(c12.c12 AS DOUBLE) * CAST(tt.tot AS DOUBLE)
+        |             + CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS DECIMAL(16,12)) -
+        |      CAST(ln(4.0 * CAST(u1.c AS DOUBLE) * CAST(tt.tot AS DOUBLE)) AS DECIMAL(16,12)))) AS s
+        |  FROM tf
+        |  JOIN c12 USING (w1, w2)
+        |  JOIN uni u1 ON u1.token = tf.w1
+        |  JOIN uni u2 ON u2.token = tf.w2, tt
+        |  GROUP BY tf.doc_id
+        |) SELECT doc_id, n_bigrams,
+        |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logprob FROM d""".stripMargin),
     // quality predicate mirrors q_quality; int/int division is true
     // division (→ DOUBLE) in both engines
     "q_source_reputation" ->

@@ -843,6 +843,68 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated bigram language-model score per document — the next rung
+   * up the CCNet-style perplexity-filter ladder from [[unigramLogProb]]:
+   * docs whose ADJACENT-word structure is unusual for the corpus (shuffled
+   * text, keyword stuffing, boilerplate soup) score low even when every
+   * individual token is common. The model is trained on the corpus itself
+   * (Jelinek-Mercer interpolation, λ = 3/4):
+   *
+   *   P(w2|w1) = 3/4 · c(w1 w2)/c(w1) + 1/4 · c(w2)/tot
+   *            = (3·c12·tot + c1·c2) / (4·c1·tot)
+   *
+   * and the per-doc score is the mean ln P over the doc's adjacent pairs.
+   *
+   * Scale shape: three shuffles, all keyed on high-cardinality columns —
+   * the (doc, w1, w2) tf grain, the corpus (w1, w2) model, and the unigram
+   * vocab — never on doc payloads; the bigram model is a streaming-join
+   * side exactly like tf-idf's vocab. The raw corpus counts stay exact
+   * BIGINTs; they combine in DOUBLE (products up to ~4·c1·tot would
+   * overflow int64 around corpus sizes of 10^10 tokens, and both engines'
+   * IEEE multiply/add on exact integer-valued doubles is deterministic),
+   * ln routes through DECIMAL(16,12) and the tf-weighted sum through an
+   * exact DECIMAL(30,12) so accumulation order can't perturb bits, with
+   * the q_bm25 6 dp rounding policy at the end. One-token docs have no
+   * bigrams and are excluded (mirrored in the oracle).
+   */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = withTokens(docs).select(col("doc_id"), col("toks"))
+    // unigram model over the FULL token stream (1-token docs included —
+    // they train the model even though they can't be scored)
+    val uni = tok.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c")).persistTracked()
+    val tot = uni.agg(sum(col("c")).as("tot"))
+    // adjacent-pair stream, aggregated to (doc, w1, w2) grain first so the
+    // model branch and the scoring branch both reuse the compact frame
+    val tf = tok.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf")).persistTracked()
+    val model = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    // ln arguments combine the exact counts in DOUBLE with a fixed
+    // left-assoc shape — the oracle spells the identical expression, so
+    // the operand bits match before ln ever runs
+    val lnNum = log(lit(3.0) * col("c12").cast("double") * col("tot").cast("double") +
+      col("c1").cast("double") * col("c2").cast("double")).cast("decimal(16,12)")
+    val lnDen = log(lit(4.0) * col("c1").cast("double") * col("tot").cast("double"))
+      .cast("decimal(16,12)")
+    tf.join(model, Seq("w1", "w2"))
+      .join(uni.select(col("token").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      // (12,0) × (17,12) → decimal(30,12): EXACT (the unigram sizing note
+      // applies — one more integer digit for the ln difference's sign room)
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("decimal(12,0)") * (lnNum - lnDen)).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
+  /**
    * Source-reputation rollup: per crawl source (the `source` column —
    * domain, feed, dump shard), document count, exact-duplicate rate,
    * quality-gate pass rate, and mean length — the governance table that

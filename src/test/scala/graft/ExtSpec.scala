@@ -60,6 +60,23 @@ class ExtSpec extends SparkSpec {
     assert(got(1L) === ((1L, d1)))
   }
 
+  test("bigram log-prob: interpolated adjacent-pair model, one-token docs excluded") {
+    val tiny = Seq((0L, "a b a", "en"), (1L, "b c", "en"), (2L, "a", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bigramLogProb(tiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    // uni: a=3 b=2 c=1, tot=6. doc0 pairs (a,b),(b,a):
+    //   (a,b): ln((3*1*6 + 3*2)/(4*3*6)) = ln(1/3)
+    //   (b,a): ln((3*1*6 + 2*3)/(4*2*6)) = ln(1/2)
+    // doc1 pair (b,c): ln((18 + 1*2)/48) = ln(5/12). doc2: no bigrams.
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L) === ((2L, r6((math.log(1.0 / 3) + math.log(0.5)) / 2))))
+    assert(got(1L) === ((1L, r6(math.log(5.0 / 12)))))
+  }
+
   test("source reputation: duplicate and quality rates roll up per source") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "srcA", 67L),

@@ -535,9 +535,10 @@ class ScaleSpec extends SparkSpec {
       "CountMinSketchAgg")
     val bnljPin = Set(
       "q_ann_topk", "q_ann_topk_ivf", "q_ann_topk_ivf_trained",
-      "q_bm25", "q_cms_counts", "q_collocations", "q_datamix",
-      "q_embed_neardup", "q_gap_histogram", "q_item_cooccurrence",
-      "q_key_skew", "q_length_filter", "q_minute_anomaly",
+      "q_bigram_logprob", "q_bm25", "q_cms_counts", "q_collocations",
+      "q_datamix", "q_embed_neardup", "q_gap_histogram",
+      "q_item_cooccurrence", "q_key_skew", "q_length_filter",
+      "q_minute_anomaly",
       "q_revenue_concentration", "q_revenue_concentration_bucketed",
       "q_rfm", "q_rfm_bucketed", "q_spacesaving_approx",
       "q_unigram_logprob")
