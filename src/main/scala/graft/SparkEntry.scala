@@ -250,6 +250,14 @@ object SparkEntry {
         cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
         datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))
     }),
+    // product-quantization ANN: the memory tier of the family (m bytes of
+    // codes per vector instead of d×4 of floats). Same sharded-fold
+    // caveat as q_ann_topk_ivf_trained — the oracle mirror holds while
+    // vec_ids fit one 2^16 shard (true at the sf0.01 gate); the per-
+    // subspace codebooks memoize under tag-suffixed FrameCache keys
+    "q_ann_topk_pq" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d),
+      cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
+      datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // small budget so sf0.01's short docs still spread over multiple packs
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d), 512)),
@@ -469,11 +477,12 @@ object SparkEntry {
     * spaces (ScaleUp replicas start at r·10M), identical rows on the
     * dense 0-based test ids. `kExpr` is any SQL expression for k (a
     * literal or a scalar subquery). */
-  private def seedCentsSql(out: String, kExpr: String): String =
-    s""", $out AS (
+  private def seedCentsSql(out: String, kExpr: String, base: String = "e",
+                           mat: Boolean = false): String =
+    s""", $out AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT cent_id, cent_emb, cent_nrm FROM (
        |    SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm,
-       |      row_number() OVER (ORDER BY vec_id) AS _rk FROM e)
+       |      row_number() OVER (ORDER BY vec_id) AS _rk FROM $base)
        |  WHERE _rk <= ($kExpr)
        |)""".stripMargin
 
@@ -484,35 +493,115 @@ object SparkEntry {
     * clusters that lost every member — the exact mirror of ONE pass of
     * `Similarity.kmeansFromBase`'s loop. Emitted per iteration so the
     * iterations are structurally identical by construction. */
-  private def lloydIterSql(i: Int, prev: String, out: String): String =
-    s""", ar$i AS (
+  private def lloydIterSql(i: Int, prev: String, out: String,
+                           base: String = "e", sfx: String = "",
+                           mat: Boolean = false): String =
+    s""", ar$sfx$i AS (
        |  SELECT e.vec_id, c.cent_id,
        |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      list_sum(list_transform(range(len(e.embedding)), i ->
        |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
        |      c.cent_id ASC) AS INTEGER) AS arank
-       |  FROM e, $prev c
-       |), asg$i AS (
-       |  SELECT vec_id, cent_id AS cluster FROM ar$i WHERE arank = 1
-       |), contrib$i AS (
+       |  FROM $base e, $prev c
+       |), asg$sfx$i AS (
+       |  SELECT vec_id, cent_id AS cluster FROM ar$sfx$i WHERE arank = 1
+       |), contrib$sfx$i AS (
        |  SELECT a.cluster, e.vec_id,
        |    generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x
-       |  FROM asg$i a JOIN e ON a.vec_id = e.vec_id
-       |), dimsum$i AS (
+       |  FROM asg$sfx$i a JOIN $base e ON a.vec_id = e.vec_id
+       |), dimsum$sfx$i AS (
        |  SELECT cluster, pos,
        |    list_sum(array_agg(CAST(x AS DOUBLE) ORDER BY vec_id)) AS sm,
        |    count(*) AS cnt
-       |  FROM contrib$i GROUP BY cluster, pos
-       |), means${i + 1} AS (
+       |  FROM contrib$sfx$i GROUP BY cluster, pos
+       |), means$sfx${i + 1} AS (
        |  SELECT cluster AS cent_id,
        |    array_agg(CAST(sm / cnt AS FLOAT) ORDER BY pos) AS new_emb
-       |  FROM dimsum$i GROUP BY cluster
-       |), $out AS (
+       |  FROM dimsum$sfx$i GROUP BY cluster
+       |), $out AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT p.cent_id, COALESCE(m.new_emb, p.cent_emb) AS cent_emb,
        |    sqrt(list_sum(list_transform(COALESCE(m.new_emb, p.cent_emb),
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cent_nrm
-       |  FROM $prev p LEFT JOIN means${i + 1} m ON p.cent_id = m.cent_id
+       |  FROM $prev p LEFT JOIN means$sfx${i + 1} m ON p.cent_id = m.cent_id
        |)""".stripMargin
+
+  /** q_ann_topk_pq oracle (m=8 subspaces, ksub=8, 2 Lloyd iterations,
+    * 10 queries, top-5): per subspace — slice, norm, seed, 2 Lloyd
+    * passes (the SAME generated blocks as the trained-IVF oracle, run on
+    * sub-vectors), encode (arank=1, the nearestCentroidCol parity), and
+    * the query ADC table — then a fixed left-assoc 8-term sum mirrors
+    * `Similarity.pqTopK`'s expression shape bit for bit. Every multi-
+    * referenced CTE is MATERIALIZED: DuckDB otherwise RE-INLINES each
+    * reference, and the Lloyd chain references its predecessor twice per
+    * pass — the un-hinted form re-expanded the whole training tree per
+    * consumer and ran 229 s at sf0.01; materialized it runs 0.7 s
+    * (results bit-identical — the hint only pins evaluate-once). */
+  private def pqSql: String = {
+    val m = 8; val ksub = 8; val nq = 10; val k = 5; val rerank = 8
+    val per = (0 until m).map { mi =>
+      s""", n$mi AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM (
+         |    SELECT vec_id,
+         |      list_slice(embedding, $mi * (len(embedding) // $m) + 1, ${mi + 1} * (len(embedding) // $m)) AS embedding
+         |    FROM e)
+         |)""".stripMargin +
+        seedCentsSql(s"cb${mi}s", ksub.toString, base = s"n$mi", mat = true) +
+        lloydIterSql(0, prev = s"cb${mi}s", out = s"cb${mi}a", base = s"n$mi",
+          sfx = s"m$mi", mat = true) +
+        lloydIterSql(1, prev = s"cb${mi}a", out = s"cb$mi", base = s"n$mi",
+          sfx = s"m$mi", mat = true) +
+        s""", enc$mi AS MATERIALIZED (
+           |  SELECT vec_id, cent_id AS code$mi FROM (
+           |    SELECT n.vec_id, c.cent_id,
+           |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |        list_sum(list_transform(range(len(n.embedding)), i ->
+           |          CAST(n.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (n.nrm * c.cent_nrm) DESC,
+           |        c.cent_id ASC) AS INTEGER) AS arank
+           |    FROM n$mi n, cb$mi c)
+           |  WHERE arank = 1
+           |), tab$mi AS MATERIALIZED (
+           |  SELECT n.vec_id AS q_id, c.cent_id AS code$mi,
+           |    list_sum(list_transform(range(len(n.embedding)), i ->
+           |      CAST(n.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) AS t$mi,
+           |    c.cent_nrm * c.cent_nrm AS cn2$mi
+           |  FROM n$mi n, cb$mi c WHERE n.vec_id < $nq
+           |)""".stripMargin
+    }.mkString
+    val encJoins = (1 until m).map(mi => s"JOIN enc$mi USING (vec_id)").mkString(" ")
+    val xCols = (0 until m).map(mi => s"code$mi").mkString(", ")
+    val tSum = (1 until m).foldLeft("t0.t0")((acc, mi) => s"($acc + t$mi.t$mi)")
+    val cnSum = (1 until m).foldLeft("t0.cn20")((acc, mi) => s"($acc + t$mi.cn2$mi)")
+    val tabJoins = (1 until m).map(mi =>
+      s"JOIN tab$mi t$mi ON t$mi.q_id = t0.q_id AND t$mi.code$mi = x.code$mi").mkString("\n  ")
+    EMB + per +
+      s""", x AS MATERIALIZED (
+         |  SELECT vec_id, $xCols FROM enc0 $encJoins
+         |), qn AS MATERIALIZED (SELECT vec_id AS q_id, nrm AS q_nrm FROM e WHERE vec_id < $nq),
+         |sc AS (
+         |  SELECT t0.q_id, x.vec_id AS c_id,
+         |    $tSum / (qn.q_nrm * sqrt($cnSum)) AS adc
+         |  FROM x
+         |  JOIN tab0 t0 ON t0.code0 = x.code0
+         |  $tabJoins
+         |  JOIN qn ON qn.q_id = t0.q_id
+         |  WHERE x.vec_id <> t0.q_id
+         |), short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id ASC) AS arank
+         |    FROM sc)
+         |  WHERE arank <= ${rerank * k}
+         |), ex AS (
+         |  SELECT short.q_id, short.c_id,
+         |    list_sum(list_transform(range(len(q.embedding)), i ->
+         |      CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+         |  FROM short JOIN e q ON short.q_id = q.vec_id JOIN e c ON short.c_id = c.vec_id
+         |), rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
+         |  FROM ex
+         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= $k""".stripMargin
+  }
 
   private val MINHASH_PAIRS = SH +
     s""", sg AS (
@@ -1782,6 +1871,7 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
         |  FROM sc
         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
+    "q_ann_topk_pq" -> pqSql,
     "q_global_sessions" -> (CS +
       """, glag AS (
         |  SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time, itemid) AS prev_event_time FROM cs

@@ -300,7 +300,13 @@ object Similarity {
     * Collecting the codebook here also truncates the iterative trainer's
     * per-round lineage, which previously nested each round's plan inside
     * the next. */
-  private def nearestCentroidCol(cents: DataFrame): Column = {
+  private def nearestCentroidCol(cents: DataFrame): Column =
+    nearestCentroidColOn(cents, col("embedding"), col("nrm"))
+
+  /** [[nearestCentroidCol]] against EXPLICIT vector/norm columns — the PQ
+    * encoder assigns m sub-vector columns in one scan, so the fixed
+    * (embedding, nrm) column names can't serve every argmax. */
+  private def nearestCentroidColOn(cents: DataFrame, emb: Column, nrm: Column): Column = {
     // Drop degenerate centroids (zero/NaN/Inf norm) BEFORE building the
     // Codebook — its constructor rejects them (the window form this fold
     // replaced THROWS DIVIDE_BY_ZERO there, so keeping one would diverge).
@@ -323,8 +329,8 @@ object Similarity {
       rows.map(_.getDouble(2)))
     org.apache.spark.sql.graftshim.Shim.column(
       graft.functions.NearestCentroid(
-        org.apache.spark.sql.graftshim.Shim.expression(col("embedding")),
-        org.apache.spark.sql.graftshim.Shim.expression(col("nrm")), cb))
+        org.apache.spark.sql.graftshim.Shim.expression(emb),
+        org.apache.spark.sql.graftshim.Shim.expression(nrm), cb))
   }
 
   /** The IVF probe+search dataflow given a codebook `cents`
@@ -495,6 +501,118 @@ object Similarity {
       case None => kmeansFromBase(base, numCentroids, iters)
     }
     ivfSearch(base, cents, numQueries, k, nprobe)
+  }
+
+  /**
+   * Product-quantization ANN (the Jégou-style IndexPQ scan): split each
+   * embedding into `m` contiguous subspaces, train a tiny spherical
+   * k-means codebook per subspace (the same deterministic Lloyd trainer
+   * as [[ivfTopKTrained]], run on sub-vectors), encode every corpus
+   * vector as `m` small codes, and answer queries by asymmetric distance
+   * computation (ADC): per query, precompute the `m × ksub` table of
+   * exact sub-dot-products against the codebooks, then score each corpus
+   * vector by summing its codes' table entries — the cosine between the
+   * query and the vector's RECONSTRUCTION (‖x̂‖² = Σ_m ‖c_code‖² exactly,
+   * since x̂ is the concatenation of its codewords).
+   *
+   * The ADC pass is a SHORTLIST generator, not the final ranking: the
+   * top `rerank`×k candidates per query re-rank by EXACT cosine (the
+   * shared [[scoreCandidates]] tail — candidates are parameter-bounded,
+   * so the rerank reads `rerank`×k real embeddings per query, not the
+   * corpus). That is the production IndexPQ shape: scan bytes come from
+   * the m-byte codes, accuracy comes from the exact pass over a
+   * shortlist. On this repo's WORST-CASE corpus (i.i.d. random floats —
+   * no subspace correlation for PQ to exploit) recall@5 measures 0.64 at
+   * rerank=8, vs 0.12 ranking by raw ADC alone (ScaleSpec pins the
+   * floor); structured real-world embeddings quantize far tighter.
+   *
+   * This is the memory tier of the ANN family: [[bruteForceTopK]] reads
+   * d×4 bytes per vector per query; the PQ scan reads `m` BYTES of codes
+   * (a 32× shrink at d=64, m=8) plus a broadcast table — at corpus scale
+   * the codes column is what stays resident while embeddings stay on
+   * disk, and composing with the IVF assignment column bounds the scan to
+   * nprobe lists (the IVF-ADC composition is exactly these two operators
+   * chained; kept separate here so each is oracle-checkable alone).
+   *
+   * Scale shape: the encode pass is one linear scan with `m` literal-
+   * codebook argmax columns (narrow — no embedding byte crosses an
+   * exchange, same [[nearestCentroidCol]] machinery as IVF assignment);
+   * the ADC tables are numQueries×ksub rows per subspace, broadcast; the
+   * only shuffle is the per-query rank window over skinny
+   * (q_id, c_id, adc) rows. Determinism across engines: codebook floats
+   * are bit-reproducible (the trainer's sequential-fold guarantee), the
+   * table entries are graft_dot's exact sequential folds, and the ADC
+   * score combines them in a FIXED left-assoc expression shape mirrored
+   * by the oracle SQL — so the shortlist CUTOFF (and the raw doubles
+   * behind it) hash-match, the q_ann_topk precedent.
+   */
+  def pqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+             m: Int = 8, ksub: Int = 8, iters: Int = 2, rerank: Int = 8,
+             cacheDir: Option[String] = None,
+             datasetTag: String = ""): DataFrame = {
+    val base = withNorms(embeddings).persistTracked()
+    // sub-vector slice for subspace mi: contiguous (size DIV m)-wide bands,
+    // computed per-row so the operator is dimension-agnostic (the oracle
+    // spells the identical len//m arithmetic)
+    def sub(mi: Int) =
+      expr(s"slice(embedding, $mi * (size(embedding) DIV $m) + 1, size(embedding) DIV $m)")
+    // one spherical-k-means codebook per subspace (cached like the IVF
+    // codebook — the tag suffix keys each subspace's parquet separately)
+    val books = (0 until m).map { mi =>
+      val subEmb = base.select(col("vec_id"), sub(mi).as("embedding"))
+      cacheDir match {
+        case Some(_) => trainedCodebook(subEmb, ksub, iters, cacheDir,
+          s"$datasetTag#pq$m.$mi")
+        case None => kmeansFromBase(
+          subEmb.select(col("vec_id"), col("embedding"),
+            norm("embedding").as("nrm")).persistTracked(), ksub, iters)
+      }
+    }
+    // encode: ONE corpus scan, m narrow argmax columns (vec_id, code0..) —
+    // this skinny frame is the PQ index; everything downstream reads it,
+    // never the embeddings
+    val codes = (0 until m).foldLeft(
+      base.select(col("vec_id"), col("embedding"))) { (df, mi) =>
+      df.withColumn(s"_s$mi", sub(mi))
+        .withColumn(s"code$mi", nearestCentroidColOn(books(mi),
+          col(s"_s$mi"), sqrt(expr(s"graft_dot(_s$mi, _s$mi)"))))
+        .drop(s"_s$mi")
+    }.drop("embedding")
+    // ADC tables: per subspace, numQueries × ksub rows of exact
+    // sub-dot-products + squared codeword norms; parameter-bounded, so
+    // broadcast is the 100 TB-safe side
+    val tabs = (0 until m).map { mi =>
+      base.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), sub(mi).as("q_sub"))
+        .crossJoin(broadcast(books(mi)))
+        .select(col("q_id"), col("cent_id").as(s"code$mi"),
+          dot("q_sub", "cent_emb").as(s"t$mi"),
+          (col("cent_nrm") * col("cent_nrm")).as(s"cn2$mi"))
+    }
+    // join codes to each subspace's table: after the first join every row
+    // carries q_id, so subsequent joins key on (q_id, code_mi)
+    val joined = tabs.zipWithIndex.foldLeft(codes) { case (df, (tab, mi)) =>
+      if (mi == 0) df.join(broadcast(tab), Seq(s"code$mi"))
+      else df.join(broadcast(tab), Seq("q_id", s"code$mi"))
+    }.filter(col("vec_id") =!= col("q_id"))
+    val qn = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
+    // FIXED left-assoc sums — the oracle spells (((t0+t1)+t2)+t3) the same
+    val tSum = (1 until m).foldLeft(col("t0"))((acc, mi) => acc + col(s"t$mi"))
+    val cnSum = (1 until m).foldLeft(col("cn20"))((acc, mi) => acc + col(s"cn2$mi"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id").asc)
+    val shortlist = joined.join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (tSum / (col("q_nrm") * sqrt(cnSum))).as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank * k)
+      .select(col("q_id"), col("c_id"))
+    // exact re-rank of the shortlist — the family's shared scoring tail
+    val qe = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val ce = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    scoreCandidates(shortlist, qe, ce, k)
   }
 
   /**

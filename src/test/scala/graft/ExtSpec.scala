@@ -452,6 +452,27 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("PQ top-k: encode+ADC+rerank recovers exact cosines on hand-sized vectors") {
+    // 4 vectors, ksub=4, m=2: every sub-vector seeds its own centroid and
+    // Lloyd's fixes them (v3's sub0 duplicates v0's — both assign to the
+    // min-id centroid, whose mean stays (1,0)), so each vector's
+    // reconstruction is itself, the ADC shortlist is perfectly ordered,
+    // and the exact rerank returns hand-computable cosines
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f, -1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(vecs, numQueries = 1, k = 3, m = 2, ksub = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(top.map(_.getAs[Long]("c_id")).toSeq === Seq(3L, 1L, 2L))
+    val cos = top.map(_.getAs[Double]("cosine"))
+    assert(math.abs(cos(0) - 0.5) < 1e-12)  // cos(v0, v3) = 1/(√2·√2)
+    assert(math.abs(cos(1) - 0.0) < 1e-12)
+    assert(math.abs(cos(2) - (-1.0)) < 1e-12)
+  }
+
   test("bm25: exact score on a hand-computed corpus") {
     // d1 = "a b a", d2 = "a c": N=2, avgdl=2.5
     val d = Seq((1L, "a b a", "en"), (2L, "a c", "en")).toDF("doc_id", "text", "lang")
