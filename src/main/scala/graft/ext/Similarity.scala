@@ -306,7 +306,7 @@ object Similarity {
   /** [[nearestCentroidCol]] against EXPLICIT vector/norm columns — the PQ
     * encoder assigns m sub-vector columns in one scan, so the fixed
     * (embedding, nrm) column names can't serve every argmax. */
-  private def nearestCentroidColOn(cents: DataFrame, emb: Column, nrm: Column): Column = {
+  private[graft] def nearestCentroidColOn(cents: DataFrame, emb: Column, nrm: Column): Column = {
     // Drop degenerate centroids (zero/NaN/Inf norm) BEFORE building the
     // Codebook — its constructor rejects them (the window form this fold
     // replaced THROWS DIVIDE_BY_ZERO there, so keeping one would diverge).
@@ -570,14 +570,21 @@ object Similarity {
     }
     // encode: ONE corpus scan, m narrow argmax columns (vec_id, code0..) —
     // this skinny frame is the PQ index; everything downstream reads it,
-    // never the embeddings
+    // never the embeddings. persistTracked is LOAD-BEARING, not a cache
+    // nicety: unpersisted, the m code expressions ride into the pipelined
+    // join chain as UNEVALUATED projections and re-inline at every
+    // consumer — measured 68 s for the 8-join chain at sf10 vs 2.9 s
+    // materialized (PqDiag; cost grew ~4× per join-count doubling, the
+    // duplicated-subtree signature). It is also the operator's story: in
+    // production the codes frame IS the PQ index, a materialized m-bytes-
+    // per-vector table that outlives any single query.
     val codes = (0 until m).foldLeft(
       base.select(col("vec_id"), col("embedding"))) { (df, mi) =>
       df.withColumn(s"_s$mi", sub(mi))
         .withColumn(s"code$mi", nearestCentroidColOn(books(mi),
           col(s"_s$mi"), sqrt(expr(s"graft_dot(_s$mi, _s$mi)"))))
         .drop(s"_s$mi")
-    }.drop("embedding")
+    }.drop("embedding").persistTracked()
     // ADC tables: per subspace, numQueries × ksub rows of exact
     // sub-dot-products + squared codeword norms; parameter-bounded, so
     // broadcast is the 100 TB-safe side

@@ -41,6 +41,15 @@ object SkewProbe {
           .map(b => f"${b / mb}%.2f").mkString(" "))
         println("  dur_ms:   " + s.durMs.sorted.reverse.take(32).mkString(" "))
       }
+      // where the WALL went: task-time totals per stage (the cost view —
+      // a query with 300 tiny stages hides its budget from the bytes view)
+      val allTaskMs = stages.map(_.durMs.foldLeft(0L)(_ + _)).foldLeft(0L)(_ + _)
+      println(f"\n[by task-time] ${stages.size} stages, total task-time ${allTaskMs / 1000.0}%.1f s")
+      stages.sortBy(s => -s.durMs.foldLeft(0L)(_ + _)).take(topStages).foreach { s =>
+        val ms = s.durMs.foldLeft(0L)(_ + _)
+        println(f"stage ${s.stageId}%5d: ${s.tasks}%3d tasks, ${ms / 1000.0}%8.1f s task-time, " +
+          f"${s.bytes.foldLeft(0L)(_ + _) / mb}%8.2f MB, max task ${s.durMs.max / 1000.0}%.1f s")
+      }
     } finally {
       sys.props.remove("graft.frame.cache.disable")
       spark.stop()
