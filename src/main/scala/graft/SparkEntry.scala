@@ -258,6 +258,12 @@ object SparkEntry {
     "q_ann_topk_pq" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d),
       cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
       datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))),
+    // the Faiss-shaped composition: IVF probing bounds the scan, the PQ
+    // codes compress it, exact rerank finishes — shares BOTH trained
+    // codebooks with the component queries via identical cache keys
+    "q_ann_topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d),
+      cacheDir = Some(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-codebooks"),
+      datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // small budget so sf0.01's short docs still spread over multiple packs
     "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d), 512)),
@@ -536,9 +542,11 @@ object SparkEntry {
     * pass — the un-hinted form re-expanded the whole training tree per
     * consumer and ran 229 s at sf0.01; materialized it runs 0.7 s
     * (results bit-identical — the hint only pins evaluate-once). */
-  private def pqSql: String = {
-    val m = 8; val ksub = 8; val nq = 10; val k = 5; val rerank = 8
-    val per = (0 until m).map { mi =>
+  /** The per-subspace training/encode/table blocks shared by the PQ and
+    * IVF-PQ oracles: slice, norm, seed, 2 Lloyd passes, encode, ADC
+    * table — all MATERIALIZED. */
+  private def pqSubspaceSql(m: Int, ksub: Int, nq: Int): String =
+    (0 until m).map { mi =>
       s""", n$mi AS MATERIALIZED (
          |  SELECT vec_id, embedding,
          |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -569,6 +577,27 @@ object SparkEntry {
            |  FROM n$mi n, cb$mi c WHERE n.vec_id < $nq
            |)""".stripMargin
     }.mkString
+
+  /** The shortlist-rerank tail shared by the PQ and IVF-PQ oracles. */
+  private def pqRerankTailSql(rerankN: Int, k: Int): String =
+    s""", short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id ASC) AS arank
+       |    FROM sc)
+       |  WHERE arank <= $rerankN
+       |), ex AS (
+       |  SELECT short.q_id, short.c_id,
+       |    list_sum(list_transform(range(len(q.embedding)), i ->
+       |      CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
+       |  FROM short JOIN e q ON short.q_id = q.vec_id JOIN e c ON short.c_id = c.vec_id
+       |), rk AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
+       |  FROM ex
+       |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= $k""".stripMargin
+
+  private def pqSql: String = {
+    val m = 8; val ksub = 8; val nq = 10; val k = 5; val rerank = 8
+    val per = pqSubspaceSql(m, ksub, nq)
     val encJoins = (1 until m).map(mi => s"JOIN enc$mi USING (vec_id)").mkString(" ")
     val xCols = (0 until m).map(mi => s"code$mi").mkString(", ")
     val tSum = (1 until m).foldLeft("t0.t0")((acc, mi) => s"($acc + t$mi.t$mi)")
@@ -587,20 +616,56 @@ object SparkEntry {
          |  $tabJoins
          |  JOIN qn ON qn.q_id = t0.q_id
          |  WHERE x.vec_id <> t0.q_id
-         |), short AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id ASC) AS arank
-         |    FROM sc)
-         |  WHERE arank <= ${rerank * k}
-         |), ex AS (
-         |  SELECT short.q_id, short.c_id,
-         |    list_sum(list_transform(range(len(q.embedding)), i ->
-         |      CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))) / (q.nrm * c.nrm) AS cosine
-         |  FROM short JOIN e q ON short.q_id = q.vec_id JOIN e c ON short.c_id = c.vec_id
-         |), rk AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rank
-         |  FROM ex
-         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= $k""".stripMargin
+         |)""".stripMargin + pqRerankTailSql(rerank * k, k)
+  }
+
+  /** q_ann_topk_ivfpq oracle: the coarse IVF codebook blocks (same
+    * generated Lloyd SQL as q_ann_topk_ivf_trained, suffixed `c`) bound
+    * the candidate set to each query's nprobe nearest inverted lists;
+    * the PQ subspace blocks (shared with q_ann_topk_pq) score those
+    * candidates by ADC; the shared shortlist-rerank tail finishes with
+    * exact cosines. Mirrors `Similarity.ivfPqTopK` shape for shape. */
+  private def ivfPqSql: String = {
+    val m = 8; val ksub = 8; val nq = 10; val k = 5; val rerank = 8
+    val numCentroids = 8; val nprobe = 2
+    val coarse =
+      seedCentsSql("ccbs", numCentroids.toString, mat = true) +
+        lloydIterSql(0, prev = "ccbs", out = "ccba", sfx = "c", mat = true) +
+        lloydIterSql(1, prev = "ccba", out = "ccb", sfx = "c", mat = true) +
+        s""", car AS MATERIALIZED (
+           |  SELECT e.vec_id, c.cent_id,
+           |    CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      list_sum(list_transform(range(len(e.embedding)), i ->
+           |        CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cent_emb[i+1] AS DOUBLE))) / (e.nrm * c.cent_nrm) DESC,
+           |      c.cent_id ASC) AS INTEGER) AS arank
+           |  FROM e, ccb c
+           |), cassign AS MATERIALIZED (
+           |  SELECT vec_id, cent_id AS cluster FROM car WHERE arank = 1
+           |), cprobes AS MATERIALIZED (
+           |  SELECT vec_id AS q_id, cent_id AS cluster FROM car
+           |  WHERE arank <= $nprobe AND vec_id < $nq
+           |)""".stripMargin
+    val per = pqSubspaceSql(m, ksub, nq)
+    val encJoins = (1 until m).map(mi => s"JOIN enc$mi USING (vec_id)").mkString(" ")
+    val xCols = (0 until m).map(mi => s"code$mi").mkString(", ")
+    val tSum = (1 until m).foldLeft("t0.t0")((acc, mi) => s"($acc + t$mi.t$mi)")
+    val cnSum = (1 until m).foldLeft("t0.cn20")((acc, mi) => s"($acc + t$mi.cn2$mi)")
+    val tabJoins = (0 until m).map(mi =>
+      s"JOIN tab$mi t$mi ON t$mi.q_id = p.q_id AND t$mi.code$mi = x.code$mi").mkString("\n  ")
+    EMB + coarse + per +
+      s""", x AS MATERIALIZED (
+         |  SELECT vec_id, cluster, $xCols
+         |  FROM enc0 $encJoins JOIN cassign USING (vec_id)
+         |), qn AS MATERIALIZED (SELECT vec_id AS q_id, nrm AS q_nrm FROM e WHERE vec_id < $nq),
+         |sc AS (
+         |  SELECT p.q_id, x.vec_id AS c_id,
+         |    $tSum / (qn.q_nrm * sqrt($cnSum)) AS adc
+         |  FROM x
+         |  JOIN cprobes p ON p.cluster = x.cluster
+         |  $tabJoins
+         |  JOIN qn ON qn.q_id = p.q_id
+         |  WHERE x.vec_id <> p.q_id
+         |)""".stripMargin + pqRerankTailSql(rerank * k, k)
   }
 
   private val MINHASH_PAIRS = SH +
@@ -1872,6 +1937,7 @@ object SparkEntry {
         |  FROM sc
         |) SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 5""".stripMargin),
     "q_ann_topk_pq" -> pqSql,
+    "q_ann_topk_ivfpq" -> ivfPqSql,
     "q_global_sessions" -> (CS +
       """, glag AS (
         |  SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time, itemid) AS prev_event_time FROM cs

@@ -623,6 +623,93 @@ object Similarity {
   }
 
   /**
+   * The production ANN composition: IVF coarse probing bounds the scan,
+   * PQ codes compress it, exact rerank restores accuracy — [[ivfTopKTrained]]
+   * and [[pqTopK]] chained, which is the Faiss IVF-PQ index expressed as
+   * one dataflow. Each query touches only the `nprobe`/`numCentroids`
+   * fraction of the CODES table (m bytes per vector), and real embeddings
+   * are read only for the `rerank`×k shortlist — at corpus scale that is
+   * the difference between scanning 100 TB of floats and scanning
+   * ~3 TB of codes for a quarter of the corpus.
+   *
+   * Both codebooks are THE SAME trained artifacts the component operators
+   * use (identical FrameCache keys) — the coarse k-means is bit-identical
+   * to q_ann_topk_ivf_trained's, the subspace books to q_ann_topk_pq's —
+   * so the composition adds no new training, and its oracle reuses the
+   * same generated Lloyd blocks. One scan computes cluster + m codes
+   * (m+1 literal-codebook argmax columns); the persisted (vec_id,
+   * cluster, codes) frame is the serving index.
+   */
+  def ivfPqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                numCentroids: Int = 8, nprobe: Int = 2,
+                m: Int = 8, ksub: Int = 8, iters: Int = 2, rerank: Int = 8,
+                cacheDir: Option[String] = None,
+                datasetTag: String = ""): DataFrame = {
+    val base = withNorms(embeddings).persistTracked()
+    val coarse = cacheDir match {
+      case Some(_) => trainedCodebook(embeddings, numCentroids, iters, cacheDir, datasetTag)
+      case None => kmeansFromBase(base, numCentroids, iters)
+    }
+    def sub(mi: Int) =
+      expr(s"slice(embedding, $mi * (size(embedding) DIV $m) + 1, size(embedding) DIV $m)")
+    val books = (0 until m).map { mi =>
+      val subEmb = base.select(col("vec_id"), sub(mi).as("embedding"))
+      cacheDir match {
+        case Some(_) => trainedCodebook(subEmb, ksub, iters, cacheDir,
+          s"$datasetTag#pq$m.$mi")
+        case None => kmeansFromBase(
+          subEmb.select(col("vec_id"), col("embedding"),
+            norm("embedding").as("nrm")).persistTracked(), ksub, iters)
+      }
+    }
+    // ONE scan: coarse cluster + m fine codes (see pqTopK for why the
+    // persist is load-bearing)
+    val codes = (0 until m).foldLeft(
+      base.withColumn("cluster", nearestCentroidCol(coarse))
+        .select(col("vec_id"), col("cluster"), col("embedding"))) { (df, mi) =>
+      df.withColumn(s"_s$mi", sub(mi))
+        .withColumn(s"code$mi", nearestCentroidColOn(books(mi),
+          col(s"_s$mi"), sqrt(expr(s"graft_dot(_s$mi, _s$mi)"))))
+        .drop(s"_s$mi")
+    }.drop("embedding").persistTracked()
+    // query -> its nprobe nearest coarse lists (the ivfSearch probe shape)
+    val probes = base.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(coarse))
+      .withColumn("arank", centRank).filter(col("arank") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cluster"))
+    val tabs = (0 until m).map { mi =>
+      base.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), sub(mi).as("q_sub"))
+        .crossJoin(broadcast(books(mi)))
+        .select(col("q_id"), col("cent_id").as(s"code$mi"),
+          dot("q_sub", "cent_emb").as(s"t$mi"),
+          (col("cent_nrm") * col("cent_nrm")).as(s"cn2$mi"))
+    }
+    // candidate bounding FIRST (the probes join carries q_id in), then the
+    // ADC tables all key on (q_id, code_mi)
+    val joined = tabs.zipWithIndex.foldLeft(
+      codes.join(broadcast(probes), "cluster")) { case (df, (tab, mi)) =>
+      df.join(broadcast(tab), Seq("q_id", s"code$mi"))
+    }.filter(col("vec_id") =!= col("q_id"))
+    val qn = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
+    val tSum = (1 until m).foldLeft(col("t0"))((acc, mi) => acc + col(s"t$mi"))
+    val cnSum = (1 until m).foldLeft(col("cn20"))((acc, mi) => acc + col(s"cn2$mi"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id").asc)
+    val shortlist = joined.join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (tSum / (col("q_nrm") * sqrt(cnSum))).as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank * k)
+      .select(col("q_id"), col("c_id"))
+    val qe = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val ce = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    scoreCandidates(shortlist, qe, ce, k)
+  }
+
+  /**
    * Symmetric int8 quantization of the embedding column: per vector,
    * `scale = max|x| / 127` and `q_i = round(x_i / scale)` ∈ [-127, 127] —
    * the 4× storage/bandwidth shrink an ANN index applies before sharding.

@@ -209,9 +209,10 @@ class ScaleSpec extends SparkSpec {
     val lshTuned = recall(graft.ext.Similarity.lshTopK(emb, numBands = 8, planesPerBand = 3))
     val ivfRecall = recall(graft.ext.Similarity.ivfTopK(emb))
     val pqRecall = recall(graft.ext.Similarity.pqTopK(emb))
+    val ivfpqRecall = recall(graft.ext.Similarity.ivfPqTopK(emb))
     info(f"recall@5 over ${truth.size} truth pairs: " +
       f"lsh(default 4x4)=$lshDefault%.3f lsh(8x3)=$lshTuned%.3f " +
-      f"ivf=$ivfRecall%.3f pq(8x8,rerank 8)=$pqRecall%.3f")
+      f"ivf=$ivfRecall%.3f pq(8x8,rerank 8)=$pqRecall%.3f ivfpq=$ivfpqRecall%.3f")
     // floors pinned under measured values — a banding/probe regression
     // that actually hurts retrieval trips them
     assert(lshDefault >= 0.3, f"LSH default-layout recall collapsed: $lshDefault%.3f")
@@ -222,6 +223,12 @@ class ScaleSpec extends SparkSpec {
     // subspace structure to exploit) — the ADC shortlist + exact rerank
     // measured 0.64 here; floor pinned under it, same policy as above
     assert(pqRecall >= 0.5, f"PQ recall collapsed: $pqRecall%.3f")
+    // the composition's recall is bounded by BOTH stages (candidates must
+    // survive the coarse probe AND the ADC shortlist) — floor pinned
+    // under the measured value, same policy
+    assert(ivfpqRecall >= 0.4, f"IVF-PQ recall collapsed: $ivfpqRecall%.3f")
+    assert(ivfpqRecall <= pqRecall + 1e-9 || ivfpqRecall <= ivfRecall + 1e-9,
+      "the composed recall cannot exceed both component bounds")
   }
 
   test("hive-style partitioned layout: a stratum filter prunes partitions at the scan") {
@@ -542,8 +549,9 @@ class ScaleSpec extends SparkSpec {
     val bnljPin = Set(
       "q_ann_topk", "q_ann_topk_ivf", "q_ann_topk_ivf_trained",
       // PQ: m ADC-table crossjoins, each query-rows × ksub-row codebook —
-      // both sides parameter-bounded, the IVF-probe precedent
-      "q_ann_topk_pq",
+      // both sides parameter-bounded, the IVF-probe precedent; the IVF-PQ
+      // composition adds the coarse-probe crossjoin (same bound)
+      "q_ann_topk_ivfpq", "q_ann_topk_pq",
       "q_bigram_logprob", "q_bm25", "q_cms_counts", "q_collocations",
       "q_datamix", "q_embed_neardup", "q_gap_histogram",
       "q_item_cooccurrence", "q_key_skew", "q_length_filter",
@@ -672,7 +680,8 @@ class ScaleSpec extends SparkSpec {
       "q_ann_topk_ivf_trained" -> Set("embedding->q_emb"),
       // PQ rerank tail: the numQueries-row probe frame (vec_id < 10),
       // same scoreCandidates bound as every sibling above
-      "q_ann_topk_pq" -> Set("embedding->q_emb"))
+      "q_ann_topk_pq" -> Set("embedding->q_emb"),
+      "q_ann_topk_ivfpq" -> Set("embedding->q_emb"))
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val oldBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     sys.props("graft.frame.cache.disable") = "1"
