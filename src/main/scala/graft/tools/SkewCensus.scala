@@ -38,9 +38,53 @@ import org.apache.spark.sql.SparkSession
  * coalescing; the spec pins the MEASUREMENT legs, not the fleet values).
  *
  * Usage: runMain graft.tools.SkewCensus <sfDir> [flag=4.0]
+ *                [--diff <priorArtifact> [tol=2.0]]
  * Output: one line per query (worst skew_b first) + a flagged section.
+ * With --diff, a final section compares against the prior round's
+ * artifact (the ShuffleCensus --diff convention): only queries whose
+ * skew_b moved beyond BOTH an absolute floor (0.5) and the tol ratio
+ * print, plus NEW/GONE rows; a zero-row prior parse is refused so
+ * format drift can't read as clean.
  */
 object SkewCensus {
+
+  /** Parse a prior census artifact's per-query rows into
+    * query -> (tasks, skew_b). Header, flag lines, and wrapper noise are
+    * skipped by the row shape. */
+  def parseArtifact(lines: Iterator[String]): Map[String, (Int, Double)] = {
+    val row = """^(q_\w+)\s+\d+\s+(\d+)\s+[\d.]+\s+([\d.]+)\s+[\d.]+$""".r
+    lines.map(_.trim).collect {
+      case row(q, tasks, sb) => q -> (tasks.toInt, sb.toDouble)
+    }.toMap
+  }
+
+  /** Census-vs-prior deltas beyond tolerance: (query, kind, prior,
+    * current). kind "skew_b" for movers (both sides must have a
+    * qualifying stage — a query gaining/losing its first qualifying
+    * stage is a threshold crossing, not a skew move), "NEW" for a query
+    * absent from the prior artifact whose skew clears the flag line,
+    * "GONE" for a prior query no longer registered. A numeric move is
+    * flagged only when it clears the 0.5 absolute floor AND the tol
+    * ratio (AQE re-grouping wobbles small stages; see the r15
+    * adjudication). */
+  def diffRows(current: Seq[(String, Int, Int, Long, Double, Double)],
+               prior: Map[String, (Int, Double)],
+               tol: Double, flag: Double): Seq[(String, String, Double, Double)] = {
+    val out = Seq.newBuilder[(String, String, Double, Double)]
+    current.foreach { case (n, _, tasks, _, sb, _) =>
+      prior.get(n) match {
+        case None => if (tasks > 0 && sb > flag) out += ((n, "NEW", -1.0, sb))
+        case Some((pTasks, pSb)) if tasks > 0 && pTasks > 0 =>
+          val lo = math.min(sb, pSb); val hi = math.max(sb, pSb)
+          if (hi - lo > 0.5 && hi / lo > tol) out += ((n, "skew_b", pSb, sb))
+        case _ => // threshold crossing: one side had no qualifying stage
+      }
+    }
+    val curNames = current.map(_._1).toSet
+    prior.keysIterator.filterNot(curNames).toSeq.sorted
+      .foreach(n => out += ((n, "GONE", prior(n)._2, -1.0)))
+    out.result()
+  }
 
   /** One stage's per-task observations (successful tasks only). */
   case class StageTasks(stageId: Int, bytes: Seq[Long], durMs: Seq[Long]) {
@@ -140,6 +184,10 @@ object SkewCensus {
     val sfDir = args(0)
     val flag = args.find(_.startsWith("flag="))
       .map(_.stripPrefix("flag=").toDouble).getOrElse(4.0)
+    val diffIdx = args.indexOf("--diff")
+    val diffPath = if (diffIdx >= 0) Some(args(diffIdx + 1)) else None
+    val tol = args.find(_.startsWith("tol="))
+      .map(_.stripPrefix("tol=").toDouble).getOrElse(2.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -169,6 +217,23 @@ object SkewCensus {
         s"${flagged.size} flagged above ${flag}x")
       flagged.sortBy(-_._5).foreach { case (n, _, tk, b, sb, _) =>
         println(f"[skew-flag] $n%-34s skew_b $sb%.2f over $tk tasks, ${b / mb}%.1f MB")
+      }
+      diffPath.foreach { path =>
+        val prior = parseArtifact(scala.io.Source.fromFile(path).getLines())
+        require(prior.nonEmpty, s"[skew-diff] $path yielded zero rows — " +
+          "wrong file or format drift; a vacuous diff must not read as clean")
+        val moved = diffRows(rows, prior, tol, flag)
+        if (moved.isEmpty)
+          println(s"[skew-diff] CLEAN vs $path (tol ${tol}x, " +
+            s"${prior.size} prior rows): no query moved beyond tolerance")
+        else {
+          println(s"[skew-diff] vs $path (tol ${tol}x): ${moved.size} moved")
+          moved.foreach { case (q, kind, p, c) =>
+            val pS = if (p < 0) "-" else f"$p%.2f"
+            val cS = if (c < 0) "-" else f"$c%.2f"
+            println(f"$q%-34s $kind%-8s $pS -> $cS")
+          }
+        }
       }
     } finally {
       sys.props.remove("graft.frame.cache.disable")

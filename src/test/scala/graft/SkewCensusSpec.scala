@@ -66,6 +66,36 @@ class SkewCensusSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("diff mode: parser reads real rows, movers gate on floor AND ratio, crossings stay silent") {
+    // parser: header / flag / noise lines skipped by row shape
+    val artifact = Seq(
+      "query                              stages  tasks  stage_mb  skew_b  skew_t",
+      "q_containment                          20     20    402.04    5.01    4.48",
+      "q_tfidf                                 8     32    168.65    1.00    1.03",
+      "q_quiet                                 4      0      0.00    1.00    1.00",
+      "[skew-flag] q_containment           skew_b 5.01 over 20 tasks, 402.0 MB",
+      "26/08/16 WARN noise")
+    val prior = SkewCensus.parseArtifact(artifact.iterator)
+    assert(prior === Map("q_containment" -> ((20, 5.01)),
+      "q_tfidf" -> ((32, 1.00)), "q_quiet" -> ((0, 1.00))))
+    def row(n: String, tasks: Int, sb: Double) = (n, 5, tasks, 1L << 21, sb, 1.0)
+    // mover: clears 0.5 absolute AND 2x ratio; absent queries report GONE
+    assert(SkewCensus.diffRows(Seq(row("q_tfidf", 32, 2.6)), prior, 2.0, 4.0).toSet
+      === Set(("q_containment", "GONE", 5.01, -1.0), ("q_quiet", "GONE", 1.0, -1.0),
+        ("q_tfidf", "skew_b", 1.0, 2.6)))
+    val full = Seq(row("q_containment", 20, 5.0), row("q_tfidf", 32, 1.4),
+      row("q_quiet", 0, 1.0))
+    // ratio-only (1.0 -> 1.4: ratio clears nothing) and within-tol moves silent
+    assert(SkewCensus.diffRows(full, prior, 2.0, 4.0).isEmpty)
+    // threshold crossing (prior had no qualifying stage) is NOT a mover
+    assert(SkewCensus.diffRows(Seq(row("q_quiet", 16, 3.0), row("q_containment", 20, 5.0),
+      row("q_tfidf", 32, 1.0)), prior, 2.0, 4.0).isEmpty)
+    // NEW query prints only when it would be flag-worthy
+    assert(SkewCensus.diffRows(full :+ row("q_new_hot", 16, 6.0), prior, 2.0, 4.0)
+      === Seq(("q_new_hot", "NEW", -1.0, 6.0)))
+    assert(SkewCensus.diffRows(full :+ row("q_new_ok", 16, 1.2), prior, 2.0, 4.0).isEmpty)
+  }
+
   test("uniform-key shuffle reads near-balanced; sub-threshold stages are ignored") {
     import spark.implicits._
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
