@@ -56,6 +56,62 @@ object Bench {
     (load, procs, javas)
   }
 
+  /** Parse the flat `"queries":{"q_x":1.234,...}` dict out of a bench
+    * artifact (ours or local_bench.py's — both write plain name→number
+    * with no nesting inside the dict). Dependency-free by design: the
+    * format is this repo's own, and the parser is spec-pinned
+    * (BenchRetrySpec) so format drift breaks a test, not the retry pass.
+    * Returns empty on any malformed input — a broken reference must
+    * degrade to "no retries", never crash the bench. */
+  def parseRefQueries(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\"")
+    if (start < 0) Map.empty
+    else {
+      val open = json.indexOf('{', start)
+      val close = if (open < 0) -1 else json.indexOf('}', open)
+      if (close < 0) Map.empty
+      else {
+        val entry = """"([^"]+)"\s*:\s*(-?[\d.eE+]+)""".r
+        entry.findAllMatchIn(json.substring(open + 1, close))
+          .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+          .toMap
+      }
+    }
+  }
+
+  /** Latest BENCH_LOCAL_r{N}[suffix].json in `dir` by round number (suffix
+    * breaks ties lexicographically — r10b beats r10). The default retry
+    * reference: the most recent idle-host 3-JVM protocol artifact. */
+  def latestLocalBench(dir: java.io.File): Option[java.io.File] = {
+    val pat = """BENCH_LOCAL_r(\d+)([a-z]?)\.json""".r
+    Option(dir.listFiles).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case pat(n, s) => Some(((n.toInt, s), f))
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Outlier-retry selection rule (spec-pinned): a query earns a re-run
+    * when its suite reading exceeds BOTH kRatio× its reference reading
+    * AND the reference by more than absFloor seconds — the ratio alone
+    * would retry 50 ms queries that tripled on scheduler noise, the
+    * floor alone would retry every genuinely-slow query on a slightly
+    * loaded box. Worst inflation first, capped (a fully-contaminated
+    * window would otherwise retry the entire suite and double the bench).
+    * Returns (name, suiteSec, refSec). Queries missing from the
+    * reference or non-positive on either side never qualify. */
+  def retryCandidates(results: Seq[(String, Double)], ref: Map[String, Double],
+                      kRatio: Double, absFloor: Double, cap: Int)
+      : Seq[(String, Double, Double)] =
+    results.flatMap { case (n, cur) =>
+      ref.get(n) match {
+        case Some(r) if cur > 0 && r > 0 && cur > kRatio * r && cur - r > absFloor =>
+          Some((n, cur, r))
+        case _ => None
+      }
+    }.sortBy { case (_, cur, r) => -cur / r }.take(cap)
+
   def main(args: Array[String]): Unit = {
     val ctxStart = machineCtx()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,6 +184,70 @@ object Bench {
         spark.catalog.clearCache()
         name -> n
       }
+    // Outlier-retry pass — the bench's self-defense against a LOADED
+    // WINDOW (r15: the driver artifact shipped with load 1.9→3.6 and five
+    // 3–20× spikes that an idle re-run disproved; min-of-2 defends only
+    // against a one-off spike, because a contaminated window spans both
+    // repeats). Any query whose suite reading exceeds the retry rule vs a
+    // REFERENCE artifact (env-pointed; default: the latest idle-host
+    // BENCH_LOCAL_r*.json next to the output file) gets ONE load-gated
+    // re-run appended under "retries" — so the artifact adjudicates its
+    // own contamination inside a single driver invocation: a fast retry
+    // means the suite reading was environmental, a slow retry under a
+    // quiet stamp means a real regression. SPARK_GRAFT_BENCH_REF=none
+    // disables (local_bench.py sets it: the 3-JVM protocol's defense is
+    // its cross-JVM median, and its runs must stay pure timing).
+    val refSetting = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "")
+    val refFile: Option[java.io.File] =
+      if (refSetting == "none") None
+      else if (refSetting.nonEmpty) Some(new java.io.File(refSetting)).filter(_.isFile)
+      else latestLocalBench(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+        .toAbsolutePath.getParent.toFile)
+    val retryK = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_K", "3.0").toDouble
+    val retryCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_CAP", "10").toInt
+    val refQueries = refFile.map(f =>
+      parseRefQueries(java.nio.file.Files.readString(f.toPath))).getOrElse(Map.empty)
+    val candidates = retryCandidates(results, refQueries, retryK,
+      absFloor = 0.5, cap = retryCap)
+    val retries: Seq[(String, Double, Double, Double, Double, Int)] =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        // load gate: wait (bounded) for the 1-min load to decay and any
+        // sibling JVMs to exit, so the retry measures the machine the
+        // reference was measured on; the retry stamps its own (load,
+        // jvms) either way — a gate that gave up still classifies itself
+        val gate = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_GATE", "2.0").toDouble
+        val waitBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_WAIT", "150").toInt
+        val deadline = System.nanoTime() + waitBudget * 1000000000L
+        var ctx = machineCtx()
+        while ((ctx._1 > gate || ctx._3 > 0) && ctx._1 >= 0 &&
+               System.nanoTime() < deadline) {
+          Thread.sleep(5000)
+          ctx = machineCtx()
+        }
+        System.err.println(s"[bench] retrying ${candidates.size} outlier(s) vs " +
+          s"${refFile.map(_.getName).getOrElse("?")} (load ${ctx._1}, " +
+          s"sibling jvms ${ctx._3}): " + candidates.map(_._1).mkString(","))
+        candidates.map { case (name, orig, ref) =>
+          spark.catalog.clearCache()
+          val (load, _, jvms) = machineCtx()
+          val t0 = System.nanoTime()
+          val sec =
+            try { SparkEntry.queries(name)(spark, sfDir)
+                    .write.format("noop").mode("overwrite").save()
+                  (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] retry $name failed: ${e.getMessage}"); -1.0 }
+          (name, orig, ref, sec, load, jvms)
+        }
+      }
+    val retriesJson =
+      if (retries.isEmpty) ""
+      else retries.map { case (n, orig, ref, sec, load, jvms) =>
+        f""""$n":{"orig":$orig%.3f,"ref":$ref%.3f,"sec":$sec%.3f,"load":$load%.2f,"jvms":$jvms}"""
+      }.mkString(",\"retries\":{", ",", "}") +
+        s""","retry_ref":"${refFile.map(_.getName).getOrElse("")}""""
     val ctxEnd = machineCtx()
     // environment stamp: loadavg + total procs + sibling JVMs at start/end
     // — lets the judge classify a contaminated run without a re-run
@@ -143,7 +263,7 @@ object Bench {
       if (rowCounts.isEmpty) ""
       else rowCounts.map { case (k, n) => "\"" + k + "\":" + n }
         .mkString(",\"rows\":{", ",", "}")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,${envJson(compact = false)},"queries":$fullQs$rowsJson,"sf":"$sfDir"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,${envJson(compact = false)},"queries":$fullQs$rowsJson$retriesJson,"sf":"$sfDir"}"""
     // The full per-query dict (84+ entries, ~2.2 KB) no longer fits the
     // consumer's 2000-char stdout tail window (r1/r3/r4 artifacts all came
     // back "parsed": null with the line's FRONT cut off). The stdout line
@@ -157,7 +277,7 @@ object Bench {
       if (s.endsWith("0") && s.contains('.')) s.dropRight(1) else s
     }
     val byCost = results.sortBy(-_._2)
-    val frame = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,${envJson(compact = true)},"queries":{},"omitted":00,"full":"bench.json","sf":"$sfDir"}"""
+    val frame = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,${envJson(compact = true)},"queries":{},"omitted":00,"retried":${retries.size},"full":"bench.json","sf":"$sfDir"}"""
     var used = frame.length
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     byCost.foreach { case (k, v) =>
@@ -167,7 +287,7 @@ object Bench {
     val keptSorted = kept.sortBy(_._1) // stable name order for round-over-round diffs
     val qs = keptSorted.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val json = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,${envJson(compact = true)},"queries":$qs,"omitted":${results.size - kept.size},"full":"bench.json","sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,${envJson(compact = true)},"queries":$qs,"omitted":${results.size - kept.size},"retried":${retries.size},"full":"bench.json","sf":"$sfDir"}"""
     // Persist the complete line to a file FIRST (survives any console
     // truncation); resolve + log the absolute destination so an unexpected
     // CWD (and the overwrite of a pre-existing bench.json) is visible

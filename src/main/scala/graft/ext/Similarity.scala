@@ -551,15 +551,36 @@ object Similarity {
              cacheDir: Option[String] = None,
              datasetTag: String = ""): DataFrame = {
     val base = withNorms(embeddings).persistTracked()
-    // sub-vector slice for subspace mi: contiguous (size DIV m)-wide bands,
-    // computed per-row so the operator is dimension-agnostic (the oracle
-    // spells the identical len//m arithmetic)
-    def sub(mi: Int) =
-      expr(s"slice(embedding, $mi * (size(embedding) DIV $m) + 1, size(embedding) DIV $m)")
-    // one spherical-k-means codebook per subspace (cached like the IVF
-    // codebook — the tag suffix keys each subspace's parquet separately)
-    val books = (0 until m).map { mi =>
-      val subEmb = base.select(col("vec_id"), sub(mi).as("embedding"))
+    val books = pqSubspaceBooks(base, m, ksub, iters, cacheDir, datasetTag)
+    val codes = pqEncode(base.select(col("vec_id"), col("embedding")), books, m)
+    // join codes to each subspace's table: after the first join every row
+    // carries q_id, so subsequent joins key on (q_id, code_mi)
+    val joined = pqAdcTables(base, books, m, numQueries).zipWithIndex
+      .foldLeft(codes) { case (df, (tab, mi)) =>
+        if (mi == 0) df.join(broadcast(tab), Seq(s"code$mi"))
+        else df.join(broadcast(tab), Seq("q_id", s"code$mi"))
+      }.filter(col("vec_id") =!= col("q_id"))
+    val shortlist = pqAdcShortlist(joined, base, m, numQueries, rerank, k)
+    pqRerankTail(shortlist, base, numQueries, k)
+  }
+
+  /** Sub-vector slice for subspace mi of m: contiguous (size DIV m)-wide
+    * bands, computed per-row so the operators are dimension-agnostic (the
+    * oracle spells the identical len//m arithmetic via pqSubspaceSql).
+    * Shared by [[pqTopK]] and [[ivfPqTopK]] — a slice-arithmetic change
+    * here changes both, the drift-proofing the oracle-side builders got. */
+  private def pqSubSlice(m: Int, mi: Int): org.apache.spark.sql.Column =
+    expr(s"slice(embedding, $mi * (size(embedding) DIV $m) + 1, size(embedding) DIV $m)")
+
+  /** One spherical-k-means codebook per subspace (cached like the IVF
+    * codebook — the `#pq$m.$mi` tag suffix keys each subspace's parquet
+    * separately). The cache-tag convention is load-bearing: [[ivfPqTopK]]
+    * reuses [[pqTopK]]'s trained books byte-for-byte through it. */
+  private def pqSubspaceBooks(base: DataFrame, m: Int, ksub: Int, iters: Int,
+                              cacheDir: Option[String],
+                              datasetTag: String): Seq[DataFrame] =
+    (0 until m).map { mi =>
+      val subEmb = base.select(col("vec_id"), pqSubSlice(m, mi).as("embedding"))
       cacheDir match {
         case Some(_) => trainedCodebook(subEmb, ksub, iters, cacheDir,
           s"$datasetTag#pq$m.$mi")
@@ -568,53 +589,63 @@ object Similarity {
             norm("embedding").as("nrm")).persistTracked(), ksub, iters)
       }
     }
-    // encode: ONE corpus scan, m narrow argmax columns (vec_id, code0..) —
-    // this skinny frame is the PQ index; everything downstream reads it,
-    // never the embeddings. persistTracked is LOAD-BEARING, not a cache
-    // nicety: unpersisted, the m code expressions ride into the pipelined
-    // join chain as UNEVALUATED projections and re-inline at every
-    // consumer — measured 68 s for the 8-join chain at sf10 vs 2.9 s
-    // materialized (PqDiag; cost grew ~4× per join-count doubling, the
-    // duplicated-subtree signature). It is also the operator's story: in
-    // production the codes frame IS the PQ index, a materialized m-bytes-
-    // per-vector table that outlives any single query.
-    val codes = (0 until m).foldLeft(
-      base.select(col("vec_id"), col("embedding"))) { (df, mi) =>
-      df.withColumn(s"_s$mi", sub(mi))
+
+  /** Encode pass: ONE corpus scan appending m narrow argmax code columns
+    * to `start`, dropping the embedding, and PERSISTING the result — this
+    * skinny frame is the PQ index; everything downstream reads it, never
+    * the embeddings. persistTracked is LOAD-BEARING, not a cache nicety:
+    * unpersisted, the m code expressions ride into the pipelined join
+    * chain as UNEVALUATED projections and re-inline at every consumer —
+    * measured 68 s for the 8-join chain at sf10 vs 2.9 s materialized
+    * (PqDiag; cost grew ~4× per join-count doubling, the duplicated-
+    * subtree signature). It is also the operator's story: in production
+    * the codes frame IS the PQ index, a materialized m-bytes-per-vector
+    * table that outlives any single query. `start` may carry extra
+    * columns (ivfPqTopK threads `cluster` through). */
+  private def pqEncode(start: DataFrame, books: Seq[DataFrame], m: Int): DataFrame =
+    (0 until m).foldLeft(start) { (df, mi) =>
+      df.withColumn(s"_s$mi", pqSubSlice(m, mi))
         .withColumn(s"code$mi", nearestCentroidColOn(books(mi),
           col(s"_s$mi"), sqrt(expr(s"graft_dot(_s$mi, _s$mi)"))))
         .drop(s"_s$mi")
     }.drop("embedding").persistTracked()
-    // ADC tables: per subspace, numQueries × ksub rows of exact
-    // sub-dot-products + squared codeword norms; parameter-bounded, so
-    // broadcast is the 100 TB-safe side
-    val tabs = (0 until m).map { mi =>
+
+  /** ADC tables: per subspace, numQueries × ksub rows of exact
+    * sub-dot-products + squared codeword norms; parameter-bounded, so
+    * broadcast is the 100 TB-safe side. */
+  private def pqAdcTables(base: DataFrame, books: Seq[DataFrame], m: Int,
+                          numQueries: Int): Seq[DataFrame] =
+    (0 until m).map { mi =>
       base.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("q_id"), sub(mi).as("q_sub"))
+        .select(col("vec_id").as("q_id"), pqSubSlice(m, mi).as("q_sub"))
         .crossJoin(broadcast(books(mi)))
         .select(col("q_id"), col("cent_id").as(s"code$mi"),
           dot("q_sub", "cent_emb").as(s"t$mi"),
           (col("cent_nrm") * col("cent_nrm")).as(s"cn2$mi"))
     }
-    // join codes to each subspace's table: after the first join every row
-    // carries q_id, so subsequent joins key on (q_id, code_mi)
-    val joined = tabs.zipWithIndex.foldLeft(codes) { case (df, (tab, mi)) =>
-      if (mi == 0) df.join(broadcast(tab), Seq(s"code$mi"))
-      else df.join(broadcast(tab), Seq("q_id", s"code$mi"))
-    }.filter(col("vec_id") =!= col("q_id"))
+
+  /** The ADC score + per-query shortlist window over the joined
+    * (codes ⋈ tables) frame: FIXED left-assoc sums — the oracle spells
+    * (((t0+t1)+t2)+t3) the same, so the shortlist cutoff hash-matches. */
+  private def pqAdcShortlist(joined: DataFrame, base: DataFrame, m: Int,
+                             numQueries: Int, rerank: Int, k: Int): DataFrame = {
     val qn = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
-    // FIXED left-assoc sums — the oracle spells (((t0+t1)+t2)+t3) the same
     val tSum = (1 until m).foldLeft(col("t0"))((acc, mi) => acc + col(s"t$mi"))
     val cnSum = (1 until m).foldLeft(col("cn20"))((acc, mi) => acc + col(s"cn2$mi"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id").asc)
-    val shortlist = joined.join(broadcast(qn), "q_id")
+    joined.join(broadcast(qn), "q_id")
       .select(col("q_id"), col("vec_id").as("c_id"),
         (tSum / (col("q_nrm") * sqrt(cnSum))).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank * k)
       .select(col("q_id"), col("c_id"))
-    // exact re-rank of the shortlist — the family's shared scoring tail
+  }
+
+  /** Exact re-rank of a (q_id, c_id) shortlist — the family's shared
+    * scoring tail over real embeddings ([[scoreCandidates]]). */
+  private def pqRerankTail(shortlist: DataFrame, base: DataFrame,
+                           numQueries: Int, k: Int): DataFrame = {
     val qe = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val ce = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -625,8 +656,13 @@ object Similarity {
   /**
    * The production ANN composition: IVF coarse probing bounds the scan,
    * PQ codes compress it, exact rerank restores accuracy — [[ivfTopKTrained]]
-   * and [[pqTopK]] chained, which is the Faiss IVF-PQ index expressed as
-   * one dataflow. Each query touches only the `nprobe`/`numCentroids`
+   * and [[pqTopK]] chained, a Faiss-SHAPED composition expressed as one
+   * dataflow. One deliberate divergence from Faiss IndexIVFPQ defaults:
+   * PQ encoding is on RAW vectors, not coarse-centroid residuals (Faiss's
+   * `by_residual=false` semantics) — the oracle mirrors raw-vector
+   * encoding exactly, and a reader tuning recall expectations against
+   * Faiss-with-residuals should expect that variant to quantize tighter.
+   * Each query touches only the `nprobe`/`numCentroids`
    * fraction of the CODES table (m bytes per vector), and real embeddings
    * are read only for the `rerank`×k shortlist — at corpus scale that is
    * the difference between scanning 100 TB of floats and scanning
@@ -650,63 +686,26 @@ object Similarity {
       case Some(_) => trainedCodebook(embeddings, numCentroids, iters, cacheDir, datasetTag)
       case None => kmeansFromBase(base, numCentroids, iters)
     }
-    def sub(mi: Int) =
-      expr(s"slice(embedding, $mi * (size(embedding) DIV $m) + 1, size(embedding) DIV $m)")
-    val books = (0 until m).map { mi =>
-      val subEmb = base.select(col("vec_id"), sub(mi).as("embedding"))
-      cacheDir match {
-        case Some(_) => trainedCodebook(subEmb, ksub, iters, cacheDir,
-          s"$datasetTag#pq$m.$mi")
-        case None => kmeansFromBase(
-          subEmb.select(col("vec_id"), col("embedding"),
-            norm("embedding").as("nrm")).persistTracked(), ksub, iters)
-      }
-    }
-    // ONE scan: coarse cluster + m fine codes (see pqTopK for why the
-    // persist is load-bearing)
-    val codes = (0 until m).foldLeft(
+    val books = pqSubspaceBooks(base, m, ksub, iters, cacheDir, datasetTag)
+    // ONE scan: coarse cluster + m fine codes (pqEncode threads the
+    // cluster column through; see its doc for why the persist is
+    // load-bearing)
+    val codes = pqEncode(
       base.withColumn("cluster", nearestCentroidCol(coarse))
-        .select(col("vec_id"), col("cluster"), col("embedding"))) { (df, mi) =>
-      df.withColumn(s"_s$mi", sub(mi))
-        .withColumn(s"code$mi", nearestCentroidColOn(books(mi),
-          col(s"_s$mi"), sqrt(expr(s"graft_dot(_s$mi, _s$mi)"))))
-        .drop(s"_s$mi")
-    }.drop("embedding").persistTracked()
+        .select(col("vec_id"), col("cluster"), col("embedding")), books, m)
     // query -> its nprobe nearest coarse lists (the ivfSearch probe shape)
     val probes = base.filter(col("vec_id") < numQueries)
       .crossJoin(broadcast(coarse))
       .withColumn("arank", centRank).filter(col("arank") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cluster"))
-    val tabs = (0 until m).map { mi =>
-      base.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("q_id"), sub(mi).as("q_sub"))
-        .crossJoin(broadcast(books(mi)))
-        .select(col("q_id"), col("cent_id").as(s"code$mi"),
-          dot("q_sub", "cent_emb").as(s"t$mi"),
-          (col("cent_nrm") * col("cent_nrm")).as(s"cn2$mi"))
-    }
     // candidate bounding FIRST (the probes join carries q_id in), then the
     // ADC tables all key on (q_id, code_mi)
-    val joined = tabs.zipWithIndex.foldLeft(
-      codes.join(broadcast(probes), "cluster")) { case (df, (tab, mi)) =>
-      df.join(broadcast(tab), Seq("q_id", s"code$mi"))
-    }.filter(col("vec_id") =!= col("q_id"))
-    val qn = base.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
-    val tSum = (1 until m).foldLeft(col("t0"))((acc, mi) => acc + col(s"t$mi"))
-    val cnSum = (1 until m).foldLeft(col("cn20"))((acc, mi) => acc + col(s"cn2$mi"))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id").asc)
-    val shortlist = joined.join(broadcast(qn), "q_id")
-      .select(col("q_id"), col("vec_id").as("c_id"),
-        (tSum / (col("q_nrm") * sqrt(cnSum))).as("adc"))
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= rerank * k)
-      .select(col("q_id"), col("c_id"))
-    val qe = base.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val ce = base.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("nrm").as("c_nrm"))
-    scoreCandidates(shortlist, qe, ce, k)
+    val joined = pqAdcTables(base, books, m, numQueries).zipWithIndex
+      .foldLeft(codes.join(broadcast(probes), "cluster")) { case (df, (tab, mi)) =>
+        df.join(broadcast(tab), Seq("q_id", s"code$mi"))
+      }.filter(col("vec_id") =!= col("q_id"))
+    val shortlist = pqAdcShortlist(joined, base, m, numQueries, rerank, k)
+    pqRerankTail(shortlist, base, numQueries, k)
   }
 
   /**

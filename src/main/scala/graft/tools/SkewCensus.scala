@@ -63,14 +63,20 @@ object SkewCensus {
     * qualifying stage — a query gaining/losing its first qualifying
     * stage is a threshold crossing, not a skew move), "NEW" for a query
     * absent from the prior artifact whose skew clears the flag line,
-    * "GONE" for a prior query no longer registered. A numeric move is
-    * flagged only when it clears the 0.5 absolute floor AND the tol
-    * ratio (AQE re-grouping wobbles small stages; see the r15
-    * adjudication). */
+    * "GONE" for a prior query no longer registered, "FAILED" for a
+    * query that threw during THIS census — distinct from GONE (a crash
+    * is not a deregistration) and always a row, so a run with failing
+    * queries can never print CLEAN. A numeric move is flagged only when
+    * it clears the 0.5 absolute floor AND the tol ratio (AQE
+    * re-grouping wobbles small stages; see the r15 adjudication). */
   def diffRows(current: Seq[(String, Int, Int, Long, Double, Double)],
                prior: Map[String, (Int, Double)],
-               tol: Double, flag: Double): Seq[(String, String, Double, Double)] = {
+               tol: Double, flag: Double,
+               failed: Set[String] = Set.empty): Seq[(String, String, Double, Double)] = {
     val out = Seq.newBuilder[(String, String, Double, Double)]
+    failed.toSeq.sorted.foreach { n =>
+      out += ((n, "FAILED", prior.get(n).map(_._2).getOrElse(-1.0), -1.0))
+    }
     current.foreach { case (n, _, tasks, _, sb, _) =>
       prior.get(n) match {
         case None => if (tasks > 0 && sb > flag) out += ((n, "NEW", -1.0, sb))
@@ -80,7 +86,8 @@ object SkewCensus {
         case _ => // threshold crossing: one side had no qualifying stage
       }
     }
-    val curNames = current.map(_._1).toSet
+    // failed names are neither current nor gone — they were attempted
+    val curNames = current.map(_._1).toSet ++ failed
     prior.keysIterator.filterNot(curNames).toSeq.sorted
       .foreach(n => out += ((n, "GONE", prior(n)._2, -1.0)))
     out.result()
@@ -155,8 +162,9 @@ object SkewCensus {
     * owns the session; listener hygiene handled by [[measure]]. */
   def census(spark: SparkSession, sfDir: String, names: Seq[String],
              minTasks: Int = 8, minBytes: Long = 1L << 20)
-      : Seq[(String, Int, Int, Long, Double, Double)] = {
-    try {
+      : (Seq[(String, Int, Int, Long, Double, Double)], Seq[String]) = {
+    val failed = Seq.newBuilder[String]
+    val rows = try {
       names.flatMap { name =>
         val fn = graft.SparkEntry.queries(name)
         spark.catalog.clearCache()
@@ -174,10 +182,12 @@ object SkewCensus {
             }
           case scala.util.Failure(e) =>
             println(f"$name%-34s FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            failed += name
             None
         }
       }
     } finally spark.catalog.clearCache()
+    (rows, failed.result())
   }
 
   def main(args: Array[String]): Unit = {
@@ -185,7 +195,12 @@ object SkewCensus {
     val flag = args.find(_.startsWith("flag="))
       .map(_.stripPrefix("flag=").toDouble).getOrElse(4.0)
     val diffIdx = args.indexOf("--diff")
-    val diffPath = if (diffIdx >= 0) Some(args(diffIdx + 1)) else None
+    val diffPath = if (diffIdx >= 0) {
+      require(diffIdx + 1 < args.length,
+        "usage: SkewCensus <sfDir> [flag=N] [--diff <priorArtifact> [tol=N]]" +
+          " — --diff needs the prior artifact path")
+      Some(args(diffIdx + 1))
+    } else None
     val tol = args.find(_.startsWith("tol="))
       .map(_.stripPrefix("tol=").toDouble).getOrElse(2.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -204,7 +219,7 @@ object SkewCensus {
     val mb = 1024.0 * 1024.0
     try {
       val names = graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(exclude)
-      val rows = census(spark, sfDir, names)
+      val (rows, failedNames) = census(spark, sfDir, names)
       println(f"\n${"query"}%-34s ${"stages"}%6s ${"tasks"}%6s ${"stage_mb"}%9s ${"skew_b"}%7s ${"skew_t"}%7s")
       rows.sortBy(-_._5).foreach { case (n, st, tk, b, sb, sd) =>
         println(f"$n%-34s $st%6d $tk%6d ${b / mb}%9.2f $sb%7.2f $sd%7.2f")
@@ -214,7 +229,10 @@ object SkewCensus {
       println(f"[skew-census] ${rows.size} queries, ${measured.size} with a " +
         f"qualifying shuffle stage; worst skew_b " +
         f"${measured.map(_._5).foldLeft(1.0)(math.max)}%.2f; " +
-        s"${flagged.size} flagged above ${flag}x")
+        s"${flagged.size} flagged above ${flag}x" +
+        (if (failedNames.nonEmpty)
+           s"; ${failedNames.size} FAILED: ${failedNames.mkString(",")}"
+         else ""))
       flagged.sortBy(-_._5).foreach { case (n, _, tk, b, sb, _) =>
         println(f"[skew-flag] $n%-34s skew_b $sb%.2f over $tk tasks, ${b / mb}%.1f MB")
       }
@@ -222,7 +240,7 @@ object SkewCensus {
         val prior = parseArtifact(scala.io.Source.fromFile(path).getLines())
         require(prior.nonEmpty, s"[skew-diff] $path yielded zero rows — " +
           "wrong file or format drift; a vacuous diff must not read as clean")
-        val moved = diffRows(rows, prior, tol, flag)
+        val moved = diffRows(rows, prior, tol, flag, failedNames.toSet)
         if (moved.isEmpty)
           println(s"[skew-diff] CLEAN vs $path (tol ${tol}x, " +
             s"${prior.size} prior rows): no query moved beyond tolerance")

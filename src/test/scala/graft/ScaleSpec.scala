@@ -227,8 +227,14 @@ class ScaleSpec extends SparkSpec {
     // survive the coarse probe AND the ADC shortlist) — floor pinned
     // under the measured value, same policy
     assert(ivfpqRecall >= 0.4, f"IVF-PQ recall collapsed: $ivfpqRecall%.3f")
-    assert(ivfpqRecall <= pqRecall + 1e-9 || ivfpqRecall <= ivfRecall + 1e-9,
-      "the composed recall cannot exceed both component bounds")
+    // NOT asserted: "composed <= both components" is not a true invariant —
+    // ivfPqTopK trains its coarse codebook while ivfTopK above uses the
+    // seed one, and the per-probe ADC shortlist is not a subset of pqTopK's
+    // global shortlist, so neither inequality is mathematically guaranteed
+    // (it held on this corpus by luck). The pinned 0.4 floor is the
+    // regression gate; the relation is reported for the round record only.
+    info(f"composition check (informational): ivfpq=$ivfpqRecall%.3f vs " +
+      f"pq=$pqRecall%.3f, ivf(seed)=$ivfRecall%.3f")
   }
 
   test("hive-style partitioned layout: a stratum filter prunes partitions at the scan") {

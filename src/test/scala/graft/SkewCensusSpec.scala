@@ -94,6 +94,14 @@ class SkewCensusSpec extends SparkSpec {
     assert(SkewCensus.diffRows(full :+ row("q_new_hot", 16, 6.0), prior, 2.0, 4.0)
       === Seq(("q_new_hot", "NEW", -1.0, 6.0)))
     assert(SkewCensus.diffRows(full :+ row("q_new_ok", 16, 1.2), prior, 2.0, 4.0).isEmpty)
+    // a query that CRASHED this census is FAILED, never GONE, and always a
+    // row — an otherwise-clean diff with a crashing query must not read CLEAN
+    val crashed = Seq(row("q_tfidf", 32, 1.0), row("q_quiet", 0, 1.0))
+    assert(SkewCensus.diffRows(crashed, prior, 2.0, 4.0, failed = Set("q_containment"))
+      === Seq(("q_containment", "FAILED", 5.01, -1.0)))
+    // failed-but-never-seen-before still surfaces (prior reading -1)
+    assert(SkewCensus.diffRows(full, prior, 2.0, 4.0, failed = Set("q_brand_new"))
+      === Seq(("q_brand_new", "FAILED", -1.0, -1.0)))
   }
 
   test("uniform-key shuffle reads near-balanced; sub-threshold stages are ignored") {

@@ -21,7 +21,11 @@ runs = []
 for i in range(jvms):
     if os.path.exists(artifact):
         os.remove(artifact)
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS="32")
+    # REF=none: the 3-JVM protocol's contamination defense is its own
+    # cross-JVM median; Bench's outlier-retry pass (which compares against
+    # a PRIOR local artifact) must not add non-timing work to these runs
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_REF="none")
     print(f"[local_bench] JVM {i + 1}/{jvms}", flush=True)
     p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=repo,
                        env=env, capture_output=True, text=True)

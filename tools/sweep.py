@@ -168,10 +168,15 @@ def bench(sf_dir):
     # frame cache OFF by default: scaling sweeps measure true per-query
     # compute, and a cache hit would hide a regression in the cached
     # stage (export GRAFT_NO_FRAME_CACHE=0 to sweep the cached regime)
+    # REF=none: Bench's outlier-retry pass compares against a sf0.1 local
+    # artifact — at a scaled SF dir that reference is wrong by the scale
+    # factor and would retry the whole cap for nothing; the sweep's own
+    # outlier machinery (isolated probes) is the defense here
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=runs,
                SPARK_GRAFT_BENCH_SKIP=",".join(sorted(exclude)),
                SPARK_GRAFT_BENCH_ROWS=",".join(pair_queries),
+               SPARK_GRAFT_BENCH_REF="none",
                GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
     print(f"[sweep] benching {sf_dir} (runs={runs}, skip={sorted(exclude)})", flush=True)
     run(["sbt", "-batch", "runMain graft.Bench"], env=env)
@@ -213,6 +218,7 @@ def probe_isolated(q, sf_dir):
         os.remove(artifact)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=runs, SPARK_GRAFT_BENCH_ONLY=q,
+               SPARK_GRAFT_BENCH_REF="none",
                GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
     load = wait_quiet()
     print(f"[sweep] isolated probe: {q} @ {sf_dir} start_load={load:.2f}",
