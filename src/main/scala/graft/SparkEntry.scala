@@ -285,6 +285,7 @@ object SparkEntry {
       datasetTag = Similarity.fileFingerprint(s"$d/embeddings.parquet"))),
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "q_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
+    "q_trigram_logprob" -> ((s, d) => TextAnalysis.trigramLogProb(Tables.documents(s, d))),
     "q_orders_grouping_sets" -> ((s, d) => Relational.ordersGroupingSets(s, d)),
     "q_customer_standing" -> ((s, d) => Relational.customerBalanceStanding(s, d)),
     // the bounded-state heavy-hitter Aggregator, oracle-gated: capacity
@@ -1778,6 +1779,50 @@ object SparkEntry {
         |  GROUP BY tf.doc_id
         |) SELECT doc_id, n_bigrams,
         |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logprob FROM d""".stripMargin),
+    // three-way Jelinek-Mercer (6/10, 3/10, 1/10); the four-count DOUBLE
+    // products exceed 2^53 but IEEE multiply is correctly rounded, so the
+    // identical left-assoc operand order gives bit-identical bits in both
+    // engines; history c12 / backoff c23 come from the adjacent-PAIR
+    // stream (marginalizing trigrams would undercount doc-final pairs)
+    "q_trigram_logprob" -> (TOK +
+      """, bd AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+        |bgu AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM bd
+        |), big AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS cb
+        |  FROM bgu GROUP BY 1, 2
+        |), td AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+        |tgu AS (
+        |  SELECT doc_id, unnest(list_transform(range(2, len(toks)),
+        |    i -> {'w1': toks[i-1], 'w2': toks[i], 'w3': toks[i+1]})) AS t
+        |  FROM td
+        |), tf AS (
+        |  SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, count(*) AS tf
+        |  FROM tgu GROUP BY 1, 2, 3, 4
+        |), c123 AS (
+        |  SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c123 FROM tf GROUP BY 1, 2, 3
+        |), uni AS (
+        |  SELECT u.token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(toks) AS token FROM tok) u GROUP BY 1
+        |), tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
+        |d AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_trigrams,
+        |    sum(CAST(tf.tf AS DECIMAL(12,0)) * (
+        |      CAST(ln(6.0 * CAST(c123.c123 AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(tt.tot AS DOUBLE)
+        |             + 3.0 * CAST(b23.cb AS DOUBLE) * CAST(b12.cb AS DOUBLE) * CAST(tt.tot AS DOUBLE)
+        |             + CAST(u3.c AS DOUBLE) * CAST(b12.cb AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS DECIMAL(16,12)) -
+        |      CAST(ln(10.0 * CAST(b12.cb AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(tt.tot AS DOUBLE)) AS DECIMAL(16,12)))) AS s
+        |  FROM tf
+        |  JOIN c123 USING (w1, w2, w3)
+        |  JOIN big b12 ON b12.w1 = tf.w1 AND b12.w2 = tf.w2
+        |  JOIN big b23 ON b23.w1 = tf.w2 AND b23.w2 = tf.w3
+        |  JOIN uni u2 ON u2.token = tf.w2
+        |  JOIN uni u3 ON u3.token = tf.w3, tt
+        |  GROUP BY tf.doc_id
+        |) SELECT doc_id, n_trigrams,
+        |  round(CAST(s AS DOUBLE) / n_trigrams, 6) AS avg_logprob FROM d""".stripMargin),
     // quality predicate mirrors q_quality; int/int division is true
     // division (→ DOUBLE) in both engines
     "q_source_reputation" ->

@@ -905,6 +905,89 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated trigram language-model score per document — the third
+   * rung of the perplexity-filter ladder ([[unigramLogProb]] →
+   * [[bigramLogProb]] → this): docs whose three-word structure is unusual
+   * for the corpus score low even when every adjacent PAIR is common
+   * (phrase-salad assembled from frequent bigrams). Jelinek-Mercer
+   * three-way interpolation, λ = (6/10, 3/10, 1/10) — the same
+   * highest-order-dominant ladder as the bigram's 3/4, 1/4:
+   *
+   *   P(w3|w1 w2) = 6/10·c123/c12 + 3/10·c23/c2 + 1/10·c3/tot
+   *               = (6·c123·c2·tot + 3·c23·c12·tot + c3·c12·c2)
+   *                 / (10·c12·c2·tot)
+   *
+   * and the per-doc score is the mean ln P over the doc's adjacent
+   * triples. The HISTORY count c12 and the backoff bigram c23 both come
+   * from the adjacent-PAIR stream, not from marginalizing the trigram
+   * grain — a pair ending a document has no trigram continuation, so
+   * Σ_w3 c(w1 w2 w3) undercounts exactly the document-final pairs.
+   *
+   * Scale shape: four shuffles, all keyed on high-cardinality token
+   * grains — the (doc, w1, w2, w3) tf frame, the corpus trigram model,
+   * the bigram model, and the unigram vocab; never on doc payloads. The
+   * four-count products (up to c123·c2·tot ~ 10^18 at 10^6-token corpora)
+   * EXCEED double's 2^53 exact-integer range, unlike the bigram's
+   * three-count products — that is fine for parity (IEEE multiply is
+   * correctly rounded, so identical left-assoc operand order gives
+   * bit-identical products in both engines) and the deterministic
+   * rounding error (~1e-16 relative) is invisible at the 6 dp policy.
+   * ln routes through DECIMAL(16,12) (|ln| < 50 for any physical corpus)
+   * and the tf-weighted sum through exact DECIMAL(30,12), the
+   * [[bigramLogProb]] policy throughout. Docs under three tokens have no
+   * trigrams and are excluded (they still train the lower-order models).
+   */
+  def trigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = withTokens(docs).select(col("doc_id"), col("toks"))
+    val uni = tok.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c")).persistTracked()
+    val tot = uni.agg(sum(col("c")).as("tot"))
+    // bigram model over the adjacent-pair stream — persisted once, read
+    // twice (history c12 and backoff c23 are the SAME counts keyed on
+    // different column pairs of the scoring row)
+    val big = tok.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb")).persistTracked()
+    // adjacent-triple stream, aggregated to (doc, w1, w2, w3) grain first
+    // so the model branch and the scoring branch reuse the compact frame
+    val tf = tok.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks) - 1), " +
+          "i -> named_struct('w1', toks[i-2], 'w2', toks[i-1], 'w3', toks[i]))")).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf")).persistTracked()
+    val model = tf.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("tf")).as("c123"))
+    // fixed left-assoc shapes — the oracle spells the identical
+    // expressions, so operand bits match before ln ever runs
+    val lnNum = log(
+      lit(6.0) * col("c123").cast("double") * col("c2").cast("double") * col("tot").cast("double") +
+        lit(3.0) * col("c23").cast("double") * col("c12").cast("double") * col("tot").cast("double") +
+        col("c3").cast("double") * col("c12").cast("double") * col("c2").cast("double"))
+      .cast("decimal(16,12)")
+    val lnDen = log(lit(10.0) * col("c12").cast("double") * col("c2").cast("double") *
+      col("tot").cast("double")).cast("decimal(16,12)")
+    tf.join(model, Seq("w1", "w2", "w3"))
+      .join(big.select(col("w1"), col("w2"), col("cb").as("c12")), Seq("w1", "w2"))
+      .join(big.select(col("w1").as("w2"), col("w2").as("w3"), col("cb").as("c23")),
+        Seq("w2", "w3"))
+      .join(uni.select(col("token").as("w2"), col("c").as("c2")), "w2")
+      .join(uni.select(col("token").as("w3"), col("c").as("c3")), "w3")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf").cast("decimal(12,0)") * (lnNum - lnDen)).as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("s").cast("double") / col("n_trigrams"), 6).as("avg_logprob"))
+  }
+
+  /**
    * Source-reputation rollup: per crawl source (the `source` column —
    * domain, feed, dump shard), document count, exact-duplicate rate,
    * quality-gate pass rate, and mean length — the governance table that

@@ -77,6 +77,27 @@ class ExtSpec extends SparkSpec {
     assert(got(1L) === ((1L, r6(math.log(5.0 / 12)))))
   }
 
+  test("trigram log-prob: three-way interpolation, pair-stream history counts, <3-token docs excluded") {
+    val tiny = Seq((0L, "a b a", "en"), (1L, "a b c a b", "en"), (2L, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.trigramLogProb(tiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    // uni: a=4 b=3 c=1 x=1, tot=9. pairs: (a,b)=3 (b,a)=1 (b,c)=1 (c,a)=1.
+    // P = (6·c123·c2·tot + 3·c23·c12·tot + c3·c12·c2) / (10·c12·c2·tot)
+    // doc0 (a,b,a): (6·1·3·9 + 3·1·3·9 + 4·3·3)/(10·3·3·9) = 279/810
+    // doc1 (a,b,c): (162 + 81 + 1·3·3)/810 = 252/810
+    //      (b,c,a): (6·1·1·9 + 3·1·1·9 + 4·1·1)/(10·1·1·9) = 85/90
+    //      (c,a,b): (6·1·4·9 + 3·3·1·9 + 3·1·4)/(10·1·4·9) = 309/360
+    // doc2: one token, no trigrams — excluded (but trains the unigram model)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L) === ((1L, r6(math.log(279.0 / 810)))))
+    assert(got(1L) === ((3L, r6((math.log(252.0 / 810) + math.log(85.0 / 90) +
+      math.log(309.0 / 360)) / 3))))
+  }
+
   test("source reputation: duplicate and quality rates roll up per source") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "srcA", 67L),

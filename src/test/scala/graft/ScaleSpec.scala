@@ -564,7 +564,9 @@ class ScaleSpec extends SparkSpec {
       "q_minute_anomaly",
       "q_revenue_concentration", "q_revenue_concentration_bucketed",
       "q_rfm", "q_rfm_bucketed", "q_spacesaving_approx",
-      "q_unigram_logprob")
+      // trigram: the same 1-row corpus-total crossjoin as its uni/bigram
+      // siblings
+      "q_trigram_logprob", "q_unigram_logprob")
     // q_semantic_dedup left this pin in r10: its three codebook cross
     // joins became the narrow codegen'd NearestCentroid argmax, so the
     // plan carries no nested-loop join at all now. q_ab_test left in r12:
