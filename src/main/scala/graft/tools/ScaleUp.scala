@@ -90,8 +90,20 @@ object ScaleUp {
 
     val reps = spark.range(0, replicas).select(col("id").as("_r"))
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // parquet.block.size 8 MB (uncompressed row-group target, vs the
+    // 128 MB default): a row group is the UNSPLITTABLE scan unit — it is
+    // read whole by whichever byte-range split contains its midpoint. The
+    // round-15/16 skew probes found documents.parquet's scan stages
+    // running 20 byte-range tasks of which only 4 carried work (one per
+    // single-row-group file, ~10 s each while 28 cores idled) — file
+    // BYTES were balanced, row-group GRANULARITY was the skew. Bounded
+    // row groups make every split carry real rows, which is also the
+    // 100 TB story: a real corpus is written with bounded row groups so
+    // scan parallelism is set by the scheduler, not the writer's memory.
     def write(df: DataFrame, t: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      df.repartition(parts).write.mode("overwrite")
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .parquet(s"$dest/$t.parquet")
       System.err.println(s"[scaleup] $t done")
     }
     /** All columns in source order, key columns shifted into replica ranges. */
@@ -127,7 +139,11 @@ object ScaleUp {
         when(col("_r") === 0, col("n_chars")).otherwise(length(col("text"))))
       .select((col("doc_id") + col("_r") * Offset).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
-    write(docs, "documents", 4)
+    // 8 files (not 4): with ~8 MB encoded row groups the 4-file layout
+    // still left the fattest scan split carrying 2 row groups (measured
+    // max-task 2× fair share); 8 files × 2-3 groups ≈ one group per
+    // byte-range split at the default split sizing
+    write(docs, "documents", 8)
 
     // embeddings: key shift + per-replica circular rotation (see scaladoc)
     val emb = read("embeddings").crossJoin(reps)
@@ -160,7 +176,7 @@ object ScaleUp {
           |       x, -x)))""".stripMargin))
       .select((col("vec_id") + col("_r") * Offset).as("vec_id"),
         col("embedding"), col("label"))
-    write(emb, "embeddings", 4)
+    write(emb, "embeddings", 8)
 
     spark.stop()
   }
