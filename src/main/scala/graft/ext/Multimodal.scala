@@ -98,13 +98,20 @@ object Multimodal {
    * schema and columnar dataflow (binary in, smaller binary + metadata
    * out, no shuffle) a real thumbnailer would use.
    *
-   * Per-row cost bound: the index list materializes `n_bytes` elements and
-   * the byte-wise `concat` fold is O(kept²) in output size (kept ≤
-   * ~`targetBytes`, so the fold is capped, but the index array is not) —
-   * fine for test-scale payloads, NOT for multi-MB assets. A real
-   * implementation replaces the whole expression with a per-partition
-   * codec call ([[decodeStub]]'s `mapPartitions` shape), which is why this
-   * stays a clearly-marked STUB rather than a chunked rewrite.
+   * Per-row cost bound: the kept indices are generated DIRECTLY as
+   * j·stride for j in [0, (n_bytes−1) DIV stride] — at most ~`targetBytes`
+   * elements — identical to filtering i % stride = 0 out of [0, n_bytes)
+   * but without materializing the n_bytes-element index array per row.
+   * (The original filter-the-full-range form allocated O(payload) boxed
+   * ints per row; harmless at 4 concurrent scan tasks, it went
+   * allocation-bound the moment the r16 row-group fix raised scan
+   * parallelism to 24 — measured 3× slower at sf10 while every sibling
+   * kernel got faster. The oracle is value-identical either way.) The
+   * byte-wise `concat` fold stays O(kept²) in output size, capped by
+   * `targetBytes`. A real implementation replaces the whole expression
+   * with a per-partition codec call ([[decodeStub]]'s `mapPartitions`
+   * shape), which is why this stays a clearly-marked STUB rather than a
+   * chunked rewrite.
    */
   def resizeStub(media: DataFrame, targetBytes: Int = 256): DataFrame =
     media
@@ -114,8 +121,8 @@ object Multimodal {
         // byte-level fold: substring+concat stay BINARY end-to-end (a
         // string round-trip would mangle any non-UTF-8 byte)
         expr("""CASE WHEN n_bytes = 0 THEN payload ELSE
-               |  aggregate(filter(sequence(0, n_bytes - 1), i -> i % stride = 0),
-               |    X'', (acc, i) -> concat(acc, substring(payload, i + 1, 1))) END""".stripMargin)
+               |  aggregate(sequence(0, (n_bytes - 1) DIV stride),
+               |    X'', (acc, j) -> concat(acc, substring(payload, j * stride + 1, 1))) END""".stripMargin)
           .as("resized"))
       .withColumn("resized_bytes", length(col("resized")))
 
