@@ -71,7 +71,13 @@ object Bench {
       val close = if (open < 0) -1 else json.indexOf('}', open)
       if (close < 0) Map.empty
       else {
-        val entry = """"([^"]+)"\s*:\s*(-?[\d.eE+]+)""".r
+        // Exponent is its own group with an optional sign: the old
+        // character-class form (`[\d.eE+]+`) stopped before a NEGATIVE
+        // exponent's '-', captured `1.2e` for `1.2e-05`, failed toDouble,
+        // and silently dropped the entry — permanently exempting any
+        // sub-1e-4 reference timing (json.dump emits e-notation there)
+        // from the retry pass.
+        val entry = """"([^"]+)"\s*:\s*(-?[\d.]+(?:[eE][-+]?\d+)?)""".r
         entry.findAllMatchIn(json.substring(open + 1, close))
           .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
           .toMap
@@ -220,8 +226,13 @@ object Bench {
         val gate = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_GATE", "2.0").toDouble
         val waitBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_WAIT", "150").toInt
         val deadline = System.nanoTime() + waitBudget * 1000000000L
+        // The JVM term gates on the DELTA vs the bench-start count, not on
+        // zero: under sbt the parent launcher is itself a sibling java
+        // process (every BENCH_LOCAL artifact stamps other_jvms = 1), so a
+        // `> 0` condition could never clear and the gate would silently
+        // sleep its whole wait budget on a perfectly idle machine.
         var ctx = machineCtx()
-        while ((ctx._1 > gate || ctx._3 > 0) && ctx._1 >= 0 &&
+        while ((ctx._1 > gate || ctx._3 > ctxStart._3) && ctx._1 >= 0 &&
                System.nanoTime() < deadline) {
           Thread.sleep(5000)
           ctx = machineCtx()

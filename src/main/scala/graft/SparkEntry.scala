@@ -271,6 +271,15 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
     // -- LLM-pipeline round 3: decontamination, datamix, manifests, gates --
     "q_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(Tables.documents(s, d))),
+    // MinHash-backed fuzzy twin: catches paraphrased eval leakage the
+    // exact shingle gate misses (the production Dolma/FineWeb shape).
+    // evalMod 31 (the exact twin keeps 97): near-dup pairs are sparse in
+    // the synthetic corpus, and no pair crosses the 1/97 split at the
+    // sf0.01 gate — the denser 1/31 slice puts a real near-dup on each
+    // side so the registered artifact demonstrates the band-sharing path
+    // actually firing, not just an all-false rollup
+    "q_decontaminate_fuzzy" -> ((s, d) =>
+      TextAnalysis.decontaminateFuzzy(Tables.documents(s, d), evalMod = 31)),
     "q_datamix" -> ((s, d) => TextAnalysis.datamixWeights(Tables.documents(s, d))),
     "q_pack_manifest" -> ((s, d) => TextAnalysis.packManifest(Tables.documents(s, d), 512)),
     "q_length_filter" -> ((s, d) => TextAnalysis.lengthBoundsFilter(Tables.documents(s, d))),
@@ -286,6 +295,13 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "q_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
     "q_trigram_logprob" -> ((s, d) => TextAnalysis.trigramLogProb(Tables.documents(s, d))),
+    // the ladder's ACTION: corpus-relative CCNet/Gopher-style quality gate.
+    // Slack 0.1 nats: the synthetic corpus scores cluster within ~0.75 nats
+    // of the mean, so the production default (1.0) would gate nothing at
+    // any SF — 0.1 drops the ~9% low-fit tail at the sf0.01 gate, so the
+    // registered artifact demonstrates the action actually firing
+    "q_perplexity_filter" -> ((s, d) =>
+      TextAnalysis.perplexityFilter(Tables.documents(s, d), slack = 0.1)),
     "q_orders_grouping_sets" -> ((s, d) => Relational.ordersGroupingSets(s, d)),
     "q_customer_standing" -> ((s, d) => Relational.customerBalanceStanding(s, d)),
     // the bounded-state heavy-hitter Aggregator, oracle-gated: capacity
@@ -732,6 +748,56 @@ object SparkEntry {
       |                                        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) >= 0
       |             THEN (1 << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)) AS bands
       |  FROM e
+      |)""".stripMargin
+
+  /** Trigram LM score chain ending in `sc(doc_id, n_trigrams, avg_logprob)`
+    * (== TextAnalysis.trigramLogProb) — shared by q_trigram_logprob and its
+    * filter action q_perplexity_filter. Three-way Jelinek-Mercer
+    * (6/10, 3/10, 1/10); the four-count DOUBLE products exceed 2^53 but
+    * IEEE multiply is correctly rounded, so the identical left-assoc
+    * operand order gives bit-identical bits in both engines; history c12 /
+    * backoff c23 come from the adjacent-PAIR stream (marginalizing
+    * trigrams would undercount doc-final pairs). */
+  private val TRIGRAM_SC = TOK +
+    """, bd AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+      |bgu AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+      |  FROM bd
+      |), big AS (
+      |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS cb
+      |  FROM bgu GROUP BY 1, 2
+      |), td AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |tgu AS (
+      |  SELECT doc_id, unnest(list_transform(range(2, len(toks)),
+      |    i -> {'w1': toks[i-1], 'w2': toks[i], 'w3': toks[i+1]})) AS t
+      |  FROM td
+      |), tf AS (
+      |  SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, count(*) AS tf
+      |  FROM tgu GROUP BY 1, 2, 3, 4
+      |), c123 AS (
+      |  SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c123 FROM tf GROUP BY 1, 2, 3
+      |), uni AS (
+      |  SELECT u.token, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(toks) AS token FROM tok) u GROUP BY 1
+      |), tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
+      |d AS (
+      |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_trigrams,
+      |    sum(CAST(tf.tf AS DECIMAL(12,0)) * (
+      |      CAST(ln(6.0 * CAST(c123.c123 AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(tt.tot AS DOUBLE)
+      |             + 3.0 * CAST(b23.cb AS DOUBLE) * CAST(b12.cb AS DOUBLE) * CAST(tt.tot AS DOUBLE)
+      |             + CAST(u3.c AS DOUBLE) * CAST(b12.cb AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS DECIMAL(16,12)) -
+      |      CAST(ln(10.0 * CAST(b12.cb AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(tt.tot AS DOUBLE)) AS DECIMAL(16,12)))) AS s
+      |  FROM tf
+      |  JOIN c123 USING (w1, w2, w3)
+      |  JOIN big b12 ON b12.w1 = tf.w1 AND b12.w2 = tf.w2
+      |  JOIN big b23 ON b23.w1 = tf.w2 AND b23.w2 = tf.w3
+      |  JOIN uni u2 ON u2.token = tf.w2
+      |  JOIN uni u3 ON u3.token = tf.w3, tt
+      |  GROUP BY tf.doc_id
+      |), sc AS (
+      |  SELECT doc_id, n_trigrams,
+      |    round(CAST(s AS DOUBLE) / n_trigrams, 6) AS avg_logprob FROM d
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -1627,6 +1693,30 @@ object SparkEntry {
         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  coalesce(ov.n_overlap, 0) >= 2 AS contaminated
         |FROM tr LEFT JOIN ov ON tr.doc_id = ov.doc_id""".stripMargin),
+    // fuzzy twin over MINHASH_PAIRS's sg/bd chain (its pr CTE goes unused
+    // here — candidates pair TRAIN bands with EVAL bands instead of
+    // self-joining); est_jaccard is the standing len(list_filter)/16 form
+    "q_decontaminate_fuzzy" -> (MINHASH_PAIRS +
+      """, cand AS (
+        |  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+        |  FROM bd t JOIN bd e ON t.b = e.b AND t.band_key = e.band_key
+        |  WHERE t.doc_id % 31 <> 0 AND e.doc_id % 31 = 0
+        |), ver AS (
+        |  SELECT c.doc_id, c.eval_id,
+        |    len(list_filter(range(16), i -> ts.sig[i+1] = es.sig[i+1])) / 16 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sg ts ON ts.doc_id = c.doc_id
+        |  JOIN sg es ON es.doc_id = c.eval_id
+        |), fl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+        |    max(est_jaccard) AS max_est_jaccard
+        |  FROM ver WHERE est_jaccard >= 0.5 GROUP BY doc_id
+        |) SELECT t.doc_id,
+        |  CAST(coalesce(fl.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+        |  coalesce(fl.max_est_jaccard, 0.0) AS max_est_jaccard,
+        |  coalesce(fl.n_eval_matches, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM sg WHERE doc_id % 31 <> 0) t
+        |LEFT JOIN fl USING (doc_id)""".stripMargin),
     "q_datamix" -> (TOK +
       """, pl AS (
         |  SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
@@ -1779,50 +1869,19 @@ object SparkEntry {
         |  GROUP BY tf.doc_id
         |) SELECT doc_id, n_bigrams,
         |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logprob FROM d""".stripMargin),
-    // three-way Jelinek-Mercer (6/10, 3/10, 1/10); the four-count DOUBLE
-    // products exceed 2^53 but IEEE multiply is correctly rounded, so the
-    // identical left-assoc operand order gives bit-identical bits in both
-    // engines; history c12 / backoff c23 come from the adjacent-PAIR
-    // stream (marginalizing trigrams would undercount doc-final pairs)
-    "q_trigram_logprob" -> (TOK +
-      """, bd AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
-        |bgu AS (
-        |  SELECT unnest(list_transform(range(1, len(toks)),
-        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
-        |  FROM bd
-        |), big AS (
-        |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS cb
-        |  FROM bgu GROUP BY 1, 2
-        |), td AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
-        |tgu AS (
-        |  SELECT doc_id, unnest(list_transform(range(2, len(toks)),
-        |    i -> {'w1': toks[i-1], 'w2': toks[i], 'w3': toks[i+1]})) AS t
-        |  FROM td
-        |), tf AS (
-        |  SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, count(*) AS tf
-        |  FROM tgu GROUP BY 1, 2, 3, 4
-        |), c123 AS (
-        |  SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c123 FROM tf GROUP BY 1, 2, 3
-        |), uni AS (
-        |  SELECT u.token, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(toks) AS token FROM tok) u GROUP BY 1
-        |), tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
-        |d AS (
-        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_trigrams,
-        |    sum(CAST(tf.tf AS DECIMAL(12,0)) * (
-        |      CAST(ln(6.0 * CAST(c123.c123 AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(tt.tot AS DOUBLE)
-        |             + 3.0 * CAST(b23.cb AS DOUBLE) * CAST(b12.cb AS DOUBLE) * CAST(tt.tot AS DOUBLE)
-        |             + CAST(u3.c AS DOUBLE) * CAST(b12.cb AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS DECIMAL(16,12)) -
-        |      CAST(ln(10.0 * CAST(b12.cb AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(tt.tot AS DOUBLE)) AS DECIMAL(16,12)))) AS s
-        |  FROM tf
-        |  JOIN c123 USING (w1, w2, w3)
-        |  JOIN big b12 ON b12.w1 = tf.w1 AND b12.w2 = tf.w2
-        |  JOIN big b23 ON b23.w1 = tf.w2 AND b23.w2 = tf.w3
-        |  JOIN uni u2 ON u2.token = tf.w2
-        |  JOIN uni u3 ON u3.token = tf.w3, tt
-        |  GROUP BY tf.doc_id
-        |) SELECT doc_id, n_trigrams,
-        |  round(CAST(s AS DOUBLE) / n_trigrams, 6) AS avg_logprob FROM d""".stripMargin),
+    // CTE chain shared with the filter action — see TRIGRAM_SC's doc
+    "q_trigram_logprob" -> (TRIGRAM_SC +
+      """ SELECT doc_id, n_trigrams, avg_logprob FROM sc""".stripMargin),
+    // threshold = exact-DECIMAL mean of the 6dp scores − 0.1 nats (the
+    // registered slack), one IEEE division then 6 dp rounding — identical
+    // shape on the Spark side, so the cutoff matches bit-for-bit;
+    // <3-token docs have no score and are dropped by construction
+    "q_perplexity_filter" -> (TRIGRAM_SC +
+      """, cut AS (
+        |  SELECT round(CAST(sum(CAST(avg_logprob AS DECIMAL(16,6))) AS DOUBLE)
+        |               / count(*) - 0.1, 6) AS cutoff FROM sc
+        |) SELECT sc.doc_id, sc.n_trigrams, sc.avg_logprob, cut.cutoff
+        |FROM sc, cut WHERE sc.avg_logprob >= cut.cutoff""".stripMargin),
     // quality predicate mirrors q_quality; int/int division is true
     // division (→ DOUBLE) in both engines
     "q_source_reputation" ->

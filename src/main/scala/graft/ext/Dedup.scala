@@ -254,6 +254,18 @@ object Dedup {
       componentsFromEdges(docs.select(col("doc_id")), edges, maxRounds)
     }
 
+  /** Instrumentation seam for [[componentsFromEdges]]: every eager
+    * checkpoint barrier routes through [[CcHooks.ckpt]] with a stable name
+    * ("edges", "touched", "symall", "labels0", "round_N"). The default is
+    * the plain operator move; tools/ComponentsProbe overrides it to time
+    * each barrier, switch the storage level, or re-layout the frame first
+    * — so the probe measures the REAL operator body instead of restating
+    * it (the r13–r16 drift hazard this seam retires). */
+  private[graft] trait CcHooks {
+    def ckpt(name: String, df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+  private[graft] object CcHooks { val Default: CcHooks = new CcHooks {} }
+
   /** Min-label propagation over an explicit (doc1, doc2) edge list —
     * the iterative core of [[nearDupComponents]], factored out so the
     * convergence behavior is testable on hand-made graphs. By default a
@@ -264,7 +276,8 @@ object Dedup {
     * labels (diagnostics, incremental runs). */
   private[graft] def componentsFromEdges(ids: DataFrame, edges: DataFrame,
                                          maxRounds: Int,
-                                         failOnNonConverged: Boolean = true): DataFrame = {
+                                         failOnNonConverged: Boolean = true,
+                                         hooks: CcHooks = CcHooks.Default): DataFrame = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     // localCheckpoint (eager), NOT persist: each round's plan references the
     // previous round's labels TWICE (the propagation join and the keep-min
@@ -284,18 +297,18 @@ object Dedup {
     // already-checkpointed id table.
     // (the final select pins column ORDER: usingColumns joins move the join
     // column first, and the symmetrizing union below is positional)
-    val e = edges
+    val e = hooks.ckpt("edges", edges
       .join(ids.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
       .join(ids.select(col("doc_id").as("doc2")), Seq("doc2"), "left_semi")
-      .select(col("doc1"), col("doc2"))
-      .localCheckpoint(true)
+      .select(col("doc1"), col("doc2")))
     val sym = e.union(e.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
     // iterate ONLY over nodes that touch an edge: in a near-dup graph the
     // overwhelming majority of docs are singletons (sf0.1: ~2.5k touched
     // of 20k ids), and every per-round join — propagation, keep-min merge,
     // pointer jump — scales with the label-table size. Untouched ids keep
     // their self-label by definition and rejoin after convergence.
-    val touched = sym.select(col("doc1").as("doc_id")).distinct().localCheckpoint(true)
+    val touched = hooks.ckpt("touched",
+      sym.select(col("doc1").as("doc_id")).distinct())
     val inactive = ids.join(touched, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
     // decimal(38,0) sum: labels are monotone non-increasing per row, so the
@@ -310,9 +323,8 @@ object Dedup {
     // min over neighbors ∪ {self} ≡ least(own, min-neighbor), so each
     // round is two joins (propagate+jump) instead of three — on the small
     // label tables these rounds run at, per-round job overhead IS the cost
-    val symAll = sym
-      .union(touched.select(col("doc_id").as("doc1"), col("doc_id").as("doc2")))
-      .localCheckpoint(true)
+    val symAll = hooks.ckpt("symall", sym
+      .union(touched.select(col("doc_id").as("doc1"), col("doc_id").as("doc2"))))
     def step(labels: DataFrame): DataFrame = {
       val merged = symAll
         .join(labels.select(col("doc_id").as("nbr"), col("component")),
@@ -330,9 +342,9 @@ object Dedup {
     }
     // (left_semi against ids keeps the output at exactly one row per ids
     // row even if an edge references an unknown doc)
-    var labels = ids.join(touched, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint(true)
+    var labels = hooks.ckpt("labels0",
+      ids.join(touched, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("doc_id").as("component")))
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
@@ -348,8 +360,8 @@ object Dedup {
       // non-increasing per STEP, so an unchanged sum across a batch
       // certifies that no step inside it changed any row.
       val stepsThisBatch = math.min(3, maxRounds - round)
-      val next = (1 to stepsThisBatch).foldLeft(labels)((l, _) => step(l))
-        .localCheckpoint(true)
+      val next = hooks.ckpt(s"round_${round + stepsThisBatch}",
+        (1 to stepsThisBatch).foldLeft(labels)((l, _) => step(l)))
       val s = labelSum(next)
       labels = next
       if (s == prevSum) converged = true

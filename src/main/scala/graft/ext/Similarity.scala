@@ -134,7 +134,8 @@ object Similarity {
                       planesPerBand: Int = PlanesPerBand,
                       maxBucketSize: Option[Int] = None,
                       bandsStorage: org.apache.spark.storage.StorageLevel =
-                        org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame = {
+                        org.apache.spark.storage.StorageLevel.DISK_ONLY,
+                      onBands: DataFrame => Unit = _ => ()): DataFrame = {
     // embeddings ride along INTO the bucket join so the cosine is computed
     // as the candidate streams out of it, and only thresholded survivors
     // ever reach a shuffle. The previous shape (pair ids → distinct →
@@ -167,6 +168,9 @@ object Similarity {
       sig.select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),
       maxBucketSize).persistTracked(bandsStorage)
+    // instrumentation seam: tools/ComponentsProbe forces+times the persist
+    // here so the signature pass and the bucket join decompose; no-op default
+    onBands(bands)
     val b1 = bands.select(col("band"), col("band_key"),
       col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
     val b2 = bands.select(col("band"), col("band_key"),

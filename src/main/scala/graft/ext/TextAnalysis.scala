@@ -734,6 +734,59 @@ object TextAnalysis {
   }
 
   /**
+   * Fuzzy benchmark decontamination — the MinHash-backed twin of
+   * [[decontaminate]]: that operator gates on EXACT shingle-hash hits, so a
+   * lightly paraphrased eval question (reworded stem, renumbered answer
+   * choices) slips through with zero shared n-grams. This is the
+   * production Dolma/FineWeb shape: LSH-band the whole corpus once
+   * ([[graft.ext.Dedup.minhashSignatures]]/[[graft.ext.Dedup.minhashBands]]
+   * — the same machinery as the near-dup family), take as candidates the
+   * train docs sharing any band with an eval doc, verify candidates by
+   * signature agreement (est. jaccard), and flag those clearing
+   * `threshold`.
+   *
+   * Scale shape: the eval side is small by definition (benchmarks are
+   * thousands of docs, the corpus billions), so its band table AND its
+   * signature table broadcast — the corpus band table hash-joins against
+   * the broadcast instead of self-joining, per-row work stays linear in
+   * corpus bands, and the only exchanges are the candidate `distinct` and
+   * the per-doc rollup, both at candidate grain. Train docs under
+   * `shingleSize` tokens have no signature and are absent (same domain as
+   * every minhash operator; mirrored in the oracle).
+   */
+  def decontaminateFuzzy(docs: DataFrame, evalMod: Int = 97,
+                         shingleSize: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    import graft.ext.Dedup
+    // persisted: the band projection and BOTH verify sides read it
+    val sigs = Dedup.minhashSignatures(docs, shingleSize).persistTracked()
+    val bands = Dedup.minhashBands(sigs)
+    val evalBands = bands.filter(col("doc_id") % evalMod === 0)
+      .select(col("band").as("e_band"), col("band_key").as("e_key"),
+        col("doc_id").as("eval_id"))
+    val cand = bands.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalBands),
+        col("band") === col("e_band") && col("band_key") === col("e_key"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val evalSigs = sigs.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("sig").as("esig"))
+    val flagged = cand
+      .join(sigs, "doc_id")
+      .join(broadcast(evalSigs), "eval_id")
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(sig, esig, (x, y) -> x = y), m -> m)) / ${Dedup.NumPerms}"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+    sigs.filter(col("doc_id") % evalMod =!= 0).select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
+      .withColumn("max_est_jaccard", coalesce(col("max_est_jaccard"), lit(0.0)))
+      .withColumn("contaminated", col("n_eval_matches") > 0)
+  }
+
+  /**
    * Data-mixture weighting: per-stratum token counts, actual corpus share,
    * and the resampling weight (`target_share / actual_share`) that
    * rebalances the mixture to a target composition — the "datamix" table a
@@ -985,6 +1038,37 @@ object TextAnalysis {
         sum(col("tf").cast("decimal(12,0)") * (lnNum - lnDen)).as("s"))
       .select(col("doc_id"), col("n_trigrams"),
         round(col("s").cast("double") / col("n_trigrams"), 6).as("avg_logprob"))
+  }
+
+  /**
+   * Perplexity quality gate — the ACTION that consumes the
+   * [[trigramLogProb]] scores (the CCNet/Gopher-style filter: documents
+   * whose language-model fit is far below corpus-typical are boilerplate,
+   * OCR noise, or phrase-salad, and get dropped before training). The
+   * cutoff is corpus-RELATIVE — mean avg_logprob minus `slack` nats — so
+   * the gate self-calibrates per corpus snapshot instead of hard-coding a
+   * bound that drifts with tokenizer or domain; slack = 1 drops docs whose
+   * average trigram is more than e× less likely than the corpus-typical
+   * doc's.
+   *
+   * Determinism: the mean routes through an exact DECIMAL sum of the
+   * already-6-dp-rounded scores (accumulation order cannot perturb it),
+   * then ONE IEEE division and the standing 6 dp rounding — the oracle
+   * spells the identical shape, so the threshold matches bit-for-bit.
+   * Scale shape: the scores frame is persisted and read twice (threshold
+   * agg + filter); the cutoff is a broadcast 1-row scalar, so the gate
+   * itself adds zero exchanges over the scoring plan. Docs under three
+   * tokens have no trigram score and are dropped by construction — no
+   * score means the gate cannot pass them (mirrored in the oracle).
+   */
+  def perplexityFilter(docs: DataFrame, slack: Double = 1.0): DataFrame = {
+    val scores = trigramLogProb(docs).persistTracked()
+    val cut = scores.agg(
+      round(sum(col("avg_logprob").cast("decimal(16,6)")).cast("double") /
+        count(lit(1)) - lit(slack), 6).as("cutoff"))
+    scores.crossJoin(broadcast(cut))
+      .filter(col("avg_logprob") >= col("cutoff"))
+      .select(col("doc_id"), col("n_trigrams"), col("avg_logprob"), col("cutoff"))
   }
 
   /**

@@ -11,39 +11,39 @@ import org.apache.spark.storage.StorageLevel
  * measured already-optimal adjudication"). The query is
  * [[graft.ext.Similarity.embeddingComponents]] =
  * [[graft.ext.Similarity.lshNearDupPairs]] (candidate edges) feeding
- * [[graft.ext.Dedup.componentsFromEdges]] (min-label propagation); this
- * probe restates both bodies verbatim with a timer at every
- * materialization barrier, so the wall clock decomposes into:
+ * [[graft.ext.Dedup.componentsFromEdges]] (min-label propagation); the
+ * probe runs the REAL operators with instrumentation injected through
+ * their seams — `onBands` (forces + times the bands persist) and
+ * [[graft.ext.Dedup.CcHooks]] (every eager checkpoint barrier, named) —
+ * instead of restating their bodies (the r13–r16 copy was a standing
+ * drift hazard; ComponentsProbeSpec's parity pin now guards only the
+ * 4-line composition below). The wall clock decomposes into:
  *
  *   bands_persist  scan → 64-plane signatures → posexplode → bucket cap
  *                  window → DISK_ONLY persist (materialized via count)
  *   bucket_join    self-join on (band, key) → streamed cosine → threshold
  *                  → distinct → ids semi-join → eager localCheckpoint
- *   setup          touched/symAll/labels0 checkpoints (3 small jobs)
- *   round_N        one batched propagation round (3 steps + checkpoint +
- *                  decimal label-sum convergence action)
+ *                  (the operator's "edges" barrier)
+ *   touched/symall/labels0   the three setup checkpoints
+ *   round_N        one batched propagation round (3 steps + checkpoint;
+ *                  the decimal label-sum convergence action runs between)
  *   finish         inactive-id anti-join union + final count
  *
  * Per phase it prints wall + JVM GC delta + block-manager storage delta —
  * the BPE probe's three columns that separate "GC pressure" from "blocks
  * piling up" from "the phase genuinely does more work".
  *
- * `ser=1` switches EVERY localCheckpoint in the probe — the bucket_join
- * edge barrier, the setup checkpoints (touched/symAll/labels0), and the
- * loop-side round checkpoints — to MEMORY_AND_DISK_SER, the lever that
- * bought q_bpe_encode 28×→12.7× (flat GC at sf10). The label tables here
- * are two long columns, so the prediction going in is that the level is
- * neutral and the candidate phases dominate; the probe exists to
- * measure, not to assume.
- *
- * Drift guard: the restated pipeline's final label table is hash-compared
- * against the real operator's output when `parity=1` (costs a second full
- * run — default off at sf10, exercised by ComponentsProbeSpec at sf0.001).
+ * `ser=1` switches EVERY eager checkpoint — the bucket_join edge barrier,
+ * the setup checkpoints, and the loop-side round checkpoints — to
+ * MEMORY_AND_DISK_SER, the lever that bought q_bpe_encode 28×→12.7×
+ * (flat GC at sf10). The label tables here are two long columns, so the
+ * prediction going in is that the level is neutral and the candidate
+ * phases dominate; the probe exists to measure, not to assume.
  *
  * `prepart=1` shuffles+sorts symAll by doc2 ONCE into its checkpoint
  * (LogicalRDD preserves partitioning and ordering), so each propagation
- * round's SMJ exchanges only the label table — the candidate fix for the
- * rounds re-shuffling 2|E| rows per step.
+ * round's SMJ exchanges only the label table — measured ~3 s SLOWER per
+ * sf10 run (PLANS r13 §1); kept as a probe arm with its parity pin.
  *
  * Usage: runMain graft.tools.ComponentsProbe <sfDir> [maxRounds=20] [ser=0] [parity=0] [prepart=0]
  * Output: one JSON line per phase {"phase":…,"sec":…,"gc_ms":…,"storage_mb":…}
@@ -68,9 +68,10 @@ object ComponentsProbe {
     (mem + disk) / (1024 * 1024)
   }
 
-  /** Restated [[graft.ext.Similarity.embeddingComponents]] with a timer at
-    * each barrier; returns (labels, per-phase log). Bodies are verbatim from
-    * Similarity.scala / Dedup.scala — the parity flag certifies the copy. */
+  /** The q_embed_components pipeline (the exact
+    * [[graft.ext.Similarity.embeddingComponents]] composition at the
+    * SparkEntry registration's parameters) run through the operators'
+    * instrumentation seams; returns the label table. */
   def probed(spark: SparkSession, sfDir: String, maxRounds: Int,
              level: Option[StorageLevel], prepart: Boolean = false): DataFrame = {
     import graft.ext.{Dedup, Similarity}
@@ -82,109 +83,50 @@ object ComponentsProbe {
         f""""gc_ms":${gcMs - g0},"storage_mb_delta":${storageMb - s0}}""")
       r
     }
-    def ckpt(df: DataFrame): DataFrame = level match {
-      case Some(l) => df.localCheckpoint(true, l)
-      case None => df.localCheckpoint(true)
+    val hooks = new Dedup.CcHooks {
+      override def ckpt(name: String, df: DataFrame): DataFrame = {
+        // historical phase label: the "edges" barrier's eager checkpoint
+        // is where the bucket self-join actually executes
+        val display = if (name == "edges") "bucket_join" else name
+        val out = timed(display) {
+          val laid =
+            if (prepart && name == "symall")
+              df.repartition(col("doc2")).sortWithinPartitions("doc2")
+            else df
+          level match {
+            case Some(l) => laid.localCheckpoint(true, l)
+            case None => laid.localCheckpoint(true)
+          }
+        }
+        if (name == "edges") println(s"""{"edges":${out.count()}}""")
+        if (name == "touched") println(s"""{"touched":${out.count()}}""")
+        out
+      }
     }
     val embeddings = graft.Tables.embeddings(spark, sfDir)
-    val ids = embeddings.select(col("vec_id").as("doc_id"))
-
-    // ---- lshNearDupPairs body (Similarity.scala:131-180), split at the
-    // bands persist so the signature pass and the bucket join are separate
-    // stanzas. Parameters are EXACTLY the q_embed_components registration
-    // (SparkEntry.scala:133): production 16-plane banding + the 10k bucket
-    // cap — the first cut of this probe ran the 4-plane test layout
+    var bands: DataFrame = null
+    // == Similarity.embeddingComponents at the q_embed_components
+    // registration's parameters (production 16-plane banding + the 10k
+    // bucket cap — the first cut of this probe ran the 4-plane test layout
     // uncapped and measured a 17.4M-edge quadratic blowup that the real
-    // query never executes.
-    val sig = Similarity.withLshBands(embeddings, 64,
-      Similarity.NumBands, Similarity.ProductionPlanesPerBand)
-    val bands = Dedup.capBuckets(
-      sig.select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("bands")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"),
-      Dedup.ProductionMaxBucketSize).persist(StorageLevel.DISK_ONLY)
-    timed("bands_persist") { bands.count() }
-    val b1 = bands.select(col("band"), col("band_key"),
-      col("vec_id").as("id1"), col("embedding").as("emb1"), col("nrm").as("nrm1"))
-    val b2 = bands.select(col("band"), col("band_key"),
-      col("vec_id").as("id2"), col("embedding").as("emb2"), col("nrm").as("nrm2"))
-    val edges = b1.join(b2, Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.dot("emb1", "emb2") / (col("nrm1") * col("nrm2")))
-      .filter(col("cosine") >= 0.35)
-      .select("id1", "id2", "cosine").distinct()
+    // query never executes). ComponentsProbeSpec pins this composition
+    // label-identical to the operator.
+    val edges = Similarity.lshNearDupPairs(embeddings,
+        planesPerBand = Similarity.ProductionPlanesPerBand,
+        maxBucketSize = Dedup.ProductionMaxBucketSize,
+        onBands = b => { bands = b; timed("bands_persist")(b.count()) })
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
-
-    // ---- componentsFromEdges body (Dedup.scala:265-376) at probe
-    // granularity: `e`'s eager checkpoint is the bucket-join barrier.
-    val e = timed("bucket_join") {
-      val f = ckpt(edges
-        .join(ids.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
-        .join(ids.select(col("doc_id").as("doc2")), Seq("doc2"), "left_semi")
-        .select(col("doc1"), col("doc2")))
-      println(s"""{"edges":${f.count()}}""")
-      f
-    }
-    val (symAll, touched, inactive, labels0) = timed("setup") {
-      val sym = e.union(e.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-      val touched = ckpt(sym.select(col("doc1").as("doc_id")).distinct())
-      val inactive = ids.join(touched, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("component"))
-      // prepart: every propagation step joins symAll on doc2 — shuffle and
-      // sort the big side ONCE into the checkpoint (LogicalRDD preserves
-      // outputPartitioning + outputOrdering), so each round's SMJ exchanges
-      // only the small label table instead of re-shuffling 2|E| rows
-      val symAllRaw = sym
-        .union(touched.select(col("doc_id").as("doc1"), col("doc_id").as("doc2")))
-      val symAll = ckpt(
-        if (prepart) symAllRaw.repartition(col("doc2")).sortWithinPartitions("doc2")
-        else symAllRaw)
-      val labels0 = ckpt(ids.join(touched, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("doc_id").as("component")))
-      println(s"""{"touched":${touched.count()}}""")
-      (symAll, touched, inactive, labels0)
-    }
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    def step(labels: DataFrame): DataFrame = {
-      val merged = symAll
-        .join(labels.select(col("doc_id").as("nbr"), col("component")),
-          col("doc2") === col("nbr"))
-        .groupBy(col("doc1")).agg(min(col("component")).as("component"))
-        .withColumnRenamed("doc1", "doc_id")
-      merged.as("m")
-        .join(merged.select(col("doc_id").as("t_id"), col("component").as("t_comp")),
-          col("component") === col("t_id"))
-        .select(col("doc_id"), col("t_comp").as("component"))
-    }
-    var labels = labels0
-    var prevSum = labelSum(labels)
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      val stepsThisBatch = math.min(3, maxRounds - round)
-      val next = timed(s"round_${round + stepsThisBatch}") {
-        val n = ckpt((1 to stepsThisBatch).foldLeft(labels)((l, _) => step(l)))
-        n.count(); n
-      }
-      val s = labelSum(next)
-      labels = next
-      if (s == prevSum) converged = true
-      prevSum = s
-      round += stepsThisBatch
-    }
-    if (!converged && labelSum(step(labels)) == prevSum) converged = true
-    require(converged, s"did not converge within $maxRounds rounds")
+    val labels = Dedup.componentsFromEdges(
+      embeddings.select(col("vec_id").as("doc_id")), edges, maxRounds,
+      hooks = hooks)
     timed("finish") {
-      val out = labels.union(inactive)
-        .select(col("doc_id").as("vec_id"), col("component"))
+      val out = labels.select(col("doc_id").as("vec_id"), col("component"))
       println(s"""{"labels":${out.count()}}""")
       // release the bands DISK_ONLY persist: in parity mode (and in the
       // spec's back-to-back probed() calls) a stale resident frame would
       // otherwise compete for disk + block-manager bookkeeping while the
       // comparison operator runs at sf10
-      bands.unpersist(blocking = false)
+      if (bands != null) bands.unpersist(blocking = false)
       out
     }
   }

@@ -30,6 +30,15 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.parseRefQueries(json) === Map("q_agg" -> 1.2, "q_tfidf" -> 0.35))
   }
 
+  test("parseRefQueries parses e-notation, including negative exponents") {
+    // json.dump emits e-notation below 1e-4; the old char-class pattern
+    // captured `1.2e` for `1.2e-05` and silently dropped the entry.
+    val json = """{"queries":{"q_tiny":1.2e-05,"q_small":3.4E-3,""" +
+      """"q_plus":5.0e+2,"q_plain":2.5}}"""
+    assert(Bench.parseRefQueries(json) === Map(
+      "q_tiny" -> 1.2e-5, "q_small" -> 3.4e-3, "q_plus" -> 500.0, "q_plain" -> 2.5))
+  }
+
   test("parseRefQueries degrades to empty on malformed or keyless input") {
     assert(Bench.parseRefQueries("").isEmpty)
     assert(Bench.parseRefQueries("{\"value\":1}").isEmpty)

@@ -30,11 +30,17 @@ class CacheScopeSpec extends SparkSpec {
 
   test("tracked persists outside any scope keep the session-owned lifetime") {
     spark.catalog.clearCache()
-    val before = persistentRddCount
+    // set-difference, not a count delta: the session is suite-shared and
+    // clearCache unpersists ASYNCHRONOUSLY, so stale RDDs from earlier
+    // suites can vanish between two count reads (observed: 5 → 4 while
+    // this operator added one) — the ids ADDED by this operator are
+    // race-proof because the returned frame strongly references them
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Dedup.minhashCandidatePairs(
       Tables.documents(spark, "/root/testdata/sf0.001"))
     pairs.count()
-    assert(persistentRddCount > before,
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty,
       "without a scope the operator's persist must survive (documented default)")
     spark.catalog.clearCache()
   }

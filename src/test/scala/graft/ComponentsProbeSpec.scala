@@ -3,12 +3,13 @@ package graft
 import graft.ext.{Dedup, Similarity}
 
 /**
- * Drift guard for [[graft.tools.ComponentsProbe]]: the probe restates the
- * `q_embed_components` pipeline (lshNearDupPairs + componentsFromEdges)
- * verbatim so each materialization barrier can be timed — this pin keeps
- * the restatement honest. If the operator's body evolves and the probe is
- * not updated in the same commit, the label tables diverge here (same
- * contract as BpeTrainProbe asserting its probed winners equal the
+ * Drift guard for [[graft.tools.ComponentsProbe]]: the probe runs the
+ * REAL operators (lshNearDupPairs + componentsFromEdges, instrumented
+ * through `onBands` and the CcHooks checkpoint seam) but still owns the
+ * 4-line composition and the registration parameters — this pin keeps
+ * that composition identical to `Similarity.embeddingComponents`, and
+ * certifies the instrumentation seams themselves are semantics-neutral
+ * (same contract as BpeTrainProbe asserting its probed winners equal the
  * trainer's).
  */
 class ComponentsProbeSpec extends SparkSpec {

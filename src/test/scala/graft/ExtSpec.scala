@@ -98,6 +98,21 @@ class ExtSpec extends SparkSpec {
       math.log(309.0 / 360)) / 3))))
   }
 
+  test("perplexity filter drops docs more than `slack` nats below the corpus-mean score") {
+    // scores (from the trigram test's arithmetic): doc0 ln(279/810) ≈ -1.0661,
+    // doc1 mean ≈ (-1.1676 - 0.0572 - 0.1525)/3 ≈ -0.4591; doc2 unscored.
+    // mean ≈ -0.7626 → slack 0.2: cutoff ≈ -0.9626 drops doc0, keeps doc1.
+    val tiny = Seq((0L, "a b a", "en"), (1L, "a b c a b", "en"), (2L, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.perplexityFilter(tiny, slack = 0.2).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+    // wide slack keeps every SCORED doc; the unscored 1-token doc never passes
+    val loose = TextAnalysis.perplexityFilter(tiny, slack = 5.0).collect()
+    assert(loose.map(_.getAs[Long]("doc_id")).toSet === Set(0L, 1L))
+    // cutoff column is the corpus-relative bound, constant across rows
+    assert(loose.map(_.getAs[Double]("cutoff")).distinct.length === 1)
+  }
+
   test("source reputation: duplicate and quality rates roll up per source") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "srcA", 67L),
@@ -124,6 +139,23 @@ class ExtSpec extends SparkSpec {
     assert(out(3L)._1 === 12L && out(3L)._2)  // 14 tokens → 12 shingles, all shared
     assert(out(1L)._2)                        // near dup crosses minOverlap=2
     assert(out(2L) === ((0L, false)))         // unrelated doc untouched
+  }
+
+  test("fuzzy decontamination flags minhash near-dups of the eval slice") {
+    // eval slice = doc_id % 97 == 0 → doc 0. Doc 3 is its exact dup
+    // (identical signature, est 1.0); doc 2 never shares a band (clean).
+    val out = TextAnalysis.decontaminateFuzzy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_eval_matches"), r.getAs[Double]("max_est_jaccard"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // eval doc itself excluded
+    assert(out(3L) === ((1L, 1.0, true)))
+    assert(out(2L) === ((0L, 0.0, false)))
+    // the near-dup (doc 1) is a CANDIDATE (shares a band with doc 0); at a
+    // permissive threshold the signature-agreement verify flags it too
+    val loose = TextAnalysis.decontaminateFuzzy(docs, threshold = 0.2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(loose(1L))
   }
 
   test("datamix weight rebalances a stratum toward its target share") {

@@ -562,6 +562,9 @@ class ScaleSpec extends SparkSpec {
       "q_datamix", "q_embed_neardup", "q_gap_histogram",
       "q_item_cooccurrence", "q_key_skew", "q_length_filter",
       "q_minute_anomaly",
+      // the filter action's corpus-relative cutoff is a 1-row broadcast
+      // scalar crossjoined onto the scores — the designed pattern
+      "q_perplexity_filter",
       "q_revenue_concentration", "q_revenue_concentration_bucketed",
       "q_rfm", "q_rfm_bucketed", "q_spacesaving_approx",
       // trigram: the same 1-row corpus-total crossjoin as its uni/bigram
