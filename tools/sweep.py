@@ -178,6 +178,12 @@ def bench(sf_dir):
                SPARK_GRAFT_BENCH_ROWS=",".join(pair_queries),
                SPARK_GRAFT_BENCH_REF="none",
                GRAFT_NO_FRAME_CACHE=os.environ.get("GRAFT_NO_FRAME_CACHE", "1"))
+    # load-gate the SUITE launch too, not just the probes: the r17 sweep's
+    # sf10 leg started inside the sf0.1 leg's decaying 32-thread tail, and
+    # a whole family of lineitem/shingle queries read ~2x readings that a
+    # second-hour idle probe disproved (PLANS r17 §8). Bounded + stamped
+    # by Bench's own env record either way.
+    wait_quiet(gate=2.0, timeout_s=300)
     print(f"[sweep] benching {sf_dir} (runs={runs}, skip={sorted(exclude)})", flush=True)
     run(["sbt", "-batch", "runMain graft.Bench"], env=env)
     if not os.path.exists(artifact):
